@@ -1,0 +1,124 @@
+"""End-to-end flagship pipeline under Ray: engine output vs oracle,
+kill-and-rerun resume with byte-identical results (FIXTURES.md F4),
+per-source aggregates vs a pandas recomputation."""
+
+import glob
+import hashlib
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from wavelet_decomposition_ray import oracle as oc, synth
+from wavelet_decomposition_ray.functions.listops import list_to_numpy
+from wavelet_decomposition_ray.pipelines import rollup_pipeline as rp
+from wavelet_decomposition_ray.state import manifest as mf
+
+
+@pytest.fixture(scope="module")
+def seq_dir(ray_session):
+    return synth.ensure_sequences("/root/testdata/sf0.001")
+
+
+def _file_hashes(out_dir):
+    return {
+        os.path.relpath(p, out_dir): hashlib.md5(open(p, "rb").read()).hexdigest()
+        for p in sorted(glob.glob(os.path.join(out_dir, "data", "*.parquet")))
+    }
+
+
+def test_full_job_and_resume(seq_dir, tmp_path):
+    out = str(tmp_path / "run1")
+    summary = rp.run_rollup_job(seq_dir, out, bank="haar", n_tiers=8, n_buckets=8,
+                                batch_size=64)
+    assert summary["buckets_written"] == 8
+    assert summary["n_windows"] > 0
+    assert os.path.isfile(os.path.join(out, "metrics.json"))
+    assert os.path.isfile(os.path.join(out, "source_stats.parquet"))
+    hashes1 = _file_hashes(out)
+    assert len(hashes1) == 8
+
+    # oracle check: decode a bucket and compare a doc's tier against oracle
+    tbl = pq.read_table(os.path.join(out, "data", "bucket=00000.parquet"))
+    seq = pq.read_table(seq_dir)
+    id_to_row = {d: i for i, d in enumerate(seq["doc_id"].to_pylist())}
+    svals, soff = list_to_numpy(seq["tokens"])
+    checked = 0
+    for j in range(0, tbl.num_rows, 29):
+        doc = tbl["doc_id"][j].as_py()
+        tier = int(tbl["tier"][j].as_py())
+        blob = tbl["blob"][j].as_py()
+        dec = oc.decode_rollup_block(blob)
+        i = id_to_row[doc]
+        toks = svals[soff[i] : soff[i + 1]]
+        want = oc.rollup_tier(toks, 1 << tier)
+        for k in ("wmin", "wmax", "wsum", "wcount"):
+            np.testing.assert_array_equal(dec[k], want[k], err_msg=f"{doc} t{tier} {k}")
+        checked += 1
+    assert checked > 3
+
+    # resume: delete buckets {2,5} outputs + manifests, rerun, byte-identical
+    for b in (2, 5):
+        os.remove(os.path.join(out, "data", f"bucket={b:05d}.parquet"))
+        os.remove(os.path.join(out, "manifest", f"bucket-{b:05d}.json"))
+    assert mf.completed_buckets(out) == frozenset({0, 1, 3, 4, 6, 7})
+    summary2 = rp.run_rollup_job(seq_dir, out, bank="haar", n_tiers=8, n_buckets=8,
+                                 batch_size=64)
+    assert summary2["buckets_skipped"] == 6
+    assert summary2["buckets_written"] == 2
+    hashes2 = _file_hashes(out)
+    assert hashes1 == hashes2, "resume output is not byte-identical"
+
+    # manifest checksums match the files on disk
+    for row in mf.read_manifest(out):
+        with open(os.path.join(out, row["file"]), "rb") as fh:
+            assert hashlib.md5(fh.read()).hexdigest() == row["checksum"]
+
+
+def test_source_tier_aggregate_matches_pandas(seq_dir, ray_session):
+    ds = rp.sequences_dataset(seq_dir)
+    rolled = rp.rollup_dataset(ds, bank="haar", n_tiers=4, verify=False, batch_size=64)
+    agg = rp.source_tier_aggregate(rolled).to_pandas()
+
+    # pandas/numpy recomputation from raw
+    seq = pq.read_table(seq_dir)
+    svals, soff = list_to_numpy(seq["tokens"])
+    rows = []
+    for i, (d, s) in enumerate(zip(seq["doc_id"].to_pylist(), seq["source"].to_pylist())):
+        toks = svals[soff[i] : soff[i + 1]]
+        for t in range(1, 5):
+            r = oc.rollup_tier(toks, 1 << t)
+            rows.append((s, t, r["wmin"].min(), r["wmax"].max(), r["wsum"].sum(),
+                         r["wcount"].sum(), len(r["wmin"])))
+    import pandas as pd
+
+    want = (
+        pd.DataFrame(rows, columns=["source", "tier", "min_val", "max_val",
+                                    "total_sum", "n_points", "n_windows"])
+        .groupby(["source", "tier"], as_index=False)
+        .agg(min_val=("min_val", "min"), max_val=("max_val", "max"),
+             total_sum=("total_sum", "sum"), n_points=("n_points", "sum"),
+             n_windows=("n_windows", "sum"))
+    )
+    got = agg.sort_values(["source", "tier"]).reset_index(drop=True)
+    want = want.sort_values(["source", "tier"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["source", "tier", "min_val", "max_val", "total_sum", "n_points", "n_windows"]].astype(
+            {"tier": "int64", "min_val": "int64", "max_val": "int64",
+             "total_sum": "int64", "n_points": "int64", "n_windows": "int64"}
+        ),
+        want.astype({"tier": "int64", "min_val": "int64", "max_val": "int64",
+                     "total_sum": "int64", "n_points": "int64", "n_windows": "int64"}),
+    )
+
+
+def test_db4_job_smoke(seq_dir, tmp_path):
+    out = str(tmp_path / "db4")
+    summary = rp.run_rollup_job(seq_dir, out, bank="db4", n_tiers=4, n_buckets=4,
+                                batch_size=64)
+    assert summary["buckets_written"] == 4
+    assert summary["n_windows"] > 0

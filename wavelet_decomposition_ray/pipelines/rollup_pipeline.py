@@ -1,0 +1,182 @@
+"""Flagship pipeline: the end-to-end rollup + downsample + retention job.
+
+Ray-Data dataflow (SURVEY.md §4.3; every stage annotated with its reference
+analog):
+
+    read_parquet(doc_id, tokens, n_tok, source)          [S1]
+     -> map_batches(add_bucket + resume filter)          [S3/S4 cache skip]
+     -> map_batches(gapfill)            stateless        [M1-M3]
+     -> map_batches(DwtTransform)       stateless        [T1-T6 + invariant]
+     -> map_batches(TierRollup)         stateless        [A2 ladder, agg tree]
+     -> map_batches(GorillaEncoder)     ACTOR POOL       [ST1]
+     -> groupby(bucket).map_groups(PartitionWriter)      SHUFFLE + [S5/S6]
+         -> manifest + per-(source,tier) partials -> driver final fold [A1/A2]
+
+Consecutive map_batches are fused by the streaming executor, so the heavy
+columns (tokens, coeffs) never cross the object store between them; the one
+genuine all-to-all exchange is the hash-partition groupby on ``bucket``,
+which doubles as the resume/checkpoint granularity. At cluster scale the
+same code runs with ``n_buckets`` sized to ~(nodes x cores); locally the
+default 32 keeps partitions around a few MB at bench scale.
+
+No ``ray.init`` here — the caller owns the session (driver contract).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..stages.gapfill import gapfill_batch
+from ..stages.dwt import DwtTransform
+from ..stages.rollup import TierRollup, source_partials_batch
+from ..stages.encode import GorillaEncoder
+from ..state import manifest as mf
+
+SEQ_COLUMNS = ["doc_id", "tokens", "n_tok", "source"]
+
+
+def sequences_dataset(path: str, columns=None) -> "ray.data.Dataset":
+    """Prune at the read: only the engine's four columns leave storage."""
+    return ray.data.read_parquet(path, columns=columns or SEQ_COLUMNS)
+
+
+def rollup_dataset(
+    ds: "ray.data.Dataset",
+    bank: str = "haar",
+    n_tiers: int = 10,
+    verify: bool = True,
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    """sequences -> per-(doc, tier) rollup list rows (not yet encoded).
+
+    ``batch_size`` is rows per batch; with heavy-tailed ``n_tok`` keep it
+    modest so a batch (rows x tokens x 8B x a few intermediates) stays well
+    inside a worker heap — byte-budget thinking per SURVEY.md §4.2.1.
+    """
+    ds = ds.map_batches(gapfill_batch, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(
+        DwtTransform(bank, verify=verify, keep_tokens=True),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    if verify:
+        ds = ds.map_batches(_check_invariant, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(
+        _drop_cols(["coeffs", "rt_ok", "rt_max_err", "n_filled", "n_tok"]),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    return ds.map_batches(TierRollup(n_tiers), batch_format="pyarrow", batch_size=batch_size)
+
+
+def _check_invariant(batch: pa.Table) -> pa.Table:
+    """Fail fast when the decompose->reconstruct token-equality invariant
+    breaks (BASELINE.json): this is a correctness gate, not a metric."""
+    ok = batch["rt_ok"].to_numpy(zero_copy_only=False)
+    if not ok.all():
+        bad = batch["doc_id"].take(pa.array(np.nonzero(~ok)[0])).to_pylist()
+        raise AssertionError(f"round-trip invariant violated for docs {bad[:5]}")
+    return batch
+
+
+def _drop_cols(names):
+    def drop(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns([n for n in names if n in batch.column_names])
+
+    return drop
+
+
+def source_tier_aggregate(rollup_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-(source, tier) global stats via partial+final: batch-local
+    combiners (one row per key per batch) then the small groupby shuffle —
+    the reference's stack+calc_epn path (SURVEY.md §2.5 A1/A2)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    partials = rollup_ds.map_batches(source_partials_batch, batch_format="pyarrow")
+    return partials.groupby(["source", "tier"]).aggregate(
+        Min("pmin", alias_name="min_val"),
+        Max("pmax", alias_name="max_val"),
+        Sum("psum", alias_name="total_sum"),
+        Sum("pcount", alias_name="n_points"),
+        Sum("pwindows", alias_name="n_windows"),
+    )
+
+
+def run_rollup_job(
+    input_path: str,
+    out_dir: str,
+    bank: str = "haar",
+    n_tiers: int = 10,
+    n_buckets: int = 32,
+    resume: bool = True,
+    verify: bool = True,
+    batch_size: int = 256,
+    encoder_concurrency=(2, 8),
+) -> dict:
+    """Run the full job; resumable from per-bucket checkpoints.
+
+    Returns a summary dict (also written to ``out_dir/metrics.json``) with
+    throughput, per-stage stats and the driver-side final per-(source, tier)
+    aggregates path.
+    """
+    t0 = time.perf_counter()
+    done = mf.completed_buckets(out_dir) if resume else frozenset()
+
+    ds = sequences_dataset(input_path)
+    ds = ds.map_batches(
+        mf.make_add_bucket(n_buckets, done), batch_format="pyarrow", batch_size=2048
+    )
+    ds = rollup_dataset(ds, bank=bank, n_tiers=n_tiers, verify=verify, batch_size=batch_size)
+    ds = ds.map_batches(
+        GorillaEncoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=encoder_concurrency,
+        num_cpus=1,
+    )
+    partials_ds = ds.groupby("bucket").map_groups(
+        mf.PartitionWriter(out_dir), batch_format="pyarrow"
+    )
+    partials = partials_ds.to_pandas()  # tiny: buckets x sources x tiers
+    stats = partials_ds.stats()
+
+    elapsed = time.perf_counter() - t0
+    manifest_rows = mf.read_manifest(out_dir)
+    n_windows = int(sum(r["n_windows"] for r in manifest_rows))
+    bytes_encoded = int(sum(r["bytes_encoded"] for r in manifest_rows))
+
+    if len(partials):
+        final = (
+            partials.groupby(["source", "tier"], as_index=False)
+            .agg(n_docs=("n_docs", "sum"), n_windows=("n_windows", "sum"),
+                 nbytes=("nbytes", "sum"))
+            .sort_values(["source", "tier"])
+        )
+        import pyarrow.parquet as pq
+
+        tmp = os.path.join(out_dir, ".source_stats.parquet.tmp")
+        pq.write_table(pa.Table.from_pandas(final, preserve_index=False), tmp)
+        os.replace(tmp, os.path.join(out_dir, "source_stats.parquet"))
+
+    summary = {
+        "elapsed_s": round(elapsed, 3),
+        "buckets_written": len(manifest_rows) - len(done),
+        "buckets_skipped": len(done),
+        "n_windows": n_windows,
+        "bytes_encoded": bytes_encoded,
+        "rolled_points_per_s": round(n_windows / elapsed, 1) if elapsed > 0 else 0.0,
+        "bank": bank,
+        "n_tiers": n_tiers,
+        "n_buckets": n_buckets,
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "metrics.json"), "w") as fh:
+        json.dump({"summary": summary, "ray_data_stats": stats}, fh, indent=1)
+    return summary

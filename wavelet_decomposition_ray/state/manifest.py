@@ -1,0 +1,142 @@
+"""Per-partition checkpoint manifest: deterministic bucket ids, atomic
+partition writes, lineage + metrics rows, skip-completed resume.
+
+Reference analog: the skip-if-exists ``.npz`` matrix cache and translation
+pickle (``/root/reference/wavelet_decomposition.py:30-35``,
+``calc_translations.py:136-144``) — an idempotent per-partition artifact
+keyed by name (SURVEY.md §2.1 S3/S4, §4.2.4). Here: output partitions are
+hash buckets of ``doc_id``; a completed bucket is recorded by an atomic
+manifest JSON; resume anti-joins pending buckets against the manifest and
+re-runs only the missing ones, producing byte-identical files (determinism
+is guaranteed by sorting each bucket by (doc_id, tier) before writing and by
+the codec being a pure per-row function).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def bucket_of_ids(doc_ids, n_buckets: int) -> np.ndarray:
+    """Deterministic hash bucket per doc_id (crc32 — stable across runs,
+    processes and nodes, unlike Python's salted hash())."""
+    return np.array(
+        [zlib.crc32(s.encode()) % n_buckets for s in doc_ids], dtype=np.int32
+    )
+
+
+def make_add_bucket(n_buckets: int, skip_buckets: frozenset[int] = frozenset()):
+    """Batch fn: add the bucket column; drop rows of completed buckets.
+    ``skip_buckets`` is captured by closure — it is a tiny set, shipped once
+    per task, the broadcast-small-side pattern."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_of_ids(batch["doc_id"].to_pylist(), n_buckets)
+        batch = batch.append_column("bucket", pa.array(b, type=pa.int32()))
+        if skip_buckets:
+            keep = np.array([x not in skip_buckets for x in b])
+            batch = batch.filter(pa.array(keep))
+        return batch
+
+    return add_bucket
+
+
+def manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest")
+
+
+def completed_buckets(out_dir: str) -> frozenset[int]:
+    mdir = manifest_dir(out_dir)
+    if not os.path.isdir(mdir):
+        return frozenset()
+    done = set()
+    for f in os.listdir(mdir):
+        if f.startswith("bucket-") and f.endswith(".json"):
+            try:
+                with open(os.path.join(mdir, f)) as fh:
+                    row = json.load(fh)
+                if os.path.isfile(os.path.join(out_dir, row["file"])):
+                    done.add(int(row["bucket"]))
+            except (ValueError, KeyError, OSError):
+                continue
+    return frozenset(done)
+
+
+def read_manifest(out_dir: str) -> list[dict]:
+    mdir = manifest_dir(out_dir)
+    rows = []
+    if os.path.isdir(mdir):
+        for f in sorted(os.listdir(mdir)):
+            if f.startswith("bucket-") and f.endswith(".json"):
+                with open(os.path.join(mdir, f)) as fh:
+                    rows.append(json.load(fh))
+    return rows
+
+
+class PartitionWriter:
+    """``groupby("bucket").map_groups`` callable: write one bucket's encoded
+    rollup rows atomically, record lineage + metrics, return the manifest row
+    plus per-(source, tier) partial aggregates (the combiner half — the
+    driver's final fold over these tiny rows replaces a second shuffle)."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.__name__ = "PartitionWriter"  # map_groups wants a named callable
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        bucket = int(group["bucket"][0].as_py())
+        group = group.sort_by([("doc_id", "ascending"), ("tier", "ascending")])
+        group = group.drop_columns(["bucket"])
+        rel = f"data/bucket={bucket:05d}.parquet"
+        path = os.path.join(self.out_dir, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(group, tmp, row_group_size=4096)
+        os.replace(tmp, path)
+        with open(path, "rb") as fh:
+            checksum = hashlib.md5(fh.read()).hexdigest()
+
+        # per-(source, tier) partials for the driver-side final aggregate
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "source": group["source"].to_pandas(),
+                "tier": group["tier"].to_pandas(),
+                "n_windows": group["n_windows"].to_pandas().astype("int64"),
+                "nbytes": group["nbytes"].to_pandas(),
+            }
+        )
+        partials = pdf.groupby(["source", "tier"], as_index=False).agg(
+            n_docs=("n_windows", "size"),
+            n_windows=("n_windows", "sum"),
+            nbytes=("nbytes", "sum"),
+        )
+        partials.insert(0, "bucket", bucket)
+
+        row = {
+            "bucket": bucket,
+            "file": rel,
+            "n_rows": group.num_rows,
+            "n_docs": int(pa.compute.count_distinct(group["doc_id"]).as_py()),
+            "n_windows": int(pdf["n_windows"].sum()),
+            "bytes_encoded": int(pdf["nbytes"].sum()),
+            "checksum": checksum,
+            "elapsed_s": round(time.perf_counter() - t0, 4),
+        }
+        mdir = manifest_dir(self.out_dir)
+        os.makedirs(mdir, exist_ok=True)
+        mtmp = os.path.join(mdir, f".bucket-{bucket:05d}.json.tmp")
+        with open(mtmp, "w") as fh:
+            json.dump(row, fh, sort_keys=True)
+        os.replace(mtmp, os.path.join(mdir, f"bucket-{bucket:05d}.json"))
+        return pa.Table.from_pandas(partials, preserve_index=False)
