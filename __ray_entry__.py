@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in the library) initializes or shuts down Ray.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship rollup pipeline on sf0.001.  ``queries()``
+exposes every implemented operator/pipeline from SURVEY.md §2 (plus the
+training-data-pipeline operators) as callables over an ``sf_dir``;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each SQL-expressible
+one.  Core-engine queries run over the deterministic synthesized sequences
+table (the BASELINE.json input_hint shape); the SQL side reads the identical
+parquet bytes via read_parquet.
 """
 
 from __future__ import annotations
@@ -20,25 +19,30 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: sequences -> gap-fill ->
+    DWT round-trip verify -> tier rollups -> per-(source, tier) aggregates.
+    Returns the (small) aggregate Dataset."""
+    from wavelet_decomposition_ray import synth
+    from wavelet_decomposition_ray.pipelines import rollup_pipeline as rp
+
+    seq = synth.ensure_sequences("/root/testdata/sf0.001")
+    rolled = rp.rollup_dataset(rp.sequences_dataset(seq), bank="haar",
+                               n_tiers=10, verify=True, batch_size=128)
+    return rp.source_tier_aggregate(rolled)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from wavelet_decomposition_ray import synth
+    from wavelet_decomposition_ray.pipelines.queries import CORE_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # materialize the synth inputs the oracle SQL reads (idempotent,
+    # deterministic, byte-stable)
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        synth.ensure_sequences(sf)
+    return {name: fn for name, (fn, _) in CORE_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from wavelet_decomposition_ray.pipelines.queries import CORE_QUERIES
+
+    return {name: sql for name, (_, sql) in CORE_QUERIES.items() if sql is not None}

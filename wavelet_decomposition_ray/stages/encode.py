@@ -31,25 +31,40 @@ class GorillaEncoder:
         self.bytes_out = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct
+
         mins, off = list_to_numpy(batch["mins"])
         maxs, _ = list_to_numpy(batch["maxs"])
         sums, _ = list_to_numpy(batch["sums"])
         counts, _ = list_to_numpy(batch["counts"])
         n = len(off) - 1
-        blobs = []
-        enc = oc.encode_rollup_block
-        for r in range(n):
-            sl = slice(off[r], off[r + 1])
-            blobs.append(
-                enc(
-                    {
-                        "wmin": mins[sl],
-                        "wmax": maxs[sl],
-                        "wsum": sums[sl],
-                        "wcount": counts[sl],
-                    }
-                )
+        # vectorized across the whole batch: one dod_encode_blocks call per
+        # stat stream (identical bytes to per-row oracle.encode_rollup_block)
+        streams = [
+            oc.dod_encode_blocks(np.ascontiguousarray(s.astype(np.int64)), off)
+            for s in (mins, maxs, sums)
+        ]
+        n_win_arr = np.diff(off)
+        w_arr = counts[off[:-1]]
+        last_arr = counts[off[1:] - 1]
+        pack = struct.pack
+        magic = oc._MAGIC
+        blobs = [
+            magic
+            + pack(
+                "<6I",
+                int(n_win_arr[r]),
+                int(w_arr[r]),
+                int(last_arr[r]),
+                len(streams[0][r]),
+                len(streams[1][r]),
+                len(streams[2][r]),
             )
+            + streams[0][r]
+            + streams[1][r]
+            + streams[2][r]
+            for r in range(n)
+        ]
         nbytes = np.array([len(b) for b in blobs], dtype=np.int64)
         n_win = np.diff(off)
         self.points_encoded += int(n_win.sum())
@@ -67,6 +82,88 @@ class GorillaEncoder:
         if "bucket" in batch.column_names:
             cols["bucket"] = batch["bucket"]
         return pa.table(cols)
+
+
+class RollupEncode:
+    """Fused rollup + encode actor stage for the flagship job.
+
+    Computes the continuous-aggregate tier tree (same reduceat machinery as
+    ``TierRollup``) and feeds each tier's stat streams STRAIGHT into the
+    vectorized codec — the intermediate Arrow list columns that
+    TierRollup|GorillaEncoder would build and re-parse are never
+    materialized, which removes ~a third of the hot path's allocations.
+    Output rows and blob bytes are identical to TierRollup -> GorillaEncoder.
+    """
+
+    def __init__(self, n_tiers: int = 10):
+        self.n_tiers = n_tiers
+        self.points_encoded = 0
+        self.bytes_out = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct
+
+        from ..functions.listops import tumble_starts
+
+        values, offsets = list_to_numpy(batch["tokens"])
+        v64 = values.astype(np.int64)
+        n_rows = len(offsets) - 1
+
+        starts, off, counts = tumble_starts(offsets, 2)
+        tier_vals = {
+            "wmin": np.minimum.reduceat(v64, starts),
+            "wmax": np.maximum.reduceat(v64, starts),
+            "wsum": np.add.reduceat(v64, starts),
+            "wcount": counts,
+        }
+        tier_off = off
+
+        pack = struct.pack
+        magic = oc._MAGIC
+        pieces = []
+        for t in range(1, self.n_tiers + 1):
+            if t > 1:
+                s2, off2, _ = tumble_starts(tier_off, 2)
+                tier_vals = {
+                    "wmin": np.minimum.reduceat(tier_vals["wmin"], s2),
+                    "wmax": np.maximum.reduceat(tier_vals["wmax"], s2),
+                    "wsum": np.add.reduceat(tier_vals["wsum"], s2),
+                    "wcount": np.add.reduceat(tier_vals["wcount"], s2),
+                }
+                tier_off = off2
+            streams = [
+                oc.dod_encode_blocks(tier_vals[k], tier_off)
+                for k in ("wmin", "wmax", "wsum")
+            ]
+            n_win = np.diff(tier_off)
+            cnts = tier_vals["wcount"]
+            w_arr = cnts[tier_off[:-1]]
+            last_arr = cnts[tier_off[1:] - 1]
+            blobs = [
+                magic
+                + pack("<6I", int(n_win[r]), int(w_arr[r]), int(last_arr[r]),
+                       len(streams[0][r]), len(streams[1][r]), len(streams[2][r]))
+                + streams[0][r] + streams[1][r] + streams[2][r]
+                for r in range(n_rows)
+            ]
+            nbytes = np.array([len(b) for b in blobs], dtype=np.int64)
+            cols = {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "tier": pa.array(np.full(n_rows, t, dtype=np.int8)),
+                "n_windows": pa.array(n_win.astype(np.int32)),
+                "blob": pa.array(blobs, type=pa.binary()),
+                "nbytes": pa.array(nbytes),
+                "bits_per_point": pa.array(
+                    nbytes * 8.0 / np.maximum(n_win, 1), type=pa.float64()
+                ),
+            }
+            if "bucket" in batch.column_names:
+                cols["bucket"] = batch["bucket"]
+            pieces.append(pa.table(cols))
+            self.points_encoded += int(n_win.sum())
+            self.bytes_out += int(nbytes.sum())
+        return pa.concat_tables(pieces)
 
 
 def decode_blocks_batch(batch: pa.Table) -> pa.Table:
