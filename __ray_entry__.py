@@ -31,18 +31,24 @@ def entry() -> Any:
     return rp.source_tier_aggregate(rolled)
 
 
+def _registry() -> dict[str, tuple]:
+    from wavelet_decomposition_ray.pipelines.data_queries import DATA_QUERIES
+    from wavelet_decomposition_ray.pipelines.queries import CORE_QUERIES
+
+    merged = dict(CORE_QUERIES)
+    merged.update(DATA_QUERIES)
+    return merged
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from wavelet_decomposition_ray import synth
-    from wavelet_decomposition_ray.pipelines.queries import CORE_QUERIES
 
     # materialize the synth inputs the oracle SQL reads (idempotent,
     # deterministic, byte-stable)
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         synth.ensure_sequences(sf)
-    return {name: fn for name, (fn, _) in CORE_QUERIES.items()}
+    return {name: fn for name, (fn, _) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from wavelet_decomposition_ray.pipelines.queries import CORE_QUERIES
-
-    return {name: sql for name, (_, sql) in CORE_QUERIES.items() if sql is not None}
+    return {name: sql for name, (_, sql) in _registry().items() if sql is not None}

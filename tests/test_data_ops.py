@@ -1,0 +1,186 @@
+"""Training-data operators vs brute-force single-process oracles:
+MinHash-LSH recall, SimHash locality, ANN-LSH recall, codec-free text ops,
+multimodal plumbing (FIXTURES-style planted near-dups in documents)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from wavelet_decomposition_ray.functions import dedup as dd
+from wavelet_decomposition_ray.functions import multimodal as mm
+from wavelet_decomposition_ray.functions import similarity as sim
+from wavelet_decomposition_ray.functions import text as tx
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return pq.read_table(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb():
+    return pq.read_table(f"{SF_DIR}/embeddings.parquet")
+
+
+def brute_near_dups(texts, ids, tau):
+    sh = [dd.char_shingles(t) for t in texts]
+    out = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if dd.jaccard(sh[i], sh[j]) >= tau:
+                out.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    return out
+
+
+def test_minhash_lsh_finds_planted_near_dups(docs):
+    texts = docs["text"].to_pylist()
+    ids = docs["doc_id"].to_pylist()
+    truth = brute_near_dups(texts, ids, 0.5)
+    assert truth, "test data should contain planted near-dups"
+
+    hasher = dd.MinHasher()
+    tbl = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": docs["text"]})
+    sigs = hasher(tbl)
+    bands = dd.lsh_bands_batch(sigs)
+    # bucket candidates exactly as the Ray groupby would
+    import collections
+
+    buckets = collections.defaultdict(list)
+    for bid, bh, d in zip(bands["band_id"].to_pylist(), bands["band_hash"].to_pylist(),
+                          bands["doc_id"].to_pylist()):
+        buckets[(bid, bh)].append(d)
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(set(members))
+        for i, a in enumerate(ms):
+            for b in ms[i + 1 :]:
+                cand.add((min(int(a), int(b)), max(int(a), int(b))))
+    sh = {int(d): dd.char_shingles(t) for d, t in zip(ids, texts)}
+    found = {
+        p for p in cand if dd.jaccard(sh[p[0]], sh[p[1]]) >= 0.5
+    }
+    # LSH with 16 bands x 4 rows has ~>99.9% recall at jaccard>=0.5
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.95, f"LSH recall {recall}: {truth - found}"
+    assert found <= truth  # verification removes all false positives
+
+
+def test_simhash_locality(docs):
+    texts = docs["text"].to_pylist()
+    ids = np.array(docs["doc_id"].to_pylist())
+    truth = brute_near_dups(texts, ids.tolist(), 0.8)
+    hs = np.array([dd.simhash64(t) for t in texts], dtype=np.uint64).view(np.int64)
+    # near-dup pairs should have much smaller hamming distance than random
+    rng = np.random.default_rng(0)
+    rand_pairs = rng.integers(0, len(texts), size=(200, 2))
+    rand_d = dd.hamming64(hs[rand_pairs[:, 0]], hs[rand_pairs[:, 1]])
+    idx = {int(d): k for k, d in enumerate(ids)}
+    if truth:
+        dup_d = np.array(
+            [dd.hamming64(hs[[idx[a]]], hs[[idx[b]]])[0] for a, b in truth]
+        )
+        assert dup_d.mean() < np.median(rand_d), (dup_d.mean(), np.median(rand_d))
+        assert (dup_d <= dd.simhash64.__defaults__ if False else (dup_d <= 6).mean() >= 0.8)
+
+
+def test_simhash_deterministic(docs):
+    t = docs["text"].to_pylist()[0]
+    assert dd.simhash64(t) == dd.simhash64(t)
+
+
+def test_ann_lsh_recall_on_clusters():
+    # the driver's embeddings are near-random (max pairwise cos ~0.5), where
+    # no ANN bucketing can beat chance; recall is validated on clustered
+    # vectors — the regime ANN exists for
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((10, 64))
+    m = np.repeat(centers, 50, axis=0) + 0.05 * rng.standard_normal((500, 64))
+    ids = np.arange(500)
+    codes = sim.hyperplane_codes(m)
+    hits = 0
+    for q_idx in range(0, 500, 50):
+        top_ids, _ = sim.brute_force_topk(m, ids, m[q_idx], 11)
+        top_ids = [i for i in top_ids if i != ids[q_idx]][:10]
+        qc = int(codes[q_idx])
+        same = {i for i, c in zip(ids, codes) if bin(int(c) ^ qc).count("1") <= 2}
+        hits += len(set(top_ids) & same)
+    recall = hits / 100
+    assert recall >= 0.8, recall
+
+
+def test_ann_lsh_codes_deterministic(emb):
+    m = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    np.testing.assert_array_equal(sim.hyperplane_codes(m), sim.hyperplane_codes(m))
+
+
+def test_cosine_topk_matches_brute(emb):
+    ids = emb["vec_id"].to_numpy()
+    m = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    topk = sim.CosineTopK(m[0:1], [0])
+    out = topk(emb.slice(0, 100))
+    sims = out["cos_sim"].to_numpy()
+    want = sim.normalize_rows(m[:100]) @ sim.normalize_rows(m[0:1])[0]
+    np.testing.assert_allclose(sims, np.round(want, 6), atol=1e-9)
+
+
+def test_text_ops_match_python(docs):
+    out = tx.token_count_batch(docs.slice(0, 50))
+    texts = docs["text"].to_pylist()[:50]
+    want = [len(t.split()) for t in texts]
+    assert out["n_words"].to_pylist() == want
+    q = tx.quality_batch(docs.slice(0, 50))
+    for i in (0, 17):
+        ws = texts[i].split()
+        assert q["n_words"][i].as_py() == len(ws)
+        ttr = round(len(set(ws)) / len(ws), 6)
+        assert abs(q["type_token_ratio"][i].as_py() - ttr) < 1e-9
+
+
+def test_lang_id_deterministic_and_total(docs):
+    lid = tx.LangId()
+    a = lid(docs.slice(0, 40))
+    b = tx.LangId()(docs.slice(0, 40))
+    assert a["pred_lang"].to_pylist() == b["pred_lang"].to_pylist()
+    assert set(a["pred_lang"].to_pylist()) <= set(tx.LangId.PROFILES)
+
+
+def test_fingerprint_matches_hashlib(docs):
+    import hashlib
+
+    out = tx.fingerprint_batch(docs.slice(0, 10))
+    texts = docs["text"].to_pylist()[:10]
+    assert out["md5"].to_pylist() == [hashlib.md5(t.encode()).hexdigest() for t in texts]
+    # rolling hash: simple python reference
+    MOD, BASE = (1 << 61) - 1, 257
+    def roll(t):
+        h = 0
+        for bch in t.encode():
+            h = (h * BASE + bch) % MOD
+        return h
+    assert out["rolling_hash"].to_pylist() == [roll(t) for t in texts]
+
+
+def test_multimodal_plumbing(docs):
+    payloads = mm.text_to_payload_batch(docs.slice(0, 20))
+    assert payloads.schema.field("payload").type == pa.binary()
+    feats = mm.MediaFeatures()(payloads)
+    texts = docs["text"].to_pylist()[:20]
+    assert feats["n_bytes"].to_pylist() == [len(t.encode()) for t in texts]
+    assert feats["head_byte"].to_pylist() == [t.encode()[0] for t in texts]
+    frames = mm.FrameSampler(stride=8, max_frames=4)(payloads)
+    f0 = frames["frames"][0].as_py()
+    want = list(texts[0].encode()[::8][:4])
+    assert f0 == want
+    # real media types are explicitly stubbed
+    with pytest.raises(NotImplementedError):
+        mm._decode_payload(b"\xff\xd8", "image/jpeg")
+
+
+def test_shingles_stable():
+    a = dd.char_shingles("hello world")
+    b = dd.char_shingles("hello world")
+    np.testing.assert_array_equal(a, b)
+    assert len(dd.char_shingles("ab")) >= 1  # shorter than k gets padded

@@ -1,0 +1,122 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads with typed
+metadata, decode / feature-extract / frame-sample as actor-pool stages.
+
+The container has no image/audio codecs, so the actual media decode is
+STUBBED (clearly marked below); everything Ray-side — schema, zero-copy
+binary batches, actor signature, batch sizing, output layout — is real and
+tested. Swapping ``_decode_payload`` for a PIL/ffmpeg call is the only
+change needed on a real cluster.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+PAYLOAD_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("payload", pa.binary()),
+        ("media_type", pa.string()),
+        ("n_bytes", pa.int64()),
+    ]
+)
+
+
+def text_to_payload_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic fake media: utf-8 bytes of ``text`` as the opaque
+    binary payload (stands in for jpeg/wav blobs in this sandbox)."""
+    payloads = [t.encode() for t in batch["text"].to_pylist()]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(payloads, type=pa.binary()),
+            "media_type": pa.array(["text/fake"] * len(payloads)),
+            "n_bytes": pa.array(np.array([len(p) for p in payloads], dtype=np.int64)),
+        }
+    )
+
+
+def _decode_payload(payload: bytes, media_type: str) -> np.ndarray:
+    """STUB: real media decode is not available in this container.
+
+    For ``text/fake`` payloads returns the byte array (the deterministic
+    fake used by tests). For real media types raises NotImplementedError —
+    replace with PIL.Image.open / soundfile / pyav on a real cluster.
+    """
+    if media_type == "text/fake":
+        return np.frombuffer(payload, dtype=np.uint8)
+    raise NotImplementedError(
+        f"media decode for {media_type!r} requires image/audio libs "
+        "not present in this container"
+    )
+
+
+class MediaFeatures:
+    """Actor-pool stage: payload -> fixed-width feature row.
+
+    Batch size guidance: large binary payloads => SMALL batch_size so a
+    batch x concurrency fits in the worker heap (SURVEY.md §4.2; at real
+    image sizes use batch_size<=64 and num_cpus>=1 per actor).
+    """
+
+    def __init__(self):
+        self.decoded = 0  # per-actor lineage counter
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        types = batch["media_type"].to_pylist()
+        n_bytes = np.empty(len(payloads), dtype=np.int64)
+        head = np.empty(len(payloads), dtype=np.int64)
+        crc = np.empty(len(payloads), dtype=np.int64)
+        mean_val = np.empty(len(payloads), dtype=np.float64)
+        for i, (p, t) in enumerate(zip(payloads, types)):
+            arr = _decode_payload(p, t)
+            n_bytes[i] = len(arr)
+            head[i] = int(arr[0]) if len(arr) else -1
+            crc[i] = zlib.crc32(p)
+            mean_val[i] = float(arr.mean()) if len(arr) else 0.0
+        self.decoded += len(payloads)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bytes": pa.array(n_bytes),
+                "head_byte": pa.array(head),
+                "crc32": pa.array(crc),
+                "mean_byte": pa.array(np.round(mean_val, 6)),
+            }
+        )
+
+
+class FrameSampler:
+    """Actor-pool stage: sample every ``stride``-th byte ("frame") of the
+    payload — the video frame-sampling shape (decode stubbed as above)."""
+
+    def __init__(self, stride: int = 16, max_frames: int = 32):
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .listops import numpy_to_list
+
+        payloads = batch["payload"].to_pylist()
+        types = batch["media_type"].to_pylist()
+        frames = []
+        for p, t in zip(payloads, types):
+            arr = _decode_payload(p, t)
+            frames.append(arr[:: self.stride][: self.max_frames].astype(np.int32))
+        counts = np.array([len(f) for f in frames], dtype=np.int64)
+        off = np.zeros(len(frames) + 1, dtype=np.int64)
+        np.cumsum(counts, out=off[1:])
+        flat = (
+            np.concatenate(frames) if frames else np.zeros(0, dtype=np.int32)
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "frames": numpy_to_list(flat, off, pa.int32()),
+                "n_frames": pa.array(counts),
+            }
+        )

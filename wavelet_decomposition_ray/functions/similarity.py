@@ -1,0 +1,109 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+Baseline: brute-force cosine top-k — numpy matmul per batch against a
+broadcast query matrix (``ray.put`` once, read per actor — the
+broadcast-small-side pattern; nothing is shuffled). Scale path: LSH-bucketed
+ANN (random hyperplanes), where only same-bucket candidates are scored —
+the groupby key is a small int, exactly the shape that survives 10^12 rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def embedding_matrix(batch: pa.Table) -> np.ndarray:
+    """Zero-copy list<float> -> (n, dim) float32 matrix (rows equal-length)."""
+    from .listops import list_to_numpy
+
+    vals, off = list_to_numpy(batch["embedding"])
+    dims = np.diff(off)
+    dim = int(dims[0]) if len(dims) else 0
+    assert (dims == dim).all(), "ragged embedding column"
+    return vals.reshape(len(dims), dim)
+
+
+def normalize_rows(m: np.ndarray) -> np.ndarray:
+    m = m.astype(np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class CosineTopK:
+    """Actor-pool stage: per batch, cosine of every row against the
+    broadcast query matrix; emits (vec_id, query_id, cos_sim) candidates.
+
+    ``queries_ref`` may be a ``ray.ObjectRef`` (fetched once per actor in
+    __init__ — the broadcast pattern) or a plain ndarray for local use.
+    """
+
+    def __init__(self, queries_ref, query_ids=None):
+        try:
+            import ray
+
+            if isinstance(queries_ref, ray.ObjectRef):
+                queries_ref = ray.get(queries_ref)
+        except Exception:
+            pass
+        self.q = normalize_rows(np.asarray(queries_ref))
+        self.query_ids = (
+            np.asarray(query_ids) if query_ids is not None else np.arange(len(self.q))
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = normalize_rows(embedding_matrix(batch))
+        sims = m @ self.q.T  # (batch, n_queries)
+        n, nq = sims.shape
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vec_ids, nq)),
+                "query_id": pa.array(np.tile(self.query_ids, n)),
+                "cos_sim": pa.array(np.round(sims.ravel(), 6)),
+            }
+        )
+
+
+def hyperplane_codes(m: np.ndarray, n_planes: int = 12, seed: int = 11) -> np.ndarray:
+    """Random-hyperplane LSH bucket codes (deterministic planes)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((m.shape[1], n_planes))
+    bits = (np.asarray(m, dtype=np.float64) @ planes) > 0
+    codes = np.zeros(len(m), dtype=np.int64)
+    for j in range(n_planes):
+        codes |= bits[:, j].astype(np.int64) << j
+    return codes
+
+
+def lsh_code_batch(batch: pa.Table, n_planes: int = 12, seed: int = 11) -> pa.Table:
+    m = embedding_matrix(batch)
+    return batch.append_column(
+        "lsh_bucket", pa.array(hyperplane_codes(m, n_planes, seed))
+    )
+
+
+def pairs_within_group(group, threshold: float):
+    """map_groups fn: exact cosine over one LSH bucket, emit pairs >= τ."""
+    import pandas as pd
+
+    m = normalize_rows(np.stack(group["embedding"].to_numpy()))
+    ids = group["vec_id"].to_numpy()
+    sims = m @ m.T
+    iu = np.triu_indices(len(ids), k=1)
+    keep = sims[iu] >= threshold
+    return pd.DataFrame(
+        {
+            "vec_a": ids[iu[0][keep]],
+            "vec_b": ids[iu[1][keep]],
+            "cos_sim": np.round(sims[iu][keep], 6),
+        }
+    )
+
+
+def brute_force_topk(mat: np.ndarray, ids: np.ndarray, query: np.ndarray, k: int):
+    """Single-process reference for tests: top-k by (cos desc, id asc)."""
+    sims = normalize_rows(mat) @ normalize_rows(query[None, :])[0]
+    order = np.lexsort((ids, -sims))[:k]
+    return ids[order], sims[order]
