@@ -184,3 +184,27 @@ def test_shingles_stable():
     b = dd.char_shingles("hello world")
     np.testing.assert_array_equal(a, b)
     assert len(dd.char_shingles("ab")) >= 1  # shorter than k gets padded
+
+
+def test_ivf_recall_on_clusters():
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((8, 64))
+    m = np.repeat(centers, 60, axis=0) + 0.05 * rng.standard_normal((480, 64))
+    ids = np.arange(480)
+    index = sim.IvfIndex(n_lists=8).train(m)
+    assign = index.assign(m)
+    hits = 0
+    for q_idx in range(0, 480, 60):
+        top_ids, _ = sim.brute_force_topk(m, ids, m[q_idx], 11)
+        top_ids = [i for i in top_ids if i != ids[q_idx]][:10]
+        probes = set(index.probe_lists(m[q_idx], 2).tolist())
+        cand = {i for i, a in zip(ids, assign) if a in probes}
+        hits += len(set(top_ids) & cand)
+    assert hits / 80 >= 0.9, hits / 80
+
+
+def test_ivf_deterministic(emb):
+    m = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    a = sim.IvfIndex(n_lists=8).train(m).assign(m)
+    b = sim.IvfIndex(n_lists=8).train(m).assign(m)
+    np.testing.assert_array_equal(a, b)

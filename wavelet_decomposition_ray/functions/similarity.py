@@ -102,6 +102,58 @@ def pairs_within_group(group, threshold: float):
     )
 
 
+class IvfIndex:
+    """IVF coarse quantizer: k-means centroids trained once (deterministic
+    seed + fixed iterations — no wall-clock, no randomness at query time).
+
+    Scale path: centroids are tiny and broadcast (``ray.put``); assignment is
+    a matmul per batch; queries search only the ``n_probe`` nearest lists,
+    which is the partition-pruning shape that survives 10^12 vectors
+    (list id is the groupby/partition key).
+    """
+
+    def __init__(self, n_lists: int = 16, n_iter: int = 10, seed: int = 3):
+        self.n_lists = n_lists
+        self.n_iter = n_iter
+        self.seed = seed
+        self.centroids = None
+
+    def train(self, sample: np.ndarray) -> "IvfIndex":
+        x = normalize_rows(np.asarray(sample, dtype=np.float64))
+        rng = np.random.default_rng(self.seed)
+        idx = rng.choice(len(x), size=min(self.n_lists, len(x)), replace=False)
+        c = x[np.sort(idx)].copy()
+        for _ in range(self.n_iter):
+            assign = np.argmax(x @ c.T, axis=1)
+            for j in range(len(c)):
+                members = x[assign == j]
+                if len(members):
+                    c[j] = members.mean(axis=0)
+            c = normalize_rows(c)
+        self.centroids = c
+        return self
+
+    def assign(self, m: np.ndarray) -> np.ndarray:
+        return np.argmax(normalize_rows(m) @ self.centroids.T, axis=1).astype(np.int32)
+
+    def probe_lists(self, query: np.ndarray, n_probe: int) -> np.ndarray:
+        sims = self.centroids @ normalize_rows(query[None, :])[0]
+        return np.argsort(-sims, kind="stable")[:n_probe].astype(np.int32)
+
+
+def ivf_assign_batch(batch: "pa.Table", index_ref) -> "pa.Table":
+    """map_batches fn: add the IVF list id (the ANN partition key)."""
+    try:
+        import ray
+
+        if isinstance(index_ref, ray.ObjectRef):
+            index_ref = ray.get(index_ref)
+    except Exception:
+        pass
+    m = embedding_matrix(batch)
+    return batch.append_column("ivf_list", pa.array(index_ref.assign(m)))
+
+
 def brute_force_topk(mat: np.ndarray, ids: np.ndarray, query: np.ndarray, k: int):
     """Single-process reference for tests: top-k by (cos desc, id asc)."""
     sims = normalize_rows(mat) @ normalize_rows(query[None, :])[0]

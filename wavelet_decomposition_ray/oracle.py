@@ -560,35 +560,64 @@ def dod_encode(values: np.ndarray) -> bytes:
 
 
 def dod_decode(data: bytes, count: int) -> np.ndarray:
-    """Inverse of :func:`dod_encode`."""
+    """Inverse of :func:`dod_encode`.
+
+    Fast path: the stream is viewed as 64-bit big-endian words; every field
+    is extracted with a constant-cost two-word peek (no per-bit loop), and
+    the 4-bit control prefix is classified in one peek.
+    """
     out = np.empty(count, dtype=np.int64)
     if count == 0:
         return out
-    r = _BitReader(data)
-    first = r.read(64)
+    # pad to a whole number of words + one guard word for the 2-word peek
+    n_words = (len(data) + 7) // 8 + 1
+    words = np.frombuffer(data.ljust(n_words * 8, b"\0"), dtype=">u8").astype(
+        np.uint64
+    ).tolist()
+
+    mask64 = (1 << 64) - 1
+
+    def peek(pos: int, nbits: int) -> int:
+        w, b = pos >> 6, pos & 63
+        chunk = ((words[w] << b) | (words[w + 1] >> (64 - b))) & mask64 if b else words[w]
+        return chunk >> (64 - nbits)
+
+    first = peek(0, 64)
+    pos = 64
     if first >= 1 << 63:
         first -= 1 << 64
     out[0] = first
     delta = 0
-    cur = first
-    mask = (1 << 64) - 1
+    cur = first & mask64
+    wrap = 1 << 63
+    full = 1 << 64
     for i in range(1, count):
-        if not r.read(1):
+        # one two-word load gives every field except the 64-bit payload
+        w = pos >> 6
+        b = pos & 63
+        chunk = (((words[w] << b) | (words[w + 1] >> (64 - b))) & mask64) if b else words[w]
+        top4 = chunk >> 60
+        if top4 < 8:  # '0'
+            pos += 1
             dod = 0
-        elif not r.read(1):
-            dod = r.read(7) - 63
-        elif not r.read(1):
-            dod = r.read(12) - 2047
-        elif not r.read(1):
-            dod = r.read(32) - ((1 << 31) - 1)
-        else:
-            dod = r.read(64)
-            if dod >= 1 << 63:
-                dod -= 1 << 64
+        elif top4 < 12:  # '10' + 7
+            dod = ((chunk >> 55) & 0x7F) - 63
+            pos += 9
+        elif top4 < 14:  # '110' + 12
+            dod = ((chunk >> 49) & 0xFFF) - 2047
+            pos += 15
+        elif top4 == 14:  # '1110' + 32
+            dod = ((chunk >> 28) & 0xFFFFFFFF) - ((1 << 31) - 1)
+            pos += 36
+        else:  # '1111' + 64
+            dod = peek(pos + 4, 64)
+            pos += 68
+            if dod >= wrap:
+                dod -= full
         # int64 wraparound semantics (encode computes deltas with numpy int64)
-        delta = (delta + dod) & mask
-        cur = (cur + delta) & mask
-        out[i] = cur - (1 << 64) if cur >= 1 << 63 else cur
+        delta = (delta + dod) & mask64
+        cur = (cur + delta) & mask64
+        out[i] = cur - full if cur >= wrap else cur
     return out
 
 

@@ -119,8 +119,12 @@ def q_dedup_minhash(sf_dir: str):
     The groupby key is (band_id, band_hash): fixed-width ints, the shape
     that survives 10^12 docs. Verification texts are broadcast via ray.put
     here (small side); at scale the verify is a per-bucket join instead."""
+    # NB stateless instance-fns, not actor pools: at test scale a second
+    # fixed pool can reserve every CPU of a tiny cluster and starve the
+    # shuffle between the pools (pool-sizing rule, SURVEY.md §4.2.3); on a
+    # real cluster these become map_batches(cls, concurrency=(a, b))
     ds = _docs(sf_dir).map_batches(
-        dd.MinHasher, batch_format="pyarrow", batch_size=512, concurrency=2
+        dd.MinHasher(), batch_format="pyarrow", batch_size=512
     )
     bands = ds.map_batches(dd.lsh_bands_batch, batch_format="pyarrow")
 
@@ -181,8 +185,7 @@ def q_dedup_minhash(sf_dir: str):
                 }
             )
 
-    pairs = cand.map_batches(Verify, batch_format="pyarrow", batch_size=1024,
-                             concurrency=2)
+    pairs = cand.map_batches(Verify(), batch_format="pyarrow", batch_size=1024)
     return pairs
 
 
@@ -254,7 +257,7 @@ def q_ngram_jaccard(sf_dir: str):
                 }
             )
 
-    return counts.map_batches(Jacc, batch_format="pyarrow", concurrency=2)
+    return counts.map_batches(Jacc(), batch_format="pyarrow")
 
 
 NGRAM_JACCARD_SQL = (
@@ -288,11 +291,7 @@ def q_knn_cosine(sf_dir: str):
     q_ref = ray.put(q[None, :])
 
     ds = _emb(sf_dir).map_batches(
-        sim.CosineTopK,
-        fn_constructor_kwargs={"queries_ref": q_ref, "query_ids": [0]},
-        batch_format="pyarrow",
-        batch_size=512,
-        concurrency=2,
+        sim.CosineTopK(q_ref, [0]), batch_format="pyarrow", batch_size=512
     )
     top = ds.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(10)
     return top.map_batches(lambda t: t.select(["vec_id", "cos_sim"]),
@@ -319,6 +318,39 @@ def q_ann_lsh(sf_dir: str):
     return _emb(sf_dir).map_batches(sim.lsh_code_batch, batch_format="pyarrow").map_batches(
         lambda t: t.select(["vec_id", "lsh_bucket"]), batch_format="pyarrow"
     )
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF ANN: train the coarse quantizer on the (small) corpus once,
+    broadcast it, assign list ids per batch, then answer the vec_id=0 query
+    by scoring only the probed lists — partition-pruned search."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    ids_all = tbl["vec_id"].to_numpy()
+    index = sim.IvfIndex(n_lists=16).train(mat)
+    index_ref = ray.put(index)
+    q = mat[int(np.nonzero(ids_all == 0)[0][0])]
+    probes = set(index.probe_lists(q, n_probe=4).tolist())
+    q_ref = ray.put(q[None, :])
+
+    assigned = _emb(sf_dir).map_batches(
+        lambda t: sim.ivf_assign_batch(t, index_ref), batch_format="pyarrow"
+    )
+    pruned = assigned.map_batches(
+        lambda t: t.filter(
+            pa.array(np.isin(t["ivf_list"].to_numpy(zero_copy_only=False),
+                             list(probes)))
+        ),
+        batch_format="pyarrow",
+    )
+    scored = pruned.map_batches(
+        sim.CosineTopK(q_ref, [0]), batch_format="pyarrow", batch_size=512
+    )
+    top = scored.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(10)
+    return top.map_batches(lambda t: t.select(["vec_id", "cos_sim"]),
+                           batch_format="pyarrow")
 
 
 def q_embed_dedup(sf_dir: str):
@@ -352,8 +384,8 @@ def q_embed_dedup(sf_dir: str):
                 }
             )
 
-    return _emb(sf_dir).map_batches(PairFinder, batch_format="pyarrow",
-                                    batch_size=256, concurrency=2)
+    return _emb(sf_dir).map_batches(PairFinder(), batch_format="pyarrow",
+                                    batch_size=256)
 
 
 EMBED_DEDUP_SQL = (
@@ -374,8 +406,8 @@ EMBED_DEDUP_SQL = (
 
 def q_multimodal_features(sf_dir: str):
     ds = _docs(sf_dir).map_batches(mm.text_to_payload_batch, batch_format="pyarrow")
-    feats = ds.map_batches(mm.MediaFeatures, batch_format="pyarrow",
-                           batch_size=256, concurrency=2)
+    feats = ds.map_batches(mm.MediaFeatures(), batch_format="pyarrow",
+                           batch_size=256)
     return feats.map_batches(lambda t: t.select(["doc_id", "n_bytes", "head_byte"]),
                              batch_format="pyarrow")
 
@@ -388,8 +420,8 @@ MULTIMODAL_SQL = (
 
 def q_frame_sample(sf_dir: str):
     ds = _docs(sf_dir).map_batches(mm.text_to_payload_batch, batch_format="pyarrow")
-    return ds.map_batches(mm.FrameSampler, batch_format="pyarrow",
-                          batch_size=256, concurrency=2)
+    return ds.map_batches(mm.FrameSampler(), batch_format="pyarrow",
+                          batch_size=256)
 
 
 DATA_QUERIES = {
@@ -404,6 +436,7 @@ DATA_QUERIES = {
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "knn_cosine": (q_knn_cosine, KNN_COSINE_SQL),
     "ann_lsh": (q_ann_lsh, None),
+    "ann_ivf": (q_ann_ivf, None),
     "embed_dedup": (q_embed_dedup, EMBED_DEDUP_SQL),
     "multimodal_features": (q_multimodal_features, MULTIMODAL_SQL),
     "frame_sample": (q_frame_sample, None),

@@ -426,6 +426,274 @@ def q_gorilla_blocks(sf_dir: str) -> "ray.data.Dataset":
                           batch_size=256, concurrency=2)
 
 
+# --------------------------------------------------------------------------
+# Normalization / cross-source arithmetic / top-k / EPN full / energy / FFT
+# (reference ops M2/M4, A4, K1, A2, T8, plots.py fft — SURVEY.md §2)
+# --------------------------------------------------------------------------
+
+def q_normalize(sf_dir: str) -> "ray.data.Dataset":
+    """Per-row unit-mean normalization, long format (import_excel.py:43)."""
+    from ..stages.gapfill import normalize_batch
+
+    ds = _seq_ds(sf_dir).map_batches(normalize_batch, batch_format="pyarrow",
+                                     batch_size=256)
+
+    def explode(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["normalized"])
+        n_rows = len(off) - 1
+        lens = np.diff(off)
+        row_of = np.repeat(np.arange(n_rows), lens)
+        pos = np.arange(off[-1], dtype=np.int64) - np.repeat(off[:-1], lens)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(row_of)),
+                "pos": pa.array(pos),
+                "norm_val": pa.array(np.round(vals, 6)),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+NORMALIZE_SQL = (
+    f"{_FLAT_CTE} "
+    "SELECT doc_id, pos, round(tok / avg(tok) OVER (PARTITION BY doc_id), 6)"
+    " AS norm_val FROM flat"
+)
+
+
+def q_cross_source_diff(sf_dir: str) -> "ray.data.Dataset":
+    """Cross-source arithmetic per tier — the reference's production-minus-
+    consumption scenario (tutorial cells 25/30, SURVEY.md A4): total rolled
+    sum of src-0 minus src-1 at each tier (small-side arithmetic after the
+    per-source aggregate, exactly the broadcast-join shape)."""
+    agg = q_source_stats(sf_dir)
+
+    def diff(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        a = df[df.source == "src-0"].set_index("tier")["total_sum"]
+        b = df[df.source == "src-1"].set_index("tier")["total_sum"]
+        tiers = sorted(set(a.index) & set(b.index))
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "tier": np.array(tiers, dtype=np.int8),
+                    "sum_src0": a[tiers].to_numpy(),
+                    "sum_src1": b[tiers].to_numpy(),
+                    "diff": (a[tiers] - b[tiers]).to_numpy(),
+                }
+            ),
+            preserve_index=False,
+        )
+
+    # the aggregate is tiny: a single-batch map finishes the arithmetic
+    return agg.repartition(1).map_batches(diff, batch_format="pyarrow")
+
+
+CROSS_SOURCE_SQL = (
+    f"{_FLAT_CTE}, win AS ("
+    " SELECT source, CAST(t.tier AS TINYINT) AS tier, sum(tok) AS s"
+    " FROM flat CROSS JOIN (SELECT unnest(range(1, 11)) AS tier) t"
+    " WHERE source IN ('src-0', 'src-1') GROUP BY source, t.tier)"
+    " SELECT a.tier, CAST(a.s AS BIGINT) AS sum_src0, CAST(b.s AS BIGINT) AS sum_src1,"
+    " CAST(a.s - b.s AS BIGINT) AS diff"
+    " FROM win a JOIN win b ON a.tier = b.tier"
+    " WHERE a.source = 'src-0' AND b.source = 'src-1'"
+)
+
+
+def q_topk_tokens(sf_dir: str) -> "ray.data.Dataset":
+    """Global top-20 token values (K1's sort + order-statistic shape as a
+    distributed sort + limit)."""
+
+    def local_top(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        lens = np.diff(off)
+        row_of = np.repeat(np.arange(len(lens)), lens)
+        pos = np.arange(off[-1], dtype=np.int64) - np.repeat(off[:-1], lens)
+        order = np.lexsort((pos, row_of, -vals.astype(np.int64)))[:20]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(row_of[order])),
+                "pos": pa.array(pos[order]),
+                "tok": pa.array(vals[order].astype(np.int64)),
+            }
+        )
+
+    ds = _seq_ds(sf_dir).map_batches(local_top, batch_format="pyarrow",
+                                     batch_size=256)
+    return ds.sort(["tok", "doc_id", "pos"],
+                   descending=[True, False, False]).limit(20)
+
+
+TOPK_TOKENS_SQL = (
+    f"{_FLAT_CTE} "
+    "SELECT doc_id, pos, CAST(tok AS BIGINT) AS tok FROM flat"
+    " ORDER BY tok DESC, doc_id, pos LIMIT 20"
+)
+
+
+SATS_EPN = (80.0, 95.0, 99.0, 100.0)
+
+
+def q_epn_full(sf_dir: str) -> "ray.data.Dataset":
+    """Full calc_EPN statistics per source over |token| magnitudes
+    (calc_EPN.py:12-42 with load_factor=veclength=n_years=1, square shape):
+    pmax = q; emax = q/2; n = sum(min(tok, q))/q; uf = 100*n/(365*24);
+    serv = emax*n."""
+
+    def per_source(group: pa.Table) -> pa.Table:
+        vals, _ = list_to_numpy(group["tokens"])
+        v = np.sort(np.abs(vals.astype(np.float64)))
+        n = len(v)
+        rows = {"source": [], "satisfaction": [], "pmax": [], "emax": [],
+                "n_cycles": [], "uf": [], "serv": []}
+        for s in SATS_EPN:
+            k = max(int(np.ceil(s * n / 100.0)) - 1, 0)
+            q = float(v[k])
+            ncyc = float(np.minimum(v, q).sum() / q) if q > 0 else 0.0
+            rows["source"].append(group["source"][0].as_py())
+            rows["satisfaction"].append(int(s))
+            rows["pmax"].append(round(q, 6))
+            rows["emax"].append(round(q / 2.0, 6))
+            rows["n_cycles"].append(round(ncyc, 6))
+            rows["uf"].append(round(100.0 * ncyc / (365.0 * 24.0), 6))
+            rows["serv"].append(round(q / 2.0 * ncyc, 6))
+        return pa.table(
+            {
+                "source": pa.array(rows["source"], type=pa.string()),
+                "satisfaction": pa.array(rows["satisfaction"], type=pa.int64()),
+                "pmax": pa.array(rows["pmax"], type=pa.float64()),
+                "emax": pa.array(rows["emax"], type=pa.float64()),
+                "n_cycles": pa.array(rows["n_cycles"], type=pa.float64()),
+                "uf": pa.array(rows["uf"], type=pa.float64()),
+                "serv": pa.array(rows["serv"], type=pa.float64()),
+            }
+        )
+
+    return _seq_ds(sf_dir).groupby("source").map_groups(per_source,
+                                                        batch_format="pyarrow")
+
+
+EPN_FULL_SQL = (
+    f"{_FLAT_CTE}, ranked AS ("
+    " SELECT source, CAST(abs(tok) AS DOUBLE) AS v,"
+    " row_number() OVER (PARTITION BY source ORDER BY abs(tok)) AS rn,"
+    " count(*) OVER (PARTITION BY source) AS n FROM flat),"
+    " qs AS (SELECT source, CAST(s.sat AS BIGINT) AS satisfaction, v AS q"
+    "   FROM ranked CROSS JOIN (SELECT unnest([80, 95, 99, 100]) AS sat) s"
+    "   WHERE rn = greatest(CAST(ceil(s.sat * n / 100.0) AS BIGINT), 1)),"
+    " ncy AS (SELECT r.source, q.satisfaction, q.q,"
+    "   sum(least(r.v, q.q)) / q.q AS ncyc"
+    "   FROM ranked r JOIN qs q ON r.source = q.source"
+    "   GROUP BY r.source, q.satisfaction, q.q)"
+    " SELECT source, satisfaction, round(q, 6) AS pmax, round(q/2, 6) AS emax,"
+    " round(ncyc, 6) AS n_cycles, round(100.0*ncyc/(365.0*24.0), 6) AS uf,"
+    " round(q/2*ncyc, 6) AS serv FROM ncy"
+)
+
+
+def q_parseval_ok(sf_dir: str) -> "ray.data.Dataset":
+    """Residue invariant (calc_translations.py:21-27 analog): the energy of
+    (signal - bandpass reconstruction) equals the energy of the DROPPED
+    coefficients (orthonormal transform / Parseval). Emits ok per row; the
+    oracle states the invariant (all true)."""
+    keep = {5, 6, 7}
+
+    def check(t: pa.Table) -> pa.Table:
+        # Parseval holds on the PADDED domain (the transform's domain), so
+        # residue and dropped-coefficient energy are both computed there
+        tok_vals, tok_off = list_to_numpy(t["tokens"])
+        n_rows = len(tok_off) - 1
+        ok = np.empty(n_rows, dtype=bool)
+        for r in range(n_rows):
+            toks = tok_vals[tok_off[r] : tok_off[r + 1]]
+            x = oc.pad_pow2(toks)
+            levels = [l[0] for l in oc.dwt_pyramid(x[None, :], "haar")]
+            n_detail = len(levels) - 1
+            masked, dropped = [], 0.0
+            for i, lvl in enumerate(levels):
+                if i == n_detail or i in keep:
+                    masked.append(lvl)
+                else:
+                    masked.append(np.zeros_like(lvl))
+                    dropped += float((lvl * lvl).sum())
+            rec = oc.idwt_pyramid([m[None, :] for m in masked], "haar")[0]
+            resid = float(((x - rec) ** 2).sum())
+            ok[r] = abs(resid - dropped) <= 1e-6 * max(dropped, 1.0)
+        return pa.table({"doc_id": t["doc_id"], "ok": pa.array(ok)})
+
+    return _seq_ds(sf_dir).map_batches(check, batch_format="pyarrow",
+                                       batch_size=256)
+
+
+PARSEVAL_SQL = (
+    f"SELECT doc_id, CAST(TRUE AS BOOLEAN) AS ok FROM read_parquet('{SYNTH_GLOB_001}')"
+)
+
+
+def q_scale_energy(sf_dir: str) -> "ray.data.Dataset":
+    """Per-(doc, level) coefficient energy — the scale-x-time heatmap input
+    (plots.py:17-71 / preplotprocessing, T8). Rows-only (DWT not in SQL);
+    exact per-level energies are pytest-checked against the oracle."""
+    ds = _seq_ds(sf_dir).map_batches(DwtTransform("haar", verify=False),
+                                     batch_format="pyarrow", batch_size=256)
+
+    def energy(t: pa.Table) -> pa.Table:
+        cvals, coff = list_to_numpy(t["coeffs"])
+        docs, levels, energies = [], [], []
+        n_rows = len(coff) - 1
+        doc_idx = []
+        for r in range(n_rows):
+            flat = cvals[coff[r] : coff[r + 1]]
+            lens = oc.level_lengths(len(flat))
+            pos = 0
+            for i, ln in enumerate(lens):
+                seg = flat[pos : pos + ln]
+                doc_idx.append(r)
+                levels.append(i)
+                energies.append(float((seg * seg).sum()))
+                pos += ln
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(doc_idx)),
+                "level": pa.array(np.array(levels, dtype=np.int8)),
+                "energy": pa.array(np.round(energies, 6)),
+            }
+        )
+
+    return ds.map_batches(energy, batch_format="pyarrow")
+
+
+def q_fft_magnitude(sf_dir: str) -> "ray.data.Dataset":
+    """FFT magnitude spectrum per row (plots.py:73-119, the reference's
+    spectral cross-check of the wavelet view): top-8 bins by magnitude."""
+
+    def fft_top(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        n_rows = len(off) - 1
+        docs, bins, mags = [], [], []
+        for r in range(n_rows):
+            x = vals[off[r] : off[r + 1]].astype(np.float64)
+            mag = np.abs(np.fft.rfft(x - x.mean()))
+            top = np.argsort(-mag, kind="stable")[:8]
+            docs.extend([r] * len(top))
+            bins.extend(top.tolist())
+            mags.extend(np.round(mag[top], 4).tolist())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(docs)),
+                "bin": pa.array(np.array(bins, dtype=np.int64)),
+                "magnitude": pa.array(mags, type=pa.float64()),
+            }
+        )
+
+    return _seq_ds(sf_dir).map_batches(fft_top, batch_format="pyarrow",
+                                       batch_size=256)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -439,10 +707,17 @@ CORE_QUERIES = {
     "epn_quantiles": (q_epn_quantiles, EPN_SQL),
     "events_rollup_w4": (q_events_rollup, EVENTS_ROLLUP_SQL),
     "daily_rollup": (q_daily_rollup, DAILY_ROLLUP_SQL),
+    "normalize": (q_normalize, NORMALIZE_SQL),
+    "cross_source_diff": (q_cross_source_diff, CROSS_SOURCE_SQL),
+    "topk_tokens": (q_topk_tokens, TOPK_TOKENS_SQL),
+    "epn_full": (q_epn_full, EPN_FULL_SQL),
+    "parseval_ok": (q_parseval_ok, PARSEVAL_SQL),
     # rows-only (non-SQL-expressible; pytest-checked against the oracle)
     "dwt_haar": (lambda sf: _dwt_coeffs(sf, "haar"), None),
     "dwt_db4": (lambda sf: _dwt_coeffs(sf, "db4"), None),
     "resample64": (q_resample64, None),
     "bandpass_coarse": (q_bandpass, None),
     "gorilla_blocks": (q_gorilla_blocks, None),
+    "scale_energy": (q_scale_energy, None),
+    "fft_magnitude": (q_fft_magnitude, None),
 }

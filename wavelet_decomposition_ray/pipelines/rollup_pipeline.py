@@ -138,6 +138,13 @@ def run_rollup_job(
     import ray as _ray
 
     ctx = DataContext.get_current()
+    # save/restore: DataContext is process-global; leaking these settings
+    # into other pipelines' groupbys can starve THEIR shuffles
+    saved = (
+        ctx.shuffle_strategy,
+        ctx.max_hash_shuffle_aggregators,
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+    )
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
     ctx.max_hash_shuffle_aggregators = max(2, ncpu // 4)
@@ -146,8 +153,39 @@ def run_rollup_job(
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = min(
         0.0625, 0.25 * ncpu / max(n_buckets, 1)
     )
+    try:
+        return _run_rollup_job_inner(
+            input_path, out_dir, bank, n_tiers, n_buckets, resume, verify,
+            batch_size, encoder_concurrency, t0,
+        )
+    finally:
+        (
+            ctx.shuffle_strategy,
+            ctx.max_hash_shuffle_aggregators,
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+        ) = saved
 
+
+def _run_rollup_job_inner(
+    input_path, out_dir, bank, n_tiers, n_buckets, resume, verify,
+    batch_size, encoder_concurrency, t0,
+):
     done = mf.completed_buckets(out_dir) if resume else frozenset()
+    if len(done) >= n_buckets:
+        # nothing pending: an empty dataset cannot flow through the shuffle,
+        # and there is no work anyway
+        manifest_rows = mf.read_manifest(out_dir)
+        return {
+            "elapsed_s": round(time.perf_counter() - t0, 3),
+            "buckets_written": 0,
+            "buckets_skipped": len(done),
+            "n_windows": int(sum(r["n_windows"] for r in manifest_rows)),
+            "bytes_encoded": int(sum(r["bytes_encoded"] for r in manifest_rows)),
+            "rolled_points_per_s": 0.0,
+            "bank": bank,
+            "n_tiers": n_tiers,
+            "n_buckets": n_buckets,
+        }
 
     ds = sequences_dataset(input_path)
     # same batch_size as the heavy stages: when the executor fuses the map
@@ -187,6 +225,10 @@ def run_rollup_job(
     )
     partials = partials_ds.to_pandas()  # tiny: buckets x sources x tiers
     stats = partials_ds.stats()
+
+    # a hash bucket that owns no doc_ids produces no group: record it as an
+    # explicitly-empty partition so resume knows the run covered it
+    mf.mark_empty_buckets(out_dir, n_buckets)
 
     elapsed = time.perf_counter() - t0
     manifest_rows = mf.read_manifest(out_dir)

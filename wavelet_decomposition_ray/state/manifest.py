@@ -63,11 +63,39 @@ def completed_buckets(out_dir: str) -> frozenset[int]:
             try:
                 with open(os.path.join(mdir, f)) as fh:
                     row = json.load(fh)
-                if os.path.isfile(os.path.join(out_dir, row["file"])):
+                if row.get("file") is None or os.path.isfile(
+                    os.path.join(out_dir, row["file"])
+                ):
                     done.add(int(row["bucket"]))
             except (ValueError, KeyError, OSError):
                 continue
     return frozenset(done)
+
+
+def mark_empty_buckets(out_dir: str, n_buckets: int) -> None:
+    """After a successful run, record buckets that own no rows (no group
+    ever reached the writer) as explicitly-empty partitions, so resume
+    treats them as covered rather than forever-pending."""
+    have = set()
+    mdir = manifest_dir(out_dir)
+    if os.path.isdir(mdir):
+        for f in os.listdir(mdir):
+            if f.startswith("bucket-") and f.endswith(".json"):
+                try:
+                    have.add(int(f[len("bucket-") : -len(".json")]))
+                except ValueError:
+                    continue
+    os.makedirs(mdir, exist_ok=True)
+    for b in range(n_buckets):
+        if b in have:
+            continue
+        row = {"bucket": b, "file": None, "n_rows": 0, "n_docs": 0,
+               "n_windows": 0, "bytes_encoded": 0, "checksum": None,
+               "elapsed_s": 0.0}
+        tmp = os.path.join(mdir, f".bucket-{b:05d}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(row, fh, sort_keys=True)
+        os.replace(tmp, os.path.join(mdir, f"bucket-{b:05d}.json"))
 
 
 def read_manifest(out_dir: str) -> list[dict]:
