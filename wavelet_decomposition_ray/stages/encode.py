@@ -109,6 +109,9 @@ class RollupEncode:
         v64 = values.astype(np.int64)
         n_rows = len(offsets) - 1
 
+        # build every tier's stat streams first (aggregate-tree folds), then
+        # encode ALL tiers of each stat in ONE codec call — the vectorized
+        # encoder amortizes much better over (rows x tiers) blocks at once
         starts, off, counts = tumble_starts(offsets, 2)
         tier_vals = {
             "wmin": np.minimum.reduceat(v64, starts),
@@ -117,10 +120,7 @@ class RollupEncode:
             "wcount": counts,
         }
         tier_off = off
-
-        pack = struct.pack
-        magic = oc._MAGIC
-        pieces = []
+        per_tier = []
         for t in range(1, self.n_tiers + 1):
             if t > 1:
                 s2, off2, _ = tumble_starts(tier_off, 2)
@@ -131,21 +131,41 @@ class RollupEncode:
                     "wcount": np.add.reduceat(tier_vals["wcount"], s2),
                 }
                 tier_off = off2
-            streams = [
-                oc.dod_encode_blocks(tier_vals[k], tier_off)
-                for k in ("wmin", "wmax", "wsum")
-            ]
-            n_win = np.diff(tier_off)
-            cnts = tier_vals["wcount"]
-            w_arr = cnts[tier_off[:-1]]
-            last_arr = cnts[tier_off[1:] - 1]
+            per_tier.append((tier_vals, tier_off))
+
+        def concat_offsets():
+            parts = [np.diff(toff) for _, toff in per_tier]
+            lens = np.concatenate(parts)
+            out = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=out[1:])
+            return out
+
+        all_off = concat_offsets()
+        streams = {}
+        for k in ("wmin", "wmax", "wsum"):
+            flat = np.concatenate([tv[k] for tv, _ in per_tier])
+            streams[k] = oc.dod_encode_blocks(flat, all_off)
+
+        pack = struct.pack
+        magic = oc._MAGIC
+        pieces = []
+        base = 0
+        for t, (tv, toff) in enumerate(per_tier, start=1):
+            n_win = np.diff(toff)
+            cnts = tv["wcount"]
+            w_arr = cnts[toff[:-1]]
+            last_arr = cnts[toff[1:] - 1]
+            s0 = streams["wmin"][base : base + n_rows]
+            s1 = streams["wmax"][base : base + n_rows]
+            s2_ = streams["wsum"][base : base + n_rows]
             blobs = [
                 magic
                 + pack("<6I", int(n_win[r]), int(w_arr[r]), int(last_arr[r]),
-                       len(streams[0][r]), len(streams[1][r]), len(streams[2][r]))
-                + streams[0][r] + streams[1][r] + streams[2][r]
+                       len(s0[r]), len(s1[r]), len(s2_[r]))
+                + s0[r] + s1[r] + s2_[r]
                 for r in range(n_rows)
             ]
+            base += n_rows
             nbytes = np.array([len(b) for b in blobs], dtype=np.int64)
             cols = {
                 "doc_id": batch["doc_id"],
