@@ -694,6 +694,168 @@ def q_fft_magnitude(sf_dir: str) -> "ray.data.Dataset":
                                        batch_size=256)
 
 
+# --------------------------------------------------------------------------
+# Sliding windows, as-of join, salted skew-aware aggregate
+# --------------------------------------------------------------------------
+
+def q_sliding_w8(sf_dir: str) -> "ray.data.Dataset":
+    """Sliding-window (stride-1) min/max/sum of width 8 per row — the
+    windowed-aggregate custom operator (Ray Data has no window op; this is
+    a vectorized sliding_window_view inside map_batches). Tumbling windows
+    remain the retention-tier primitive; sliding is the query-time analog."""
+    W = 8
+
+    def slide(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v64 = vals.astype(np.int64)
+        lens = np.diff(off)
+        docs, poss, mins, maxs, sums = [], [], [], [], []
+        for r in range(len(lens)):
+            x = v64[off[r] : off[r + 1]]
+            if len(x) < W:
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(x, W)
+            k = len(win)
+            docs.append(np.full(k, r, dtype=np.int64))
+            poss.append(np.arange(W - 1, W - 1 + k, dtype=np.int64))
+            mins.append(win.min(axis=1))
+            maxs.append(win.max(axis=1))
+            sums.append(win.sum(axis=1))
+        if not docs:
+            return pa.table({"doc_id": pa.array([], type=pa.string()),
+                             "pos": pa.array([], type=pa.int64()),
+                             "smin": pa.array([], type=pa.int64()),
+                             "smax": pa.array([], type=pa.int64()),
+                             "ssum": pa.array([], type=pa.int64())})
+        idx = np.concatenate(docs)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(idx)),
+                "pos": pa.array(np.concatenate(poss)),
+                "smin": pa.array(np.concatenate(mins)),
+                "smax": pa.array(np.concatenate(maxs)),
+                "ssum": pa.array(np.concatenate(sums)),
+            }
+        )
+
+    return _seq_ds(sf_dir).map_batches(slide, batch_format="pyarrow",
+                                       batch_size=256)
+
+
+SLIDING_SQL = (
+    f"{_FLAT_CTE} "
+    "SELECT doc_id, pos,"
+    " min(tok) OVER w AS smin, max(tok) OVER w AS smax,"
+    " CAST(sum(tok) OVER w AS BIGINT) AS ssum"
+    " FROM flat"
+    " WINDOW w AS (PARTITION BY doc_id ORDER BY pos"
+    "   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)"
+    " QUALIFY pos >= 7"
+)
+
+
+def q_events_asof(sf_dir: str) -> "ray.data.Dataset":
+    """As-of join: each event matched to the latest calendar day (from
+    lineitem's shipdate rollup) at or before its timestamp. The small side
+    (daily table) is broadcast; the probe is a vectorized searchsorted per
+    batch — the no-shuffle as-of pattern (ray_guide 'Joins and lookups')."""
+    import pyarrow.parquet as pq
+
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_shipdate", "l_quantity"])
+    import pandas as pd
+
+    daily = (
+        pd.DataFrame(
+            {
+                "day": li["l_shipdate"].to_pandas().dt.floor("D"),
+                "qty": li["l_quantity"].to_numpy().astype(np.int64),
+            }
+        )
+        .groupby("day", as_index=False)["qty"]
+        .sum()
+        .sort_values("day")
+    )
+    day_ns = daily["day"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+    day_str = daily["day"].dt.strftime("%Y-%m-%d").to_numpy()
+    qty = daily["qty"].to_numpy()
+    side = ray.put((day_ns, day_str, qty))
+
+    def probe(t: pa.Table) -> pa.Table:
+        days, dstr, q = ray.get(side)
+        ts = t["ts"].to_pandas().to_numpy().astype("datetime64[ns]").astype(np.int64)
+        idx = np.searchsorted(days, ts, side="right") - 1
+        ok = idx >= 0
+        idx = np.clip(idx, 0, len(days) - 1)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "asof_day": pa.array(
+                    np.where(ok, dstr[idx], None).tolist(), type=pa.string()
+                ),
+                "day_qty": pa.array(np.where(ok, q[idx], None).tolist(),
+                                    type=pa.int64()),
+            }
+        )
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    return ev.map_batches(probe, batch_format="pyarrow", batch_size=2048)
+
+
+EVENTS_ASOF_SQL = (
+    "WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,"
+    " CAST(sum(l_quantity) AS BIGINT) AS day_qty FROM lineitem GROUP BY day)"
+    " SELECT e.event_id, strftime(d.day, '%Y-%m-%d') AS asof_day, d.day_qty"
+    " FROM events e ASOF LEFT JOIN daily d ON e.ts >= CAST(d.day AS TIMESTAMP)"
+)
+
+
+def q_source_stats_salted(sf_dir: str) -> "ray.data.Dataset":
+    """source_stats with EXPLICIT key salting: partials are keyed
+    (source, salt = crc32(doc_id) % 8) so one hot source (src-0 holds ~40%
+    of rows — the Zipf skew in the synth) spreads across 8 sub-keys in the
+    shuffle, then a second tiny groupby folds the salt away. Result is
+    identical to source_stats (same SQL oracle)."""
+    import zlib
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..stages.rollup import source_partials_batch
+
+    rolled = rp.rollup_dataset(_seq_ds(sf_dir), bank="haar", n_tiers=10,
+                               verify=False, batch_size=256)
+
+    def salted_partials(t: pa.Table) -> pa.Table:
+        part = source_partials_batch(t)
+        # salt must vary WITHIN a key: derive it from the batch's first
+        # doc_id so a hot source's partials land on 8 different sub-keys
+        # across batches (deterministic, no wall-clock)
+        salt_val = zlib.crc32(t["doc_id"][0].as_py().encode()) % 8
+        salt = np.full(part.num_rows, salt_val, dtype=np.int32)
+        return part.append_column("salt", pa.array(salt))
+
+    partials = rolled.map_batches(salted_partials, batch_format="pyarrow")
+    salted = partials.groupby(["source", "tier", "salt"]).aggregate(
+        Min("pmin", alias_name="pmin"),
+        Max("pmax", alias_name="pmax"),
+        Sum("psum", alias_name="psum"),
+        Sum("pcount", alias_name="pcount"),
+        Sum("pwindows", alias_name="pwindows"),
+    )
+    final = salted.groupby(["source", "tier"]).aggregate(
+        Min("pmin", alias_name="min_val"),
+        Max("pmax", alias_name="max_val"),
+        Sum("psum", alias_name="total_sum"),
+        Sum("pcount", alias_name="n_points"),
+        Sum("pwindows", alias_name="n_windows"),
+    )
+    return final.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("tier"), "tier", pc.cast(t["tier"], pa.int8())
+        ),
+        batch_format="pyarrow",
+    )
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -707,6 +869,9 @@ CORE_QUERIES = {
     "epn_quantiles": (q_epn_quantiles, EPN_SQL),
     "events_rollup_w4": (q_events_rollup, EVENTS_ROLLUP_SQL),
     "daily_rollup": (q_daily_rollup, DAILY_ROLLUP_SQL),
+    "sliding_w8": (q_sliding_w8, SLIDING_SQL),
+    "events_asof": (q_events_asof, EVENTS_ASOF_SQL),
+    "source_stats_salted": (q_source_stats_salted, SOURCE_STATS_SQL),
     "normalize": (q_normalize, NORMALIZE_SQL),
     "cross_source_diff": (q_cross_source_diff, CROSS_SOURCE_SQL),
     "topk_tokens": (q_topk_tokens, TOPK_TOKENS_SQL),
