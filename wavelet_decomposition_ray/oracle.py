@@ -116,16 +116,24 @@ def _analysis_step(x: np.ndarray, lo: np.ndarray, hi: np.ndarray):
 
     a[k] = sum_m lo[m] * x[(2k+m) mod N]   (inner product with the periodized
     d[k] = sum_m hi[m] * x[(2k+m) mod N]    orthonormal basis functions)
+
+    The bulk of each tap is a strided slice (no index-array gather); only the
+    <= (K-1)/2 windows whose support wraps past N need the modular fix-up.
     """
     r, n = x.shape
     half = n // 2
-    base = np.arange(0, n, 2)
     a = np.zeros((r, half))
     d = np.zeros((r, half))
     for m in range(len(lo)):
-        col = x[:, (base + m) % n]
-        a += lo[m] * col
-        d += hi[m] * col
+        valid = max(0, min(half, (n - m + 1) // 2))  # windows with 2k+m < n
+        if valid > 0:
+            col = x[:, m : m + 2 * valid : 2]
+            a[:, :valid] += lo[m] * col
+            d[:, :valid] += hi[m] * col
+        for k in range(valid, half):  # wrapped tail (at most a few columns)
+            col = x[:, (2 * k + m) % n]
+            a[:, k] += lo[m] * col
+            d[:, k] += hi[m] * col
     return a, d
 
 
@@ -133,13 +141,13 @@ def _synthesis_step(a: np.ndarray, d: np.ndarray, lo: np.ndarray, hi: np.ndarray
     """Inverse of :func:`_analysis_step` (transpose of the orthonormal map)."""
     r, half = a.shape
     n = half * 2
-    base = np.arange(0, n, 2)
     x = np.zeros((r, n))
     for m in range(len(lo)):
-        idx = (base + m) % n
-        # for fixed m the indices are distinct (stride-2 residues mod even N),
-        # so fancy-index += is safe
-        x[:, idx] += lo[m] * a + hi[m] * d
+        valid = max(0, min(half, (n - m + 1) // 2))
+        if valid > 0:
+            x[:, m : m + 2 * valid : 2] += lo[m] * a[:, :valid] + hi[m] * d[:, :valid]
+        for k in range(valid, half):
+            x[:, (2 * k + m) % n] += lo[m] * a[:, k] + hi[m] * d[:, k]
     return x
 
 
