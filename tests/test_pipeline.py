@@ -122,3 +122,18 @@ def test_db4_job_smoke(seq_dir, tmp_path):
                                 batch_size=64)
     assert summary["buckets_written"] == 4
     assert summary["n_windows"] > 0
+
+
+def test_metrics_and_lineage_written(seq_dir, tmp_path):
+    import json
+
+    out = str(tmp_path / "metrics")
+    rp.run_rollup_job(seq_dir, out, bank="haar", n_tiers=4, n_buckets=4,
+                      batch_size=64)
+    m = json.load(open(os.path.join(out, "metrics.json")))
+    assert m["summary"]["n_windows"] > 0
+    assert len(m["per_stage"]) >= 2
+    assert any("rows_out" in s for s in m["per_stage"])
+    lin = json.load(open(os.path.join(out, "lineage.json")))
+    assert lin["config"]["bank"] == "haar"
+    assert len(lin["input_files"]) >= 1

@@ -259,7 +259,20 @@ def _run_rollup_job_inner(
         "n_tiers": n_tiers,
         "n_buckets": n_buckets,
     }
+    from ..state.metrics import parse_dataset_stats, write_lineage
+
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "metrics.json"), "w") as fh:
-        json.dump({"summary": summary, "ray_data_stats": stats}, fh, indent=1)
+        json.dump(
+            {
+                "summary": summary,
+                "per_stage": parse_dataset_stats(stats),
+                "ray_data_stats": stats,
+            },
+            fh,
+            indent=1,
+        )
+    write_lineage(out_dir, input_path,
+                  {"bank": bank, "n_tiers": n_tiers, "n_buckets": n_buckets,
+                   "batch_size": batch_size, "verify": verify})
     return summary
