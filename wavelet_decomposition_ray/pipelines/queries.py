@@ -856,11 +856,63 @@ def q_source_stats_salted(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def q_store_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-(source, tier) stats answered FROM THE RETENTION STORE: run the
+    flagship job (idempotent — resume skips completed buckets), read the
+    encoded per-bucket parquet back, decode the Gorilla/DoD blocks, and
+    aggregate. Must equal the same SQL oracle as ``source_stats`` computed
+    from raw tokens — the full write->read->query lifecycle of the store
+    (reference entry point 3, SURVEY.md §3.3)."""
+    import os
+
+    from ..stages.encode import decode_blocks_batch
+
+    seq = synth.ensure_sequences(sf_dir)
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/graft_store/{sf_name}"
+    # freshness guard: a cached store built from different input bytes would
+    # silently answer wrong — compare the run lineage against the input
+    lin_path = os.path.join(out, "lineage.json")
+    if os.path.isfile(lin_path):
+        import json
+
+        try:
+            lin = json.load(open(lin_path))
+            cur = {
+                f: (os.path.getsize(os.path.join(seq, f)),
+                    int(os.path.getmtime(os.path.join(seq, f))))
+                for f in sorted(os.listdir(seq))
+            }
+            rec = {r["file"]: (r["bytes"], r["mtime"]) for r in lin["input_files"]}
+            if rec != cur:
+                import shutil
+
+                shutil.rmtree(out, ignore_errors=True)
+        except (ValueError, KeyError, OSError):
+            import shutil
+
+            shutil.rmtree(out, ignore_errors=True)
+    rp.run_rollup_job(seq, out, bank="haar", n_tiers=10, n_buckets=16,
+                      resume=True, verify=False, batch_size=256,
+                      encoder_concurrency=(1, 8))
+    decoded = ray.data.read_parquet(os.path.join(out, "data")).map_batches(
+        decode_blocks_batch, batch_format="pyarrow", batch_size=512
+    )
+    agg = rp.source_tier_aggregate(decoded)
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("tier"), "tier", pc.cast(t["tier"], pa.int8())
+        ),
+        batch_format="pyarrow",
+    )
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
     "rollup_t6": (lambda sf: _rollup_long(sf, 6), _rollup_sql(6)),
     "source_stats": (q_source_stats, SOURCE_STATS_SQL),
+    "store_stats": (q_store_stats, SOURCE_STATS_SQL),
     "haar_l1": (q_haar_l1, HAAR_L1_SQL),
     "roundtrip_haar": (lambda sf: _roundtrip(sf, "haar"), ROUNDTRIP_SQL),
     "roundtrip_db4": (lambda sf: _roundtrip(sf, "db4"), ROUNDTRIP_SQL),
