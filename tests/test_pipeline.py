@@ -41,6 +41,7 @@ def test_full_job_and_resume(seq_dir, tmp_path):
     assert os.path.isfile(os.path.join(out, "source_stats.parquet"))
     hashes1 = _file_hashes(out)
     assert len(hashes1) == 8
+    stats1 = pq.read_table(os.path.join(out, "source_stats.parquet")).to_pandas()
 
     # oracle check: decode a bucket and compare a doc's tier against oracle
     tbl = pq.read_table(os.path.join(out, "data", "bucket=00000.parquet"))
@@ -72,6 +73,16 @@ def test_full_job_and_resume(seq_dir, tmp_path):
     assert summary2["buckets_written"] == 2
     hashes2 = _file_hashes(out)
     assert hashes1 == hashes2, "resume output is not byte-identical"
+
+    # per-(source, tier) sink must fold across ALL buckets after a resume,
+    # not just the two re-run ones (round-2 fix of the ADVICE medium finding)
+    import pandas as pd
+
+    stats2 = pq.read_table(os.path.join(out, "source_stats.parquet")).to_pandas()
+    pd.testing.assert_frame_equal(
+        stats1.reset_index(drop=True), stats2.reset_index(drop=True)
+    )
+    assert stats2["n_windows"].sum() == summary["n_windows"]
 
     # manifest checksums match the files on disk
     for row in mf.read_manifest(out):

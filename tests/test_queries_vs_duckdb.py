@@ -77,6 +77,14 @@ def _compare(name, got, want):
     assert len(got) == len(want), f"{name} rows: {len(got)} vs {len(want)}"
     for c in got.columns:
         a, b = got[c].to_numpy(), want[c].to_numpy()
+        # Mirror the driver's dtype-sensitive hash gate: an engine integer
+        # column against a DuckDB float/object (e.g. HUGEINT sum) column is a
+        # failure even when values match (round-1 events_rollup_w4 escape).
+        kinds = {a.dtype.kind, b.dtype.kind}
+        assert not (kinds & {"i", "u"} and kinds & {"f", "O"}), (
+            f"{name}.{c}: dtype kind mismatch {a.dtype} vs {b.dtype} "
+            "(oracle SQL likely missing a CAST)"
+        )
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             np.testing.assert_allclose(a.astype(float), b.astype(float),
                                        rtol=0, atol=1e-9, err_msg=f"{name}.{c}")

@@ -326,7 +326,7 @@ EVENTS_ROLLUP_SQL = (
     " row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos"
     " FROM events)"
     " SELECT user_id, pos // 4 AS window_idx,"
-    " min(tok) AS wmin, max(tok) AS wmax, sum(tok) AS wsum,"
+    " min(tok) AS wmin, max(tok) AS wmax, CAST(sum(tok) AS BIGINT) AS wsum,"
     " CAST(count(*) AS INTEGER) AS wcount"
     " FROM seq GROUP BY user_id, window_idx"
 )

@@ -234,10 +234,22 @@ def _run_rollup_job_inner(
     manifest_rows = mf.read_manifest(out_dir)
     n_windows = int(sum(r["n_windows"] for r in manifest_rows))
     bytes_encoded = int(sum(r["bytes_encoded"] for r in manifest_rows))
+    # throughput from work actually done THIS run: resumed runs exclude
+    # windows of buckets that were skipped via the manifest
+    n_windows_run = int(
+        sum(r["n_windows"] for r in manifest_rows if int(r["bucket"]) not in done)
+    )
 
-    if len(partials):
+    # finalize the per-(source, tier) sink from the PERSISTED partials of
+    # ALL buckets — the in-memory `partials` frame only covers buckets
+    # re-run this time, so using it alone would drop previously-completed
+    # buckets' contributions after a resume
+    all_partials = mf.read_all_partials(out_dir)
+    if all_partials is None:
+        all_partials = partials
+    if len(all_partials):
         final = (
-            partials.groupby(["source", "tier"], as_index=False)
+            all_partials.groupby(["source", "tier"], as_index=False)
             .agg(n_docs=("n_docs", "sum"), n_windows=("n_windows", "sum"),
                  nbytes=("nbytes", "sum"))
             .sort_values(["source", "tier"])
@@ -253,8 +265,9 @@ def _run_rollup_job_inner(
         "buckets_written": len(manifest_rows) - len(done),
         "buckets_skipped": len(done),
         "n_windows": n_windows,
+        "n_windows_this_run": n_windows_run,
         "bytes_encoded": bytes_encoded,
-        "rolled_points_per_s": round(n_windows / elapsed, 1) if elapsed > 0 else 0.0,
+        "rolled_points_per_s": round(n_windows_run / elapsed, 1) if elapsed > 0 else 0.0,
         "bank": bank,
         "n_tiers": n_tiers,
         "n_buckets": n_buckets,

@@ -98,6 +98,26 @@ def mark_empty_buckets(out_dir: str, n_buckets: int) -> None:
         os.replace(tmp, os.path.join(mdir, f"bucket-{b:05d}.json"))
 
 
+def read_all_partials(out_dir: str):
+    """Concatenate every bucket's persisted per-(source, tier) partials
+    (written atomically by :class:`PartitionWriter`) into one pandas frame —
+    the input of the finalize fold. Covers buckets completed by PREVIOUS
+    runs, which a resumed run never re-executes. Returns None when no
+    partials exist (legacy store or empty run)."""
+    import pandas as pd
+
+    mdir = manifest_dir(out_dir)
+    if not os.path.isdir(mdir):
+        return None
+    frames = []
+    for f in sorted(os.listdir(mdir)):
+        if f.startswith("partials-") and f.endswith(".parquet"):
+            frames.append(pq.read_table(os.path.join(mdir, f)).to_pandas())
+    if not frames:
+        return None
+    return pd.concat(frames, ignore_index=True)
+
+
 def read_manifest(out_dir: str) -> list[dict]:
     mdir = manifest_dir(out_dir)
     rows = []
@@ -151,6 +171,16 @@ class PartitionWriter:
         )
         partials.insert(0, "bucket", bucket)
 
+        # persist this bucket's partials next to its manifest row so a
+        # RESUMED run can fold the per-(source,tier) sink across ALL buckets,
+        # not just the re-run ones (skipped buckets otherwise silently drop
+        # out of source_stats.parquet)
+        mdir = manifest_dir(self.out_dir)
+        os.makedirs(mdir, exist_ok=True)
+        ptmp = os.path.join(mdir, f".partials-{bucket:05d}.parquet.tmp")
+        pq.write_table(pa.Table.from_pandas(partials, preserve_index=False), ptmp)
+        os.replace(ptmp, os.path.join(mdir, f"partials-{bucket:05d}.parquet"))
+
         row = {
             "bucket": bucket,
             "file": rel,
@@ -161,8 +191,6 @@ class PartitionWriter:
             "checksum": checksum,
             "elapsed_s": round(time.perf_counter() - t0, 4),
         }
-        mdir = manifest_dir(self.out_dir)
-        os.makedirs(mdir, exist_ok=True)
         mtmp = os.path.join(mdir, f".bucket-{bucket:05d}.json.tmp")
         with open(mtmp, "w") as fh:
             json.dump(row, fh, sort_keys=True)
