@@ -84,3 +84,63 @@ def test_rollup_block_roundtrip_and_determinism():
     # actually compresses vs raw 8-byte-per-value encoding
     raw = 4 * 8 * len(tier["wmin"])
     assert len(blob1) < raw
+
+
+def test_dod_decode_streams_matches_scalar():
+    """Wavefront multi-stream decoder vs the scalar reference, across
+    bucket kinds, extreme int64 values, and the scalar-tail path (a few
+    streams far longer than the lane-threshold cutoff)."""
+    rng = np.random.default_rng(11)
+    streams, counts, refs = [], [], []
+    for t in range(200):
+        n = int(rng.integers(1, 300))
+        kind = t % 5
+        if kind == 0:
+            v = np.cumsum(rng.integers(-5, 6, n)).astype(np.int64)
+        elif kind == 1:
+            v = rng.integers(-(2**62), 2**62, n).astype(np.int64)
+        elif kind == 2:
+            v = np.full(n, -3, dtype=np.int64)
+        elif kind == 3:
+            v = rng.integers(-3000, 3000, n).astype(np.int64) * rng.integers(
+                0, 2**33, n
+            )
+        else:
+            v = np.array(
+                [np.iinfo(np.int64).min, np.iinfo(np.int64).max] * (n // 2 + 1)
+            )[:n].astype(np.int64)
+        streams.append(oc.dod_encode(v))
+        counts.append(n)
+        refs.append(v)
+    # long tails to force the scalar continuation
+    for _ in range(3):
+        v = np.cumsum(rng.integers(-9, 10, 4000)).astype(np.int64)
+        streams.append(oc.dod_encode(v))
+        counts.append(len(v))
+        refs.append(v)
+    counts = np.array(counts, dtype=np.int64)
+    off = np.concatenate([[0], np.cumsum(counts)])
+    out = np.empty(off[-1], dtype=np.int64)
+    oc.dod_decode_streams(streams, counts, out, off[:-1])
+    for s, want in enumerate(refs):
+        np.testing.assert_array_equal(out[off[s] : off[s + 1]], want,
+                                      err_msg=f"stream {s}")
+
+
+def test_decode_rollup_blocks_matches_single():
+    rng = np.random.default_rng(12)
+    blobs, tiers = [], []
+    for d in range(40):
+        t = rng.integers(0, 1 << 16, size=int(rng.integers(5, 500))).astype(
+            np.int64
+        )
+        tier = oc.rollup_tier(t, 1 << (d % 6 + 1))
+        tiers.append(tier)
+        blobs.append(oc.encode_rollup_block(tier))
+    dec = oc.decode_rollup_blocks(blobs)
+    off = dec["offsets"]
+    for j, tier in enumerate(tiers):
+        for k in ("wmin", "wmax", "wsum", "wcount"):
+            np.testing.assert_array_equal(
+                dec[k][off[j] : off[j + 1]], tier[k], err_msg=f"blob {j} {k}"
+            )

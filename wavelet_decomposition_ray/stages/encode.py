@@ -191,17 +191,9 @@ def decode_blocks_batch(batch: pa.Table) -> pa.Table:
     the retention store). Round-trip with GorillaEncoder is the codec
     identity invariant (FIXTURES.md invariant 4)."""
     blobs = batch["blob"].to_pylist()
-    dec = [oc.decode_rollup_block(b) for b in blobs]
-    off = np.zeros(len(dec) + 1, dtype=np.int64)
-    np.cumsum([len(d["wmin"]) for d in dec], out=off[1:])
+    dec = oc.decode_rollup_blocks(blobs)  # one wavefront over all 3N streams
+    off = dec["offsets"]
     from ..functions.listops import numpy_to_list
-
-    def cat(key, dtype):
-        return (
-            np.concatenate([d[key] for d in dec]).astype(dtype)
-            if dec
-            else np.zeros(0, dtype)
-        )
 
     return pa.table(
         {
@@ -209,9 +201,9 @@ def decode_blocks_batch(batch: pa.Table) -> pa.Table:
             "source": batch["source"],
             "tier": batch["tier"],
             "n_windows": batch["n_windows"],
-            "mins": numpy_to_list(cat("wmin", np.int64), off, pa.int64()),
-            "maxs": numpy_to_list(cat("wmax", np.int64), off, pa.int64()),
-            "sums": numpy_to_list(cat("wsum", np.int64), off, pa.int64()),
-            "counts": numpy_to_list(cat("wcount", np.int32), off, pa.int32()),
+            "mins": numpy_to_list(dec["wmin"], off, pa.int64()),
+            "maxs": numpy_to_list(dec["wmax"], off, pa.int64()),
+            "sums": numpy_to_list(dec["wsum"], off, pa.int64()),
+            "counts": numpy_to_list(dec["wcount"], off, pa.int32()),
         }
     )
