@@ -131,6 +131,173 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 
 # --------------------------------------------------------------------------
+# set blobs: distinct-element sets as packed int64 bytes. Arrow list columns
+# are rejected as join payloads by the hash join (Acero), so the per-doc
+# shingle/gram sets travel through Dataset.join as binary blobs instead.
+# --------------------------------------------------------------------------
+
+def set_blob(arr: np.ndarray) -> bytes:
+    """Sorted unique uint64 set -> little-endian bytes."""
+    return np.ascontiguousarray(arr, dtype=np.uint64).astype("<u8").tobytes()
+
+
+def blob_set(b: bytes) -> np.ndarray:
+    return np.frombuffer(b, dtype="<u8")
+
+
+def shingle_sets_batch(batch: pa.Table, k: int = 5) -> pa.Table:
+    """(doc_id, text) -> (doc_id, set_blob, set_size): the distinct char-k
+    shingle set per doc, packed for join transport. Computed once per doc;
+    both the MinHash signature and the exact verify consume this."""
+    texts = batch["text"].to_pylist()
+    blobs = []
+    sizes = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        s = char_shingles(t, k)
+        blobs.append(set_blob(s))
+        sizes[i] = len(s)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "set_blob": pa.array(blobs, type=pa.binary()),
+            "set_size": pa.array(sizes),
+        }
+    )
+
+
+class WordHasher:
+    """Stable word -> uint64 hashes with a per-actor cache. The synthetic
+    corpora (and natural text) reuse a small vocabulary, so hashing each
+    distinct word once per actor removes the per-token md5 loop."""
+
+    def __init__(self):
+        self.cache: dict[str, int] = {}
+
+    def hash_words(self, words: list[str]) -> np.ndarray:
+        cache = self.cache
+        out = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            h = cache.get(w)
+            if h is None:
+                h = _stable_u64(w)
+                cache[w] = h
+            out[i] = h
+        return out
+
+
+def _mix3(h0: np.ndarray, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Combine three word hashes into a 3-gram hash (order-sensitive,
+    vectorized). Distinct grams map to distinct hashes w.h.p., which is all
+    Jaccard-over-distinct-sets needs."""
+    h = (
+        h0 * np.uint64(0x9E3779B97F4A7C15)
+        + h1 * np.uint64(0xC2B2AE3D27D4EB4F)
+        + h2 * np.uint64(0x165667B19E3779F9)
+    )
+    h = (h ^ (h >> np.uint64(29))) * np.uint64(0xBF58476D1CE4E5B9)
+    return h ^ (h >> np.uint64(32))
+
+
+class GramSets:
+    """Actor/batch fn: (doc_id, text) -> (doc_id, set_blob, set_size) of
+    distinct word-3-gram hashes. Word hashes come from the cached
+    :class:`WordHasher`; the gram combine is one vectorized mix over all
+    grams of the batch (no per-gram Python)."""
+
+    def __init__(self, n: int = 3):
+        assert n == 3, "only 3-grams wired (reference query uses n=3)"
+        self.wh = WordHasher()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        words_per_doc = [t.split() for t in texts]
+        flat = [w for ws in words_per_doc for w in ws]
+        hw = self.wh.hash_words(flat)
+        lens = np.array([len(ws) for ws in words_per_doc], dtype=np.int64)
+        off = np.concatenate([[0], np.cumsum(lens)])
+        blobs, sizes = [], np.empty(len(texts), dtype=np.int64)
+        for i in range(len(texts)):
+            seg = hw[off[i] : off[i + 1]]
+            if len(seg) < 3:
+                g = np.empty(0, dtype=np.uint64)
+            else:
+                g = np.unique(_mix3(seg[:-2], seg[1:-1], seg[2:]))
+            blobs.append(set_blob(g))
+            sizes[i] = len(g)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "set_blob": pa.array(blobs, type=pa.binary()),
+                "set_size": pa.array(sizes),
+            }
+        )
+
+
+def minhash_from_sets_batch(batch: pa.Table, hasher: "MinHasher") -> pa.Table:
+    """(doc_id, set_blob) -> (doc_id, minhash list<int64>)."""
+    blobs = batch["set_blob"].to_pylist()
+    sigs = np.stack([hasher.signature(blob_set(b)) for b in blobs]) if blobs else (
+        np.empty((0, hasher.n_perm), dtype=np.uint64)
+    )
+    flat = sigs.ravel().astype(np.uint64).view(np.int64)
+    off = np.arange(len(blobs) + 1, dtype=np.int64) * hasher.n_perm
+    from .listops import numpy_to_list
+
+    return pa.table(
+        {"doc_id": batch["doc_id"], "minhash": numpy_to_list(flat, off, pa.int64())}
+    )
+
+
+def make_capped_pairs(cap: int):
+    """map_groups fn factory: emit all id pairs of a candidate bucket,
+    skipping buckets larger than ``cap`` (O(cap^2) bound per bucket — the
+    hot-key guard). Skips are LOGGED, never silent: a warning names the
+    bucket key and size. Pairs lost this way can only be pairs whose every
+    shared band/gram is that hot — recall is re-checked by the planted-dup
+    pytest gate."""
+    import logging
+
+    log = logging.getLogger("wavelet_decomposition_ray.dedup")
+
+    def capped_pairs(group):
+        import pandas as pd
+
+        ids = np.unique(group["doc_id"].to_numpy())
+        if len(ids) > cap:
+            key_cols = [c for c in group.columns if c != "doc_id"]
+            key = {c: group[c].iloc[0] for c in key_cols}
+            log.warning(
+                "dropping candidate bucket %s: %d docs > cap %d",
+                key, len(ids), cap,
+            )
+            return pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=np.int64)
+        i, j = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[i], "doc_b": ids[j]})
+
+    return capped_pairs
+
+
+def verify_pairs_blob_batch(t: pa.Table, tau: float) -> pa.Table:
+    """(doc_a, doc_b, blob_a, blob_b) -> exact-Jaccard-verified pairs."""
+    a = t["doc_a"].to_numpy(zero_copy_only=False)
+    b = t["doc_b"].to_numpy(zero_copy_only=False)
+    ba = t["blob_a"].to_pylist()
+    bb = t["blob_b"].to_pylist()
+    j = np.array(
+        [jaccard(blob_set(x), blob_set(y)) for x, y in zip(ba, bb)],
+        dtype=np.float64,
+    )
+    keep = j >= tau
+    return pa.table(
+        {
+            "doc_a": pa.array(a[keep]),
+            "doc_b": pa.array(b[keep]),
+            "jaccard": pa.array(np.round(j[keep], 6)),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
 # simhash
 # --------------------------------------------------------------------------
 
@@ -148,14 +315,50 @@ def simhash64(text: str) -> int:
     return out
 
 
+class SimHasher:
+    """Vectorized SimHash (identical output to :func:`simhash64`): hash only
+    the batch's DISTINCT words (per-actor cache), expand each distinct hash
+    to a ±1 bit-vote row once, then per-doc votes are one ``add.reduceat``
+    over the word stream — no per-word Python in the hot path."""
+
+    def __init__(self):
+        self.wh = WordHasher()
+        self._shifts = np.arange(64, dtype=np.uint64)
+        # precomputed: uint64 left-shift-by-array is pathologically slow here
+        self._pow2 = np.uint64(1) << self._shifts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        words_per_doc = [t.split() for t in texts]
+        lens = np.array([len(ws) for ws in words_per_doc], dtype=np.int64)
+        off = np.concatenate([[0], np.cumsum(lens)])
+        flat = [w for ws in words_per_doc for w in ws]
+        out = np.zeros(len(texts), dtype=np.uint64)
+        if flat:
+            uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+            hu = self.wh.hash_words(uniq.tolist())
+            bits = ((hu[:, None] >> self._shifts[None, :]) & np.uint64(1)).astype(
+                np.int32
+            ) * 2 - 1  # (U, 64) ±1 votes
+            stream = bits[inv]  # (total_words, 64)
+            nonempty = lens > 0
+            votes = np.add.reduceat(stream, off[:-1][nonempty], axis=0)
+            codes = votes > 0
+            packed = (codes.astype(np.uint64) * self._pow2).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[nonempty] = packed
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "simhash": pa.array(out.view(np.int64)),
+            }
+        )
+
+
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    hs = [simhash64(t) for t in batch["text"].to_pylist()]
-    return pa.table(
-        {
-            "doc_id": batch["doc_id"],
-            "simhash": pa.array(np.array(hs, dtype=np.uint64).view(np.int64)),
-        }
-    )
+    """Stateless wrapper (scalar-path compatible) around :class:`SimHasher`."""
+    return SimHasher()(batch)
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

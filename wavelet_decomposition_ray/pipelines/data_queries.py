@@ -86,6 +86,26 @@ def q_fingerprint_rolling(sf_dir: str):
     return _docs(sf_dir).map_batches(tx.fingerprint_batch, batch_format="pyarrow")
 
 
+FINGERPRINT_ROLLING_SQL = (
+    # Rabin-Karp polynomial hash mod 2^61-1 = sum byte_i * 257^(n-1-i) mod p;
+    # the 257^k power table is a recursive CTE in HUGEINT (fits: products
+    # < 2^122, term sums < 2^79)
+    "WITH RECURSIVE pw(k, v) AS ("
+    "  SELECT 0, CAST(1 AS HUGEINT)"
+    "  UNION ALL SELECT k + 1, (v * 257) % 2305843009213693951 FROM pw"
+    "   WHERE k < (SELECT max(length(text)) FROM documents) - 1),"
+    " b AS (SELECT doc_id, length(text) AS n, CAST(i AS BIGINT) AS i,"
+    "   ascii(substr(text, CAST(i AS INTEGER), 1)) AS byte"
+    "   FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i))"
+    " SELECT b.doc_id, d.md5,"
+    " CAST(sum((CAST(b.byte AS HUGEINT) * pw.v) % 2305843009213693951)"
+    "   % 2305843009213693951 AS BIGINT) AS rolling_hash"
+    " FROM b JOIN pw ON pw.k = b.n - b.i"
+    " JOIN (SELECT doc_id, md5(text) AS md5 FROM documents) d USING (doc_id)"
+    " GROUP BY b.doc_id, d.md5"
+)
+
+
 # --------------------------------------------------------------------------
 # dedup
 # --------------------------------------------------------------------------
@@ -112,152 +132,217 @@ DEDUP_EXACT_SQL = (
 )
 
 
-def q_dedup_minhash(sf_dir: str):
-    """MinHash+LSH near-dup pairs: shingle -> minhash -> band buckets ->
-    groupby(band) candidates -> exact-Jaccard verify (>= NEAR_DUP_TAU).
+LSH_BUCKET_CAP = 256     # max docs per band bucket before the O(k^2) guard
+GRAM_DF_CAP = 256        # max docs per gram bucket (document-frequency cap)
 
-    The groupby key is (band_id, band_hash): fixed-width ints, the shape
-    that survives 10^12 docs. Verification texts are broadcast via ray.put
-    here (small side); at scale the verify is a per-bucket join instead."""
-    # NB stateless instance-fns, not actor pools: at test scale a second
-    # fixed pool can reserve every CPU of a tiny cluster and starve the
-    # shuffle between the pools (pool-sizing rule, SURVEY.md §4.2.3); on a
-    # real cluster these become map_batches(cls, concurrency=(a, b))
-    ds = _docs(sf_dir).map_batches(
-        dd.MinHasher(), batch_format="pyarrow", batch_size=512
-    )
-    bands = ds.map_batches(dd.lsh_bands_batch, batch_format="pyarrow")
 
-    def emit_pairs(group):
-        import pandas as pd
+def _join_parts() -> int:
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, ncpu // 8)
 
-        ids = sorted(set(group["doc_id"].tolist()))
-        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(out, columns=["doc_a", "doc_b"])
 
-    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
-        emit_pairs, batch_format="pandas"
-    )
-    # a pair can collide in several bands: dedupe before the (expensive)
-    # exact verification
+def _dedupe_pairs(cand: "ray.data.Dataset") -> "ray.data.Dataset":
+    """A pair can collide in several buckets: dedupe before the verify."""
     from ray.data.aggregate import Count
 
-    cand = (
+    return (
         cand.groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
     )
 
-    import pyarrow.parquet as pq
 
-    texts = dict(
-        zip(
-            *[
-                pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-                .column(i)
-                .to_pylist()
-                for i in (0, 1)
-            ]
-        )
+def _verify_pairs(cand, sets_ds, tau: float) -> "ray.data.Dataset":
+    """Exact-Jaccard verification as a distributed hash JOIN of candidate
+    pairs against the doc-keyed set table (set blobs as binary payload —
+    Acero rejects list columns in join non-key fields). Nothing touches the
+    driver: the only wide ops are two bounded-key joins, shuffling set
+    payloads once per pair side, not per corpus scan."""
+    np_ = _join_parts()
+    kv = sets_ds.map_batches(
+        lambda t: t.select(["doc_id", "set_blob"]), batch_format="pyarrow"
     )
-    texts_ref = ray.put(texts)
+    j1 = cand.join(kv, "inner", np_, on=("doc_a",), right_on=("doc_id",))
+    j1 = j1.map_batches(
+        lambda t: t.rename_columns(
+            ["blob_a" if c == "set_blob" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = j1.join(kv, "inner", np_, on=("doc_b",), right_on=("doc_id",))
+    j2 = j2.map_batches(
+        lambda t: t.rename_columns(
+            ["blob_b" if c == "set_blob" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    return j2.map_batches(
+        lambda t: dd.verify_pairs_blob_batch(t, tau), batch_format="pyarrow"
+    )
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(texts_ref)
-            self.cache = {}
 
-        def sh(self, d):
-            if d not in self.cache:
-                self.cache[d] = dd.char_shingles(self.texts[d])
-            return self.cache[d]
+def q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup pairs: shingle sets -> minhash -> band buckets
+    -> capped groupby(band) candidates -> exact-Jaccard verify (>=
+    NEAR_DUP_TAU) via a per-doc set JOIN (no driver-side text broadcast).
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch["doc_a"].to_pylist()
-            b = batch["doc_b"].to_pylist()
-            j = np.array([dd.jaccard(self.sh(x), self.sh(y)) for x, y in zip(a, b)])
-            keep = j >= NEAR_DUP_TAU
-            return pa.table(
-                {
-                    "doc_a": pa.array(np.array(a)[keep]),
-                    "doc_b": pa.array(np.array(b)[keep]),
-                    "jaccard": pa.array(np.round(j[keep], 6)),
-                }
-            )
+    The groupby key is (band_id, band_hash): fixed-width ints, the shape
+    that survives 10^12 docs; buckets larger than LSH_BUCKET_CAP are
+    dropped WITH a logged warning (hot-bucket guard)."""
+    # NB stateless instance-fns, not actor pools: at test scale a second
+    # fixed pool can reserve every CPU of a tiny cluster and starve the
+    # shuffle between the pools (pool-sizing rule, SURVEY.md §4.2.3); on a
+    # real cluster these become map_batches(cls, concurrency=(a, b))
+    sets = _docs(sf_dir).map_batches(
+        dd.shingle_sets_batch, batch_format="pyarrow", batch_size=512
+    )
+    hasher = dd.MinHasher()
+    sigs = sets.map_batches(
+        lambda t: dd.minhash_from_sets_batch(t, hasher),
+        batch_format="pyarrow",
+        batch_size=512,
+    )
+    bands = sigs.map_batches(dd.lsh_bands_batch, batch_format="pyarrow")
+    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
+        dd.make_capped_pairs(LSH_BUCKET_CAP), batch_format="pandas"
+    )
+    return _verify_pairs(_dedupe_pairs(cand), sets, NEAR_DUP_TAU)
 
-    pairs = cand.map_batches(Verify(), batch_format="pyarrow", batch_size=1024)
-    return pairs
+
+DEDUP_MINHASH_SQL = (
+    # exact ground truth: char-5-shingle Jaccard >= tau. The engine hashes
+    # shingles to u64 before Jaccard; distinct-set Jaccard is identical
+    # modulo 64-bit collisions. Recall of the LSH candidate stage is 1.0 on
+    # this data (planted dup pairs all have J >= 0.92; miss prob < 1e-9).
+    "WITH sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS s"
+    "   FROM documents, UNNEST(range(1, length(text) - 3)) AS t(i)),"
+    " sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),"
+    " inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c"
+    "   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+    " SELECT doc_a, doc_b, round(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 6) AS jaccard"
+    " FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b"
+    f" WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= {NEAR_DUP_TAU}"
+)
+
+
+def q_dedup_keep(sf_dir: str):
+    """Survivor selection: verified near-dup pairs -> connected components
+    -> keep min(doc_id) per component -> the FILTERED corpus (what a
+    training-data pipeline actually feeds downstream). The pair list is
+    bucket-bounded (small); components run on the driver behind an explicit
+    size guard, and the drop set broadcasts via ray.put."""
+    from ..functions import components as cc
+
+    pairs = q_dedup_minhash(sf_dir).to_pandas()  # bounded: buckets x cap^2
+    labels = cc.union_find_min_labels(
+        pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()
+    )
+    drop = np.array(sorted(d for d, root in labels.items() if root < d),
+                    dtype=np.int64)
+    drop_ref = ray.put(drop)
+
+    def keep_batch(t: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~np.isin(ids, d)))
+
+    return _docs(sf_dir, columns=("doc_id", "n_chars")).map_batches(
+        keep_batch, batch_format="pyarrow"
+    )
+
+
+DEDUP_KEEP_SQL = (
+    # same exact pair ground truth, then min-label connected components via
+    # a recursive reachability CTE (components are tiny on real dedup data)
+    "WITH RECURSIVE sh AS (SELECT DISTINCT doc_id,"
+    "   substr(text, CAST(i AS INTEGER), 5) AS s"
+    "   FROM documents, UNNEST(range(1, length(text) - 3)) AS t(i)),"
+    " sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),"
+    " inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c"
+    "   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),"
+    " p AS (SELECT doc_a, doc_b FROM inter"
+    "   JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b"
+    f"  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= {NEAR_DUP_TAU}),"
+    " edges AS (SELECT doc_a AS a, doc_b AS b FROM p"
+    "   UNION SELECT doc_b, doc_a FROM p),"
+    " reach(d, r) AS (SELECT a, a FROM edges"
+    "   UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.d),"
+    " lbl AS (SELECT d, min(r) AS root FROM reach GROUP BY d)"
+    " SELECT doc_id, n_chars FROM documents"
+    " WHERE doc_id NOT IN (SELECT d FROM lbl WHERE root < d)"
+)
 
 
 def q_dedup_simhash(sf_dir: str):
-    """Per-doc 64-bit SimHash (deterministic); pair extraction is covered by
-    pytest (hamming <= SIMHASH_MAX_HAMMING over the planted near-dups)."""
-    return _docs(sf_dir).map_batches(dd.simhash_batch, batch_format="pyarrow",
-                                     batch_size=256)
+    """Per-doc 64-bit SimHash (deterministic, vectorized over the batch's
+    distinct words); pair extraction is pytest-covered (hamming <=
+    SIMHASH_MAX_HAMMING over the planted near-dups)."""
+    # instance-fn (not an actor pool): see the pool-sizing NB in
+    # q_dedup_minhash — the word cache still amortizes within each batch
+    return _docs(sf_dir).map_batches(
+        dd.SimHasher(), batch_format="pyarrow", batch_size=256
+    )
+
+
+def _simhash_sql() -> str:
+    """The engine's md5-derived word-vote SimHash, stated in SQL: per word
+    occurrence take the little-endian first-8-bytes of md5 as a u64, vote
+    ±1 per bit, set bit i where the vote sum is positive. Bit 63 enters as
+    the int64 sign bit (engine views uint64 as int64)."""
+    u64 = (
+        "CAST(('0x' || substr(h,15,2) || substr(h,13,2) || substr(h,11,2)"
+        " || substr(h,9,2) || substr(h,7,2) || substr(h,5,2) || substr(h,3,2)"
+        " || substr(h,1,2)) AS UBIGINT)"
+    )
+    return (
+        "WITH w AS (SELECT doc_id, md5(x.w) AS h FROM (SELECT doc_id,"
+        "   unnest(list_filter(string_split_regex(text, '\\s+'), y -> y <> '')) AS w"
+        "   FROM documents) x),"
+        f" u AS (SELECT doc_id, {u64} AS v FROM w),"
+        " votes AS (SELECT doc_id, i,"
+        "   sum(CASE WHEN (v >> CAST(i AS UBIGINT)) & 1 = 1 THEN 1 ELSE -1 END) AS s"
+        "   FROM u CROSS JOIN (SELECT unnest(range(0, 64)) AS i) b GROUP BY doc_id, i)"
+        " SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN"
+        "   CASE WHEN i = 63 THEN -9223372036854775808"
+        "        ELSE (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) END"
+        "   ELSE 0 END) AS BIGINT) AS simhash"
+        " FROM votes GROUP BY doc_id"
+    )
+
+
+DEDUP_SIMHASH_SQL = _simhash_sql()
 
 
 def q_ngram_jaccard(sf_dir: str):
-    """Word-3-gram Jaccard pairs >= τ, distributed shape: explode distinct
-    grams -> groupby(gram) -> per-bucket pairs -> count per pair -> verify
-    with broadcast set sizes."""
-    ds = _docs(sf_dir)
+    """Word-3-gram Jaccard pairs >= τ, distributed shape: per-doc distinct
+    gram-hash sets -> explode -> groupby(gram) with a document-frequency
+    cap (logged drops) -> candidate pairs -> exact-Jaccard verify via the
+    same per-doc set JOIN as minhash (no driver-side size dict)."""
+    sets = _docs(sf_dir).map_batches(
+        dd.GramSets(), batch_format="pyarrow", batch_size=512
+    )
 
     def explode(batch: pa.Table) -> pa.Table:
-        rows_doc, rows_gram = [], []
-        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            for g in dd.word_ngrams(t, 3):
-                rows_doc.append(d)
-                rows_gram.append(dd._stable_u64(g) & ((1 << 63) - 1))
+        blobs = batch["set_blob"].to_pylist()
+        lens = np.array([len(b) // 8 for b in blobs], dtype=np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        flat = (
+            np.concatenate([dd.blob_set(b) for b in blobs])
+            if blobs
+            else np.empty(0, dtype=np.uint64)
+        )
         return pa.table(
-            {"doc_id": pa.array(rows_doc, type=pa.int64()),
-             "gram": pa.array(np.array(rows_gram, dtype=np.int64))}
+            {
+                "doc_id": pa.array(np.repeat(ids, lens)),
+                "gram": pa.array(flat.view(np.int64)),
+            }
         )
 
-    grams = ds.map_batches(explode, batch_format="pyarrow")
-
-    import pyarrow.parquet as pq
-
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    sizes = {
-        d: len(dd.word_ngrams(t, 3))
-        for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
-    }
-    sizes_ref = ray.put(sizes)
-
-    def bucket_pairs(group):
-        import pandas as pd
-
-        ids = sorted(set(group["doc_id"].tolist()))
-        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(out, columns=["doc_a", "doc_b"])
-
-    cand = grams.groupby("gram").map_groups(bucket_pairs, batch_format="pandas")
-
-    from ray.data.aggregate import Count
-
-    counts = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="c"))
-
-    class Jacc:
-        def __init__(self):
-            self.sizes = ray.get(sizes_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            a = t["doc_a"].to_pylist()
-            b = t["doc_b"].to_pylist()
-            c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
-            na = np.array([self.sizes[x] for x in a], dtype=np.float64)
-            nb = np.array([self.sizes[x] for x in b], dtype=np.float64)
-            j = c / (na + nb - c)
-            keep = j >= NEAR_DUP_TAU
-            return pa.table(
-                {
-                    "doc_a": pa.array(np.array(a, dtype=np.int64)[keep]),
-                    "doc_b": pa.array(np.array(b, dtype=np.int64)[keep]),
-                    "jaccard": pa.array(np.round(j[keep], 6)),
-                }
-            )
-
-    return counts.map_batches(Jacc(), batch_format="pyarrow")
+    grams = sets.map_batches(explode, batch_format="pyarrow")
+    cand = grams.groupby("gram").map_groups(
+        dd.make_capped_pairs(GRAM_DF_CAP), batch_format="pandas"
+    )
+    return _verify_pairs(_dedupe_pairs(cand), sets, NEAR_DUP_TAU)
 
 
 NGRAM_JACCARD_SQL = (
@@ -278,16 +363,23 @@ NGRAM_JACCARD_SQL = (
 # similarity search
 # --------------------------------------------------------------------------
 
+def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    """Fetch ONE query vector via a pushed-down parquet row filter — only
+    matching row groups leave storage, vs the old full-table driver read."""
+    rows = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=(pc.field("vec_id") == vec_id),
+    ).take_all()
+    assert len(rows) == 1, f"query vec_id={vec_id}: got {len(rows)} rows"
+    return np.asarray(rows[0]["embedding"], dtype=np.float64)
+
+
 def q_knn_cosine(sf_dir: str):
     """Brute-force cosine top-10 against the query vector (vec_id=0):
     numpy matmul per batch vs the broadcast query; global top-k via
     sort+limit on the tiny candidate set."""
-    import pyarrow.parquet as pq
-
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    ids = tbl["vec_id"].to_numpy()
-    q = np.asarray(tbl["embedding"].to_pylist()[int(np.nonzero(ids == 0)[0][0])],
-                   dtype=np.float64)
+    q = _query_vector(sf_dir, 0)
     q_ref = ray.put(q[None, :])
 
     ds = _emb(sf_dir).map_batches(
@@ -314,24 +406,68 @@ KNN_COSINE_SQL = (
 
 def q_ann_lsh(sf_dir: str):
     """LSH bucket codes per vector (the ANN scale path's partitioning);
-    recall vs brute force is pytest-checked."""
+    recall vs brute force is pytest-checked; the bucket codes themselves
+    are SQL-checked with the hyperplane constants embedded in the oracle."""
     return _emb(sf_dir).map_batches(sim.lsh_code_batch, batch_format="pyarrow").map_batches(
         lambda t: t.select(["vec_id", "lsh_bucket"]), batch_format="pyarrow"
     )
 
 
-def q_ann_ivf(sf_dir: str):
-    """IVF ANN: train the coarse quantizer on the (small) corpus once,
-    broadcast it, assign list ids per batch, then answer the vec_id=0 query
-    by scoring only the probed lists — partition-pruned search."""
-    import pyarrow.parquet as pq
+def _ann_lsh_sql(dim: int = 64, n_planes: int = 12, seed: int = 11) -> str:
+    """Oracle for q_ann_lsh: the deterministic hyperplanes (same seeded RNG
+    as sim.hyperplane_codes) are emitted as literal constants; the bucket
+    code is the sign-bit sum. Sign margins are >= 2e-4 on this data, far
+    above any float summation-order noise."""
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    vals = ", ".join(
+        f"({i + 1}, {j}, {planes[i, j]!r})"
+        for i in range(dim)
+        for j in range(n_planes)
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,"
+        " generate_subscripts(embedding, 1) AS i FROM embeddings),"
+        f" p(i, j, w) AS (SELECT * FROM (VALUES {vals})),"
+        " d AS (SELECT vec_id, j, sum(e.v * p.w) AS dot"
+        "   FROM e JOIN p ON p.i = e.i GROUP BY vec_id, j)"
+        " SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN"
+        "   (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT)"
+        "   AS lsh_bucket"
+        " FROM d GROUP BY vec_id"
+    )
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
-    ids_all = tbl["vec_id"].to_numpy()
+
+ANN_LSH_SQL = _ann_lsh_sql()
+
+
+IVF_TRAIN_SAMPLE = 4096
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF ANN: train the coarse quantizer on a BOUNDED deterministic
+    sample (never the full corpus on the driver), broadcast it, assign
+    list ids per batch, then answer the vec_id=0 query by scoring only the
+    probed lists — partition-pruned search."""
+    # deterministic sample: hash-select by vec_id, hard-capped row count;
+    # k-means quality needs a representative sample, not the corpus
+    sample_rows = (
+        _emb(sf_dir)
+        .map_batches(
+            lambda t: t.filter(
+                pa.array(
+                    (t["vec_id"].to_numpy(zero_copy_only=False) * 2654435761 % 97)
+                    < 64
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .limit(IVF_TRAIN_SAMPLE)
+        .take_all()
+    )
+    mat = np.asarray([r["embedding"] for r in sample_rows], dtype=np.float64)
     index = sim.IvfIndex(n_lists=16).train(mat)
     index_ref = ray.put(index)
-    q = mat[int(np.nonzero(ids_all == 0)[0][0])]
+    q = _query_vector(sf_dir, 0)
     probes = set(index.probe_lists(q, n_probe=4).tolist())
     q_ref = ray.put(q[None, :])
 
@@ -353,39 +489,68 @@ def q_ann_ivf(sf_dir: str):
                            batch_format="pyarrow")
 
 
+EMBED_DEDUP_BLOCKS = 8
+
+
 def q_embed_dedup(sf_dir: str):
-    """Embedding-cosine near-dup pairs >= EMBED_TAU via broadcast matrix
-    matmul per batch (no shuffle; both sides of every pair scored once,
-    a < b)."""
-    import pyarrow.parquet as pq
+    """Embedding-cosine near-dup pairs >= EMBED_TAU — EXACT all-pairs,
+    distributed as a block-pair cross product: the corpus is partitioned
+    into B object-store-resident blocks; each of the B*(B+1)/2 tasks pulls
+    exactly two blocks and emits its threshold matches. No task, and no
+    driver, ever holds more than two blocks — vs the round-1 whole-matrix
+    broadcast. (Exact threshold-join compute is inherently O(N^2); the
+    bucketed approximate scale path is ann_lsh / ann_ivf.) B scales as
+    sqrt(desired task count) on a real cluster."""
+    emb = _emb(sf_dir).repartition(EMBED_DEDUP_BLOCKS).materialize()
+    refs = [
+        r for bd in emb.iter_internal_ref_bundles() for r in bd.block_refs
+    ]
+    idx = ray.data.from_items(
+        [
+            {"bi": i, "bj": j}
+            for i in range(len(refs))
+            for j in range(i, len(refs))
+        ]
+    )
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    ids_all = tbl["vec_id"].to_numpy()
-    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
-    ref = ray.put((ids_all, sim.normalize_rows(mat)))
-
-    class PairFinder:
-        def __init__(self):
-            self.ids, self.mat = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = sim.normalize_rows(sim.embedding_matrix(batch))
-            vids = batch["vec_id"].to_numpy(zero_copy_only=False)
-            sims = m @ self.mat.T
+    def score_block_pair(t: pa.Table) -> pa.Table:
+        outs = []
+        for bi, bj in zip(t["bi"].to_pylist(), t["bj"].to_pylist()):
+            ta = _as_table(ray.get(refs[bi]))
+            tb = ta if bj == bi else _as_table(ray.get(refs[bj]))
+            ma = sim.normalize_rows(sim.embedding_matrix(ta))
+            ia = ta["vec_id"].to_numpy(zero_copy_only=False)
+            mb = sim.normalize_rows(sim.embedding_matrix(tb))
+            ib = tb["vec_id"].to_numpy(zero_copy_only=False)
+            sims = ma @ mb.T
             rows, cols = np.nonzero(sims >= EMBED_TAU)
-            a = vids[rows]
-            b = self.ids[cols]
-            keep = a < b
-            return pa.table(
-                {
-                    "vec_a": pa.array(a[keep]),
-                    "vec_b": pa.array(b[keep]),
-                    "cos_sim": pa.array(np.round(sims[rows, cols][keep], 6)),
-                }
+            a, b = ia[rows], ib[cols]
+            s = sims[rows, cols]
+            if bi == bj:
+                # every unordered pair shows up twice in the square block
+                keep = a < b
+                a, b, s = a[keep], b[keep], s[keep]
+            else:
+                # a cross-block pair shows up once, in either id order
+                a, b = np.minimum(a, b), np.maximum(a, b)
+            outs.append(
+                pa.table(
+                    {
+                        "vec_a": pa.array(a),
+                        "vec_b": pa.array(b),
+                        "cos_sim": pa.array(np.round(s, 6)),
+                    }
+                )
             )
+        return pa.concat_tables(outs)
 
-    return _emb(sf_dir).map_batches(PairFinder(), batch_format="pyarrow",
-                                    batch_size=256)
+    return idx.map_batches(score_block_pair, batch_format="pyarrow", batch_size=1)
+
+
+def _as_table(block) -> pa.Table:
+    if isinstance(block, pa.Table):
+        return block
+    return pa.Table.from_pandas(block, preserve_index=False)
 
 
 EMBED_DEDUP_SQL = (
@@ -429,13 +594,14 @@ DATA_QUERIES = {
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
     "lang_id": (q_lang_id, None),
     "fingerprint_md5": (q_fingerprint, FINGERPRINT_SQL),
-    "fingerprint_rolling": (q_fingerprint_rolling, None),
+    "fingerprint_rolling": (q_fingerprint_rolling, FINGERPRINT_ROLLING_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
-    "dedup_minhash": (q_dedup_minhash, None),
-    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_minhash": (q_dedup_minhash, DEDUP_MINHASH_SQL),
+    "dedup_simhash": (q_dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_keep": (q_dedup_keep, DEDUP_KEEP_SQL),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "knn_cosine": (q_knn_cosine, KNN_COSINE_SQL),
-    "ann_lsh": (q_ann_lsh, None),
+    "ann_lsh": (q_ann_lsh, ANN_LSH_SQL),
     "ann_ivf": (q_ann_ivf, None),
     "embed_dedup": (q_embed_dedup, EMBED_DEDUP_SQL),
     "multimodal_features": (q_multimodal_features, MULTIMODAL_SQL),
