@@ -584,9 +584,39 @@ MULTIMODAL_SQL = (
 
 
 def q_frame_sample(sf_dir: str):
+    """Frame sampling (every 16th payload byte, max 32 frames) in LONG form
+    so the byte values are SQL-checkable against the fake payloads."""
     ds = _docs(sf_dir).map_batches(mm.text_to_payload_batch, batch_format="pyarrow")
-    return ds.map_batches(mm.FrameSampler(), batch_format="pyarrow",
-                          batch_size=256)
+    ds = ds.map_batches(mm.FrameSampler(), batch_format="pyarrow",
+                        batch_size=256)
+
+    def explode(t: pa.Table) -> pa.Table:
+        from ..functions.listops import list_to_numpy
+
+        vals, off = list_to_numpy(t["frames"])
+        lens = np.diff(off)
+        row_of = np.repeat(np.arange(len(lens)), lens)
+        idx = np.arange(off[-1], dtype=np.int64) - np.repeat(off[:-1], lens)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(row_of)),
+                "frame_idx": pa.array(idx),
+                "frame": pa.array(vals.astype(np.int32)),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+FRAME_SAMPLE_SQL = (
+    # payload = utf-8 text bytes (the declared fake); frames = bytes at
+    # positions 0, 16, 32, ... capped at 32 frames
+    "SELECT doc_id, CAST(t.k AS BIGINT) AS frame_idx,"
+    " CAST(ascii(substr(text, CAST(t.k * 16 + 1 AS INTEGER), 1)) AS INTEGER)"
+    "   AS frame"
+    " FROM documents,"
+    " UNNEST(range(0, LEAST(32, (length(text) + 15) // 16))) t(k)"
+)
 
 
 DATA_QUERIES = {
@@ -605,5 +635,5 @@ DATA_QUERIES = {
     "ann_ivf": (q_ann_ivf, None),
     "embed_dedup": (q_embed_dedup, EMBED_DEDUP_SQL),
     "multimodal_features": (q_multimodal_features, MULTIMODAL_SQL),
-    "frame_sample": (q_frame_sample, None),
+    "frame_sample": (q_frame_sample, FRAME_SAMPLE_SQL),
 }

@@ -400,22 +400,119 @@ def _dwt_coeffs(sf_dir: str, bank: str) -> "ray.data.Dataset":
 
 
 def q_resample64(sf_dir: str) -> "ray.data.Dataset":
-    return _seq_ds(sf_dir).map_batches(
+    """Linear resample to 64 points, long format (the reference's 48->64
+    regrid, import_excel.py:48-52). Values are bit-identical to the SQL
+    oracle: the searchsorted index reduces to integer arithmetic
+    (k/L < j/64 <=> 64k < jL — both sides exactly representable), and the
+    interpolation uses the same IEEE op order on both sides."""
+    ds = _seq_ds(sf_dir).map_batches(
         make_resample_batch(64), batch_format="pyarrow", batch_size=256
     )
+
+    def explode(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["resampled"])
+        n_rows = len(off) - 1
+        row_of = np.repeat(np.arange(n_rows), 64)
+        pos = np.tile(np.arange(1, 65, dtype=np.int64), n_rows)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(row_of)),
+                "pos": pa.array(pos),
+                "val": pa.array(vals, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+RESAMPLE64_SQL = (
+    f"{_FLAT_CTE},"
+    " n AS (SELECT doc_id, count(*) AS L FROM flat GROUP BY doc_id),"
+    " sel AS (SELECT doc_id, L, CAST(j.j AS BIGINT) AS j,"
+    "   CASE WHEN L = 1 THEN 1"
+    "        ELSE LEAST(GREATEST((j.j * L - 1) // 64, 1), L - 1) END AS idx"
+    "   FROM n CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j),"
+    " v AS (SELECT s.doc_id, s.j, s.L, s.idx,"
+    "   CAST(f0.tok AS DOUBLE) AS tok0, CAST(f1.tok AS DOUBLE) AS tok1"
+    "   FROM sel s"
+    "   JOIN flat f0 ON f0.doc_id = s.doc_id AND f0.pos = s.idx - 1"
+    "   JOIN flat f1 ON f1.doc_id = s.doc_id AND f1.pos = LEAST(s.idx, s.L - 1))"
+    " SELECT doc_id, j AS pos,"
+    " CASE WHEN L = 1 OR j * L <= 64 THEN tok0"
+    " ELSE tok0 * (1 - ((j/64.0 - idx/CAST(L AS DOUBLE))"
+    "        / ((idx+1)/CAST(L AS DOUBLE) - idx/CAST(L AS DOUBLE))))"
+    "    + tok1 * ((j/64.0 - idx/CAST(L AS DOUBLE))"
+    "        / ((idx+1)/CAST(L AS DOUBLE) - idx/CAST(L AS DOUBLE))) END AS val"
+    " FROM v"
+)
 
 
 def q_bandpass(sf_dir: str) -> "ray.data.Dataset":
     """Band-pass query path: reconstruct keeping only coarse scales
-    (reference reconstruct() with a scale subset, tutorial cells 27/34)."""
+    (reference reconstruct() with a scale subset, tutorial cells 27/34),
+    then CHECK the cascade output against the independent closed form —
+    for Haar, the reconstruction from {approx at J} + details {j in S}
+    equals A_J + sum_{j in S}(A_{j-1} - A_j) where A_j is the dyadic
+    2^j-window mean of the padded signal. The per-row ``ok`` ties the
+    InverseDwt masking path to that identity; the oracle states it
+    (all-true), and exact reconstruction values stay pytest/golden-checked.
+    """
+    keep = [5, 6, 7]
     ds = _seq_ds(sf_dir).map_batches(
         DwtTransform("haar", verify=False), batch_format="pyarrow", batch_size=256
     )
-    return ds.map_batches(
-        InverseDwt("haar", keep_levels=[5, 6, 7], keep_offset=True),
+    ds = ds.map_batches(
+        InverseDwt("haar", keep_levels=keep, keep_offset=True),
         batch_format="pyarrow",
         batch_size=256,
     )
+
+    def check(t: pa.Table) -> pa.Table:
+        from ..functions.listops import next_pow2_arr
+
+        rec_vals, rec_off = list_to_numpy(t["reconstructed"])
+        tok_vals, tok_off = list_to_numpy(t["tokens"])
+        lens = np.diff(tok_off)
+        padded = next_pow2_arr(lens)
+        n_rows = len(lens)
+        ok = np.empty(n_rows, dtype=bool)
+        for p in np.unique(padded):
+            rows = np.nonzero(padded == p)[0]
+            x = np.zeros((len(rows), int(p)), dtype=np.float64)
+            for j, r in enumerate(rows):
+                n = lens[r]
+                x[j, :n] = tok_vals[tok_off[r] : tok_off[r] + n]
+            n_level = int(p).bit_length() - 1
+            # dyadic window means A_j; detail level j (0-based index j-1)
+            # contributes A_{j-1} - A_j when kept
+            means = [x]
+            for _ in range(n_level):
+                prev = means[-1]
+                means.append(0.5 * (prev[:, 0::2] + prev[:, 1::2]))
+            rec_form = np.repeat(means[n_level], 2 ** n_level, axis=1)
+            for i in keep:
+                j = i + 1  # detail level (1-based) of serialized index i
+                if j > n_level:
+                    continue
+                contrib = np.repeat(means[j - 1], 2 ** (j - 1), axis=1) - np.repeat(
+                    means[j], 2 ** j, axis=1
+                )
+                rec_form = rec_form + contrib
+            for j, r in enumerate(rows):
+                n = lens[r]
+                got = rec_vals[rec_off[r] : rec_off[r] + n]
+                want = rec_form[j, :n]
+                scale = max(np.abs(want).max(initial=1.0), 1.0)
+                ok[r] = np.abs(got - want).max(initial=0.0) <= 1e-8 * scale
+        return pa.table({"doc_id": t["doc_id"], "ok": pa.array(ok)})
+
+    return ds.map_batches(check, batch_format="pyarrow", batch_size=256)
+
+
+BANDPASS_SQL = (
+    f"SELECT doc_id, CAST(TRUE AS BOOLEAN) AS ok "
+    f"FROM read_parquet('{SYNTH_GLOB_001}')"
+)
 
 
 def q_gorilla_blocks(sf_dir: str) -> "ray.data.Dataset":
@@ -604,25 +701,35 @@ def q_parseval_ok(sf_dir: str) -> "ray.data.Dataset":
 
     def check(t: pa.Table) -> pa.Table:
         # Parseval holds on the PADDED domain (the transform's domain), so
-        # residue and dropped-coefficient energy are both computed there
+        # residue and dropped-coefficient energy are both computed there.
+        # Vectorized: rows grouped by padded length, whole-group pyramids
+        # (the same batching DwtTransform uses) — no per-row transforms.
+        from ..functions.listops import next_pow2_arr
+
         tok_vals, tok_off = list_to_numpy(t["tokens"])
-        n_rows = len(tok_off) - 1
+        lens = np.diff(tok_off)
+        padded = next_pow2_arr(lens)
+        n_rows = len(lens)
         ok = np.empty(n_rows, dtype=bool)
-        for r in range(n_rows):
-            toks = tok_vals[tok_off[r] : tok_off[r + 1]]
-            x = oc.pad_pow2(toks)
-            levels = [l[0] for l in oc.dwt_pyramid(x[None, :], "haar")]
+        for p in np.unique(padded):
+            rows = np.nonzero(padded == p)[0]
+            x = np.zeros((len(rows), int(p)), dtype=np.float64)
+            for j, r in enumerate(rows):
+                n = lens[r]
+                x[j, :n] = tok_vals[tok_off[r] : tok_off[r] + n]
+            levels = oc.dwt_pyramid(x, "haar")
             n_detail = len(levels) - 1
-            masked, dropped = [], 0.0
+            dropped = np.zeros(len(rows), dtype=np.float64)
+            masked = []
             for i, lvl in enumerate(levels):
                 if i == n_detail or i in keep:
                     masked.append(lvl)
                 else:
                     masked.append(np.zeros_like(lvl))
-                    dropped += float((lvl * lvl).sum())
-            rec = oc.idwt_pyramid([m[None, :] for m in masked], "haar")[0]
-            resid = float(((x - rec) ** 2).sum())
-            ok[r] = abs(resid - dropped) <= 1e-6 * max(dropped, 1.0)
+                    dropped += (lvl * lvl).sum(axis=1)
+            rec = oc.idwt_pyramid(masked, "haar")
+            resid = ((x - rec) ** 2).sum(axis=1)
+            ok[rows] = np.abs(resid - dropped) <= 1e-6 * np.maximum(dropped, 1.0)
         return pa.table({"doc_id": t["doc_id"], "ok": pa.array(ok)})
 
     return _seq_ds(sf_dir).map_batches(check, batch_format="pyarrow",
@@ -635,63 +742,132 @@ PARSEVAL_SQL = (
 
 
 def q_scale_energy(sf_dir: str) -> "ray.data.Dataset":
-    """Per-(doc, level) coefficient energy — the scale-x-time heatmap input
-    (plots.py:17-71 / preplotprocessing, T8). Rows-only (DWT not in SQL);
-    exact per-level energies are pytest-checked against the oracle."""
-    ds = _seq_ds(sf_dir).map_batches(DwtTransform("haar", verify=False),
-                                     batch_format="pyarrow", batch_size=256)
+    """Per-(doc, level) Haar coefficient energy — the scale-x-time heatmap
+    input (plots.py:17-71 / preplotprocessing, T8).
+
+    Energies are computed EXACTLY via the integer identity: the level-l
+    detail coefficient is (S_{l-1}[2k] - S_{l-1}[2k+1]) / 2^{l/2} with S
+    the integer dyadic window sums of the zero-padded signal, so
+    energy_l = sum((signed window sum)^2) / 2^l — an int64 reduceat plus an
+    exact power-of-two division. This makes the value SQL-expressible (the
+    float filter cascade differs from the closed form only by summation
+    rounding; the integer identity removes that) and is also faster than
+    running the cascade. Overflow-guarded (tokens x padded length bound)."""
 
     def energy(t: pa.Table) -> pa.Table:
-        cvals, coff = list_to_numpy(t["coeffs"])
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        lens = np.diff(off)
+        from ..functions.listops import next_pow2_arr
+
+        padded = next_pow2_arr(lens)
         docs, levels, energies = [], [], []
-        n_rows = len(coff) - 1
-        doc_idx = []
-        for r in range(n_rows):
-            flat = cvals[coff[r] : coff[r + 1]]
-            lens = oc.level_lengths(len(flat))
-            pos = 0
-            for i, ln in enumerate(lens):
-                seg = flat[pos : pos + ln]
-                doc_idx.append(r)
-                levels.append(i)
-                energies.append(float((seg * seg).sum()))
-                pos += ln
+        for p in np.unique(padded):
+            rows = np.nonzero(padded == p)[0]
+            x = np.zeros((len(rows), int(p)), dtype=np.int64)
+            for j, r in enumerate(rows):
+                n = lens[r]
+                x[j, :n] = v[off[r] : off[r] + n]
+            # worst-case |signed window sum| <= max|tok| * p; the level sum
+            # of squares is bounded by (max|tok| * p)^2 / 4
+            bound = float(np.abs(x).max(initial=0)) * float(p)
+            assert bound * bound / 4 < 2**62, "scale_energy int64 overflow"
+            s = x
+            n_level = int(p).bit_length() - 1  # log2(p)
+            for l in range(1, n_level + 1):
+                d = s[:, 0::2] - s[:, 1::2]
+                s = s[:, 0::2] + s[:, 1::2]
+                e = (d * d).sum(axis=1, dtype=np.int64).astype(np.float64) / float(
+                    2**l
+                )
+                docs.append(rows)
+                levels.append(np.full(len(rows), l - 1, dtype=np.int8))
+                energies.append(e)
+            # approx level: index n_level, energy S_J^2 / 2^J
+            docs.append(rows)
+            levels.append(np.full(len(rows), n_level, dtype=np.int8))
+            energies.append(
+                (s[:, 0] * s[:, 0]).astype(np.float64) / float(2**n_level)
+            )
+        idx = np.concatenate(docs)
         return pa.table(
             {
-                "doc_id": t["doc_id"].take(pa.array(doc_idx)),
-                "level": pa.array(np.array(levels, dtype=np.int8)),
-                "energy": pa.array(np.round(energies, 6)),
+                "doc_id": t["doc_id"].take(pa.array(idx)),
+                "level": pa.array(np.concatenate(levels)),
+                "energy": pa.array(np.concatenate(energies)),
             }
         )
 
-    return ds.map_batches(energy, batch_format="pyarrow")
+    return _seq_ds(sf_dir).map_batches(energy, batch_format="pyarrow",
+                                       batch_size=256)
+
+
+SCALE_ENERGY_SQL = (
+    f"{_FLAT_CTE},"
+    " n AS (SELECT doc_id, count(*) AS L FROM flat GROUP BY doc_id),"
+    " jj AS (SELECT doc_id, CASE WHEN L = 1 THEN 0"
+    "   ELSE CAST(ceil(log2(CAST(L AS DOUBLE))) AS INTEGER) END AS J FROM n),"
+    " lv AS (SELECT doc_id, CAST(unnest(range(1, J + 1)) AS INTEGER) AS l FROM jj),"
+    " d AS (SELECT f.doc_id, lv.l, f.pos // (1 << lv.l) AS w,"
+    "   CAST(sum(CASE WHEN (f.pos // (1 << (lv.l - 1))) % 2 = 0"
+    "     THEN f.tok ELSE -f.tok END) AS HUGEINT) AS dd"
+    "   FROM flat f JOIN lv ON lv.doc_id = f.doc_id GROUP BY 1, 2, 3),"
+    " det AS (SELECT doc_id, CAST(l - 1 AS TINYINT) AS level,"
+    "   CAST(sum(dd * dd) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << l) AS DOUBLE)"
+    "     AS energy FROM d GROUP BY doc_id, l),"
+    " ap AS (SELECT f.doc_id, CAST(jj.J AS TINYINT) AS level,"
+    "   CAST(CAST(sum(f.tok) AS HUGEINT) * CAST(sum(f.tok) AS HUGEINT) AS DOUBLE)"
+    "     / CAST((CAST(1 AS BIGINT) << jj.J) AS DOUBLE) AS energy"
+    "   FROM flat f JOIN jj ON jj.doc_id = f.doc_id GROUP BY f.doc_id, jj.J)"
+    " SELECT * FROM det UNION ALL SELECT * FROM ap"
+)
 
 
 def q_fft_magnitude(sf_dir: str) -> "ray.data.Dataset":
     """FFT magnitude spectrum per row (plots.py:73-119, the reference's
-    spectral cross-check of the wavelet view): top-8 bins by magnitude."""
+    spectral cross-check of the wavelet view), over the 64-point resampled
+    curve — the same normalized grid the reference plots. All 33 rfft bins,
+    batched as ONE (rows, 64) rfft per batch (no per-row Python loop); the
+    oracle is the naive DFT over the identically-resampled signal in SQL
+    (round(4) absorbs FFT-vs-DFT summation rounding)."""
+    ds = _seq_ds(sf_dir).map_batches(
+        make_resample_batch(64), batch_format="pyarrow", batch_size=256
+    )
 
-    def fft_top(t: pa.Table) -> pa.Table:
-        vals, off = list_to_numpy(t["tokens"])
+    def fft_all(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["resampled"])
         n_rows = len(off) - 1
-        docs, bins, mags = [], [], []
-        for r in range(n_rows):
-            x = vals[off[r] : off[r + 1]].astype(np.float64)
-            mag = np.abs(np.fft.rfft(x - x.mean()))
-            top = np.argsort(-mag, kind="stable")[:8]
-            docs.extend([r] * len(top))
-            bins.extend(top.tolist())
-            mags.extend(np.round(mag[top], 4).tolist())
+        x = vals.reshape(n_rows, 64)
+        x = x - x.mean(axis=1, keepdims=True)
+        mag = np.abs(np.fft.rfft(x, axis=1))  # (rows, 33)
+        row_of = np.repeat(np.arange(n_rows), 33)
+        bins = np.tile(np.arange(33, dtype=np.int64), n_rows)
         return pa.table(
             {
-                "doc_id": t["doc_id"].take(pa.array(docs)),
-                "bin": pa.array(np.array(bins, dtype=np.int64)),
-                "magnitude": pa.array(mags, type=pa.float64()),
+                "doc_id": t["doc_id"].take(pa.array(row_of)),
+                "bin": pa.array(bins),
+                "magnitude": pa.array(np.round(mag.ravel(), 4), type=pa.float64()),
             }
         )
 
-    return _seq_ds(sf_dir).map_batches(fft_top, batch_format="pyarrow",
-                                       batch_size=256)
+    return ds.map_batches(fft_all, batch_format="pyarrow")
+
+
+FFT64_SQL = (
+    # same resample as RESAMPLE64_SQL, then the naive DFT of the
+    # mean-removed 64-point signal
+    RESAMPLE64_SQL.replace(
+        " SELECT doc_id, j AS pos,",
+        ", r AS (SELECT doc_id, j AS pos,",
+    )
+    + "), m AS (SELECT doc_id, pos, val - avg(val) OVER (PARTITION BY doc_id) AS y FROM r),"
+    " dft AS (SELECT m.doc_id, CAST(b.k AS BIGINT) AS bin,"
+    "   sum(m.y * cos(-2 * pi() * b.k * (m.pos - 1) / 64.0)) AS re,"
+    "   sum(m.y * sin(-2 * pi() * b.k * (m.pos - 1) / 64.0)) AS im"
+    "   FROM m CROSS JOIN (SELECT unnest(range(0, 33)) AS k) b"
+    "   GROUP BY m.doc_id, b.k)"
+    " SELECT doc_id, bin, round(sqrt(re * re + im * im), 4) AS magnitude FROM dft"
+)
 
 
 # --------------------------------------------------------------------------
@@ -759,25 +935,39 @@ def q_events_asof(sf_dir: str) -> "ray.data.Dataset":
     lineitem's shipdate rollup) at or before its timestamp. The small side
     (daily table) is broadcast; the probe is a vectorized searchsorted per
     batch — the no-shuffle as-of pattern (ray_guide 'Joins and lookups')."""
-    import pyarrow.parquet as pq
+    # small side computed IN RAY (partial+final over lineitem, same shape as
+    # daily_rollup), then only the tiny per-day aggregate is collected and
+    # broadcast — the raw lineitem table never touches the driver
+    from ray.data.aggregate import Sum
 
-    li = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_shipdate", "l_quantity"])
-    import pandas as pd
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_shipdate", "l_quantity"]
+    )
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        day = t["l_shipdate"].to_pandas().dt.strftime("%Y-%m-%d")
+        qty = t["l_quantity"].to_numpy().astype(np.int64)
+        g = (
+            pd.DataFrame({"day": day, "qty": qty})
+            .groupby("day", as_index=False)["qty"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     daily = (
-        pd.DataFrame(
-            {
-                "day": li["l_shipdate"].to_pandas().dt.floor("D"),
-                "qty": li["l_quantity"].to_numpy().astype(np.int64),
-            }
-        )
-        .groupby("day", as_index=False)["qty"]
-        .sum()
+        li.map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("qty", alias_name="qty"))
+        .to_pandas()  # tiny: one row per calendar day
         .sort_values("day")
     )
-    day_ns = daily["day"].to_numpy().astype("datetime64[ns]").astype(np.int64)
-    day_str = daily["day"].dt.strftime("%Y-%m-%d").to_numpy()
-    qty = daily["qty"].to_numpy()
+    day_ns = (
+        daily["day"].astype("datetime64[ns]").to_numpy().astype(np.int64)
+    )
+    day_str = daily["day"].to_numpy()
+    qty = daily["qty"].to_numpy().astype(np.int64)
     side = ray.put((day_ns, day_str, qty))
 
     def probe(t: pa.Table) -> pa.Table:
@@ -929,12 +1119,12 @@ CORE_QUERIES = {
     "topk_tokens": (q_topk_tokens, TOPK_TOKENS_SQL),
     "epn_full": (q_epn_full, EPN_FULL_SQL),
     "parseval_ok": (q_parseval_ok, PARSEVAL_SQL),
+    "resample64": (q_resample64, RESAMPLE64_SQL),
+    "bandpass_coarse": (q_bandpass, BANDPASS_SQL),
+    "scale_energy": (q_scale_energy, SCALE_ENERGY_SQL),
+    "fft_magnitude": (q_fft_magnitude, FFT64_SQL),
     # rows-only (non-SQL-expressible; pytest-checked against the oracle)
     "dwt_haar": (lambda sf: _dwt_coeffs(sf, "haar"), None),
     "dwt_db4": (lambda sf: _dwt_coeffs(sf, "db4"), None),
-    "resample64": (q_resample64, None),
-    "bandpass_coarse": (q_bandpass, None),
     "gorilla_blocks": (q_gorilla_blocks, None),
-    "scale_energy": (q_scale_energy, None),
-    "fft_magnitude": (q_fft_magnitude, None),
 }

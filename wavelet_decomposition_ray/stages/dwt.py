@@ -141,6 +141,9 @@ class InverseDwt:
         cols = {"doc_id": batch["doc_id"]}
         if "source" in batch.column_names:
             cols["source"] = batch["source"]
+        if "tokens" in batch.column_names:
+            # pass-through for downstream identity checks (band-pass oracle)
+            cols["tokens"] = batch["tokens"]
         cols["reconstructed"] = numpy_to_list(out_flat, out_off, pa.float64())
         return pa.table(cols)
 
