@@ -89,3 +89,35 @@ def test_resample_linear_matches_reference_grid():
 def test_normalize_mean():
     t = np.array([1.0, 2.0, 3.0])
     np.testing.assert_allclose(oc.normalize_mean(t).mean(), 1.0)
+
+
+def test_reference_15_tier_ladder_lengths():
+    """Reference parity: the paper's 15-scale pyramid over a 11680-point
+    year (wavelet_decomposition.py:260-292) — window counts per tier must
+    be ceil(11680 / 2^t) for t = 1..15 (golden sequence from SURVEY §1.1)."""
+    toks = np.arange(11680, dtype=np.int64) % 97
+    want = [5840, 2920, 1460, 730, 365, 183, 92, 46, 23, 12, 6, 3, 2, 1, 1]
+    assert want == [int(np.ceil(11680 / 2**t)) for t in range(1, 16)]
+    for t, w in zip(range(1, 16), want):
+        r = oc.rollup_tier(toks, 1 << t)
+        assert len(r["wmin"]) == w, f"tier {t}"
+    # engine stage agrees: TierRollup(15) emits the same ladder
+    import pyarrow as pa
+
+    from wavelet_decomposition_ray.functions.listops import numpy_to_list
+    from wavelet_decomposition_ray.stages.rollup import TierRollup
+
+    off = np.array([0, len(toks)], dtype=np.int64)
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["d0"]),
+            "source": pa.array(["s0"]),
+            "tokens": numpy_to_list(toks.astype(np.int32), off, pa.int32()),
+        }
+    )
+    out = TierRollup(15)(batch)
+    got = {
+        int(t): int(n)
+        for t, n in zip(out["tier"].to_pylist(), out["n_windows"].to_pylist())
+    }
+    assert got == {t: w for t, w in zip(range(1, 16), want)}
