@@ -361,13 +361,39 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     return SimHasher()(batch)
 
 
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    x = np.bitwise_xor(a.view(np.uint64), b.view(np.uint64))
-    cnt = np.zeros(len(x), dtype=np.int64)
-    for _ in range(64):
-        cnt += (x & np.uint64(1)).astype(np.int64)
-        x = x >> np.uint64(1)
-    return cnt
+    """Vectorized popcount(xor): bytewise table lookup (no 64-step shift
+    loop; left shifts on uint64 are pathologically slow here anyway)."""
+    x = np.bitwise_xor(
+        np.ascontiguousarray(a).view(np.uint64),
+        np.ascontiguousarray(b).view(np.uint64),
+    )
+    return _POPCNT8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+
+
+def simhash_bands_batch(batch: pa.Table, n_bands: int = 8) -> pa.Table:
+    """Explode 64-bit simhashes into ``n_bands`` byte bands — the candidate
+    bucket key for hamming-distance pair search. With 8 bands of 8 bits,
+    any pair at hamming <= 7 shares at least one clean band (pigeonhole),
+    so recall for the hamming<=6 predicate is EXACTLY 1."""
+    h = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    n = len(h)
+    bytes_ = np.ascontiguousarray(h).view(np.uint8).reshape(n, 8)
+    assert n_bands == 8, "byte bands wired for n_bands=8"
+    rep = np.repeat(np.arange(n), 8)
+    doc = batch["doc_id"]
+    if isinstance(doc, pa.ChunkedArray):
+        doc = doc.combine_chunks()
+    return pa.table(
+        {
+            "band_id": pa.array(np.tile(np.arange(8, dtype=np.int32), n)),
+            "band_hash": pa.array(bytes_.ravel().astype(np.int32)),
+            "doc_id": doc.take(pa.array(rep)),
+        }
+    )
 
 
 # --------------------------------------------------------------------------

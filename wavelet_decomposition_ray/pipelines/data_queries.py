@@ -313,6 +313,64 @@ def _simhash_sql() -> str:
 DEDUP_SIMHASH_SQL = _simhash_sql()
 
 
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup PAIRS (hamming <= SIMHASH_MAX_HAMMING): byte-band
+    buckets (8 bands x 8 bits — pigeonhole guarantees recall 1 for the
+    <= 6 predicate) -> capped candidate groupby -> exact hamming verify via
+    joins on the per-doc simhash (int payload)."""
+    sims = _docs(sf_dir).map_batches(
+        dd.SimHasher(), batch_format="pyarrow", batch_size=256
+    )
+    bands = sims.map_batches(dd.simhash_bands_batch, batch_format="pyarrow")
+    cand = _dedupe_pairs(
+        bands.groupby(["band_id", "band_hash"]).map_groups(
+            dd.make_capped_pairs(LSH_BUCKET_CAP), batch_format="pandas"
+        )
+    )
+    np_ = _join_parts()
+    j1 = cand.join(sims, "inner", np_, on=("doc_a",), right_on=("doc_id",))
+    j1 = j1.map_batches(
+        lambda t: t.rename_columns(
+            ["sh_a" if c == "simhash" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = j1.join(sims, "inner", np_, on=("doc_b",), right_on=("doc_id",))
+    j2 = j2.map_batches(
+        lambda t: t.rename_columns(
+            ["sh_b" if c == "simhash" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        ham = dd.hamming64(
+            t["sh_a"].to_numpy(zero_copy_only=False),
+            t["sh_b"].to_numpy(zero_copy_only=False),
+        )
+        keep = ham <= SIMHASH_MAX_HAMMING
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep]),
+                "doc_b": pa.array(b[keep]),
+                "hamming": pa.array(ham[keep]),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
+SIMHASH_PAIRS_SQL = (
+    f"WITH sh AS ({DEDUP_SIMHASH_SQL})"
+    " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+    " CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming"
+    " FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
+    f" WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}"
+)
+
+
 def q_ngram_jaccard(sf_dir: str):
     """Word-3-gram Jaccard pairs >= τ, distributed shape: per-doc distinct
     gram-hash sets -> explode -> groupby(gram) with a document-frequency
@@ -628,6 +686,7 @@ DATA_QUERIES = {
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash": (q_dedup_minhash, DEDUP_MINHASH_SQL),
     "dedup_simhash": (q_dedup_simhash, DEDUP_SIMHASH_SQL),
+    "simhash_pairs": (q_simhash_pairs, SIMHASH_PAIRS_SQL),
     "dedup_keep": (q_dedup_keep, DEDUP_KEEP_SQL),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "knn_cosine": (q_knn_cosine, KNN_COSINE_SQL),
