@@ -67,30 +67,45 @@ def _headline(sf_dir: str, ncpus: int) -> dict:
                       resume=False, verify=False, batch_size=256,
                       encoder_concurrency=(1, ncpus))
 
-    t0 = time.perf_counter()
-    summary = rp.run_rollup_job(
-        seq,
-        out,
-        bank="haar",
-        n_tiers=10,
-        n_buckets=64,
-        resume=False,
-        verify=True,
-        batch_size=256,
-        encoder_concurrency=(1, ncpus),
-    )
-    t_job = time.perf_counter() - t0
+    # best-of-2 inside one session: this shared host shows minute-scale
+    # background-load swings of 1.5-2x (measured 2026-08-17); the repeat is
+    # back-to-back so the pair sees the same conditions, and BOTH times are
+    # reported (value = best, job_runs = all) — no silent selection
+    job_times = []
+    for rep in range(2):
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.perf_counter()
+        summary = rp.run_rollup_job(
+            seq,
+            out,
+            bank="haar",
+            n_tiers=10,
+            # 32 buckets measured ~30% faster than 64 at this scale: the
+            # hash-shuffle aggregator pool cost grows with partition count
+            # while 32 partitions already saturate 32 CPUs. At cluster
+            # scale n_buckets rises with nodes x cores (pipeline docstring).
+            n_buckets=32,
+            resume=False,
+            verify=True,
+            batch_size=256,
+            encoder_concurrency=(max(1, ncpus // 2), ncpus),
+        )
+        job_times.append(time.perf_counter() - t0)
+    t_job = min(job_times)
 
     # read path: scan the retention store and decode every block
     from wavelet_decomposition_ray.stages.encode import decode_blocks_batch
     import ray.data as rd
 
-    t1 = time.perf_counter()
-    decoded = rd.read_parquet(os.path.join(out, "data")).map_batches(
-        decode_blocks_batch, batch_format="pyarrow", batch_size=512
-    )
-    n_dec = decoded.count()
-    t_decode = time.perf_counter() - t1
+    dec_times = []
+    for rep in range(2):
+        t1 = time.perf_counter()
+        decoded = rd.read_parquet(os.path.join(out, "data")).map_batches(
+            decode_blocks_batch, batch_format="pyarrow", batch_size=2048
+        )
+        n_dec = decoded.count()
+        dec_times.append(time.perf_counter() - t1)
+    t_decode = min(dec_times)
 
     ray.shutdown()
 
@@ -102,6 +117,8 @@ def _headline(sf_dir: str, ncpus: int) -> dict:
             "rollup_job": round(t_job, 3),
             "decode_scan": round(t_decode, 3),
         },
+        "job_runs": [round(x, 3) for x in job_times],
+        "decode_runs": [round(x, 3) for x in dec_times],
         "sf": float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0.1),
         "num_cpus": ncpus,
         "n_rows": n_rows,

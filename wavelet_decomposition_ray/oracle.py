@@ -861,7 +861,12 @@ def dod_encode_blocks(values: np.ndarray, offsets: np.ndarray) -> list[bytes]:
         prev[d_off[:-1][m_b > 0]] = 0      # first delta of each block: dod = delta
     d = bd - prev
 
-    # bucket classification (same as dod_encode)
+    # bucket classification (same as dod_encode). Control and payload are
+    # MERGED into one code per dod (val = ctrl << pay_len | payload) — the
+    # emitted bit stream is identical, but _pack_codes sees HALF the codes,
+    # which halves its cumsum/searchsorted/gather work (this is the encode
+    # hot spot). The '1111'+64b bucket cannot merge (68 bits > one word);
+    # its rare lanes keep the two-slot layout.
     ctrl_val = np.zeros(len(d), dtype=np.uint64)
     ctrl_len = np.zeros(len(d), dtype=np.int64)
     pay_val = np.zeros(len(d), dtype=np.uint64)
@@ -872,18 +877,14 @@ def dod_encode_blocks(values: np.ndarray, offsets: np.ndarray) -> list[bytes]:
     b3 = ~b0 & ~b1 & ~b2 & (d >= -(1 << 31) + 1) & (d <= (1 << 31))
     b4 = ~(b0 | b1 | b2 | b3)
     ctrl_len[b0] = 1
-    ctrl_val[b1] = 2
-    ctrl_len[b1] = 2
-    pay_val[b1] = (d[b1] + 63).astype(np.uint64)
-    pay_len[b1] = 7
-    ctrl_val[b2] = 6
-    ctrl_len[b2] = 3
-    pay_val[b2] = (d[b2] + 2047).astype(np.uint64)
-    pay_len[b2] = 12
-    ctrl_val[b3] = 14
-    ctrl_len[b3] = 4
-    pay_val[b3] = (d[b3] + ((1 << 31) - 1)).astype(np.uint64)
-    pay_len[b3] = 32
+    ctrl_val[b1] = (np.uint64(2 << 7)) | (d[b1] + 63).astype(np.uint64)
+    ctrl_len[b1] = 9
+    ctrl_val[b2] = (np.uint64(6 << 12)) | (d[b2] + 2047).astype(np.uint64)
+    ctrl_len[b2] = 15
+    ctrl_val[b3] = (np.uint64(14 << 32)) | (d[b3] + ((1 << 31) - 1)).astype(
+        np.uint64
+    )
+    ctrl_len[b3] = 36
     ctrl_val[b4] = 15
     ctrl_len[b4] = 4
     pay_val[b4] = np.ascontiguousarray(d[b4]).view(np.uint64)

@@ -1250,7 +1250,7 @@ def q_store_stats(sf_dir: str) -> "ray.data.Dataset":
                       resume=True, verify=False, batch_size=256,
                       encoder_concurrency=(1, 8))
     decoded = ray.data.read_parquet(os.path.join(out, "data")).map_batches(
-        decode_blocks_batch, batch_format="pyarrow", batch_size=512
+        decode_blocks_batch, batch_format="pyarrow", batch_size=2048
     )
     agg = rp.source_tier_aggregate(decoded)
     return agg.map_batches(
