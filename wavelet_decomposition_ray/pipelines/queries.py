@@ -486,6 +486,76 @@ DAILY_ROLLUP_SQL = (
 # pytest-checked against the NumPy oracle)
 # --------------------------------------------------------------------------
 
+def q_haar_details(sf_dir: str) -> "ray.data.Dataset":
+    """Per-(doc, level, k) UNNORMALIZED Haar detail coefficients — the full
+    transform structure, value-checked: the orthonormal detail at level l is
+    exactly d_unnorm / 2^{l/2} (cascade float output pinned separately by
+    roundtrip/golden tests), and d_unnorm = S_{l-1}[2k] - S_{l-1}[2k+1] is
+    pure int64, so the SQL oracle matches bit-for-bit. Emits the windows
+    that contain at least one real token (ceil(n / 2^l) per level)."""
+
+    def details(t: pa.Table) -> pa.Table:
+        from ..functions.listops import next_pow2_arr
+
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        lens = np.diff(off)
+        padded = next_pow2_arr(lens)
+        docs, levels, ks, ds = [], [], [], []
+        for p in np.unique(padded):
+            rows = np.nonzero(padded == p)[0]
+            x = np.zeros((len(rows), int(p)), dtype=np.int64)
+            for j, r in enumerate(rows):
+                n = lens[r]
+                x[j, :n] = v[off[r] : off[r] + n]
+            s = x
+            n_level = int(p).bit_length() - 1
+            for l in range(1, n_level + 1):
+                d = s[:, 0::2] - s[:, 1::2]
+                s = s[:, 0::2] + s[:, 1::2]
+                n_real = np.ceil(lens[rows] / (1 << l)).astype(np.int64)
+                for j, r in enumerate(rows):
+                    k = int(n_real[j])
+                    docs.append(np.full(k, r, dtype=np.int64))
+                    levels.append(np.full(k, l - 1, dtype=np.int8))
+                    ks.append(np.arange(k, dtype=np.int64))
+                    ds.append(d[j, :k])
+        idx = np.concatenate(docs) if docs else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(idx)),
+                "level": pa.array(
+                    np.concatenate(levels) if levels else
+                    np.empty(0, dtype=np.int8)
+                ),
+                "k": pa.array(
+                    np.concatenate(ks) if ks else np.empty(0, dtype=np.int64)
+                ),
+                "d": pa.array(
+                    np.concatenate(ds) if ds else np.empty(0, dtype=np.int64)
+                ),
+            }
+        )
+
+    return _seq_ds(sf_dir).map_batches(details, batch_format="pyarrow",
+                                       batch_size=256)
+
+
+HAAR_DETAILS_SQL = (
+    f"{_FLAT_CTE},"
+    " n AS (SELECT doc_id, count(*) AS L FROM flat GROUP BY doc_id),"
+    " jj AS (SELECT doc_id, CASE WHEN L = 1 THEN 0"
+    "   ELSE CAST(ceil(log2(CAST(L AS DOUBLE))) AS INTEGER) END AS J FROM n),"
+    " lv AS (SELECT doc_id, CAST(unnest(range(1, J + 1)) AS INTEGER) AS l FROM jj)"
+    " SELECT f.doc_id, CAST(lv.l - 1 AS TINYINT) AS level,"
+    " f.pos // (1 << lv.l) AS k,"
+    " CAST(sum(CASE WHEN (f.pos // (1 << (lv.l - 1))) % 2 = 0"
+    "   THEN f.tok ELSE -f.tok END) AS BIGINT) AS d"
+    " FROM flat f JOIN lv ON lv.doc_id = f.doc_id"
+    " GROUP BY f.doc_id, lv.l, k"
+)
+
+
 def _dwt_coeffs(sf_dir: str, bank: str) -> "ray.data.Dataset":
     ds = _seq_ds(sf_dir).map_batches(DwtTransform(bank, verify=False),
                                      batch_format="pyarrow", batch_size=256)
@@ -1290,8 +1360,8 @@ CORE_QUERIES = {
     "bandpass_coarse": (q_bandpass, BANDPASS_SQL),
     "scale_energy": (q_scale_energy, SCALE_ENERGY_SQL),
     "fft_magnitude": (q_fft_magnitude, FFT64_SQL),
+    "dwt_haar": (q_haar_details, HAAR_DETAILS_SQL),
     # rows-only (non-SQL-expressible; pytest-checked against the oracle)
-    "dwt_haar": (lambda sf: _dwt_coeffs(sf, "haar"), None),
     "dwt_db4": (lambda sf: _dwt_coeffs(sf, "db4"), None),
     "gorilla_blocks": (q_gorilla_blocks, None),
 }
