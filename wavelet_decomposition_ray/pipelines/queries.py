@@ -1155,7 +1155,7 @@ def q_sliding_w8(sf_dir: str) -> "ray.data.Dataset":
 SLIDING_SQL = (
     f"{_FLAT_CTE} "
     "SELECT doc_id, pos,"
-    " min(tok) OVER w AS smin, max(tok) OVER w AS smax,"
+    " CAST(min(tok) OVER w AS BIGINT) AS smin, CAST(max(tok) OVER w AS BIGINT) AS smax,"
     " CAST(sum(tok) OVER w AS BIGINT) AS ssum"
     " FROM flat"
     " WINDOW w AS (PARTITION BY doc_id ORDER BY pos"
