@@ -73,6 +73,31 @@ def q_lang_id(sf_dir: str):
     )
 
 
+def _lang_id_sql() -> str:
+    """Oracle for q_lang_id: the profile trigram counts are literal
+    substring counts (non-overlapping, same as the engine's compiled-regex
+    count), argmax with alphabetical tie-break."""
+    rows = ", ".join(
+        f"('{lang}', '{g}')"
+        for lang in sorted(tx.LangId.PROFILES)
+        for g in tx.LangId.PROFILES[lang]
+    )
+    return (
+        "WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),"
+        f" p(lang, g) AS (SELECT * FROM (VALUES {rows})),"
+        " sc AS (SELECT doc_id, lang,"
+        "   CAST(sum((length(lt) - length(replace(lt, g, ''))) // length(g))"
+        "     AS BIGINT) AS score"
+        "   FROM t CROSS JOIN p GROUP BY doc_id, lang)"
+        " SELECT doc_id, lang AS pred_lang, score AS lang_score FROM sc"
+        " QUALIFY row_number() OVER (PARTITION BY doc_id"
+        "   ORDER BY score DESC, lang) = 1"
+    )
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
 def q_fingerprint(sf_dir: str):
     ds = _docs(sf_dir).map_batches(tx.fingerprint_batch, batch_format="pyarrow")
     return ds.map_batches(lambda t: t.select(["doc_id", "md5"]),
@@ -680,7 +705,7 @@ FRAME_SAMPLE_SQL = (
 DATA_QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
-    "lang_id": (q_lang_id, None),
+    "lang_id": (q_lang_id, LANG_ID_SQL),
     "fingerprint_md5": (q_fingerprint, FINGERPRINT_SQL),
     "fingerprint_rolling": (q_fingerprint_rolling, FINGERPRINT_ROLLING_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
