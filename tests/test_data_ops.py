@@ -208,3 +208,100 @@ def test_ivf_deterministic(emb):
     a = sim.IvfIndex(n_lists=8).train(m).assign(m)
     b = sim.IvfIndex(n_lists=8).train(m).assign(m)
     np.testing.assert_array_equal(a, b)
+
+
+def test_union_find_min_labels():
+    import numpy as np
+
+    from wavelet_decomposition_ray.functions import components as cc
+
+    a = np.array([1, 2, 7, 9], dtype=np.int64)
+    b = np.array([2, 3, 8, 1], dtype=np.int64)  # comps {1,2,3,9} {7,8}
+    lab = cc.union_find_min_labels(a, b)
+    assert lab == {1: 1, 2: 1, 3: 1, 9: 1, 7: 7, 8: 7}
+
+
+def test_union_find_guard():
+    import numpy as np
+    import pytest as _pt
+
+    from wavelet_decomposition_ray.functions import components as cc
+
+    n = cc.MAX_DRIVER_PAIRS + 1
+    with _pt.raises(ValueError):
+        cc.union_find_min_labels(np.zeros(n, np.int64), np.ones(n, np.int64))
+
+
+def test_hamming64_matches_bit_loop():
+    import numpy as np
+
+    from wavelet_decomposition_ray.functions import dedup as dd
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 1 << 63, 500, dtype=np.int64)
+    b = rng.integers(0, 1 << 63, 500, dtype=np.int64)
+    want = np.array(
+        [bin(int(x) ^ int(y)).count("1") for x, y in zip(a, b)], dtype=np.int64
+    )
+    np.testing.assert_array_equal(dd.hamming64(a, b), want)
+
+
+def test_simhasher_matches_scalar():
+    import numpy as np
+    import pyarrow as pa
+
+    from wavelet_decomposition_ray.functions import dedup as dd
+
+    texts = ["the quick brown fox", "the the the", "", "a b c d e f g",
+             "zebra zebra quick"]
+    batch = pa.table({"doc_id": pa.array(list(range(len(texts))),
+                                         type=pa.int64()),
+                      "text": pa.array(texts)})
+    got = dd.SimHasher()(batch)["simhash"].to_numpy(zero_copy_only=False)
+    want = np.array([dd.simhash64(t) for t in texts],
+                    dtype=np.uint64).view(np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_gram_sets_match_word_ngrams_counts():
+    import pyarrow as pa
+
+    from wavelet_decomposition_ray.functions import dedup as dd
+
+    texts = ["a b c d e", "x y", "one two three four one two three"]
+    batch = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                      "text": pa.array(texts)})
+    out = dd.GramSets()(batch)
+    for i, t in enumerate(texts):
+        assert out["set_size"][i].as_py() == len(dd.word_ngrams(t, 3)), t
+
+
+def test_capped_pairs_drops_and_logs(caplog):
+    import logging
+
+    import numpy as np
+    import pandas as pd
+
+    from wavelet_decomposition_ray.functions import dedup as dd
+
+    fn = dd.make_capped_pairs(cap=3)
+    small = pd.DataFrame({"band_id": 0, "band_hash": 1,
+                          "doc_id": [1, 2, 3]})
+    out = fn(small)
+    assert set(map(tuple, out.to_numpy())) == {(1, 2), (1, 3), (2, 3)}
+    big = pd.DataFrame({"band_id": 0, "band_hash": 9,
+                        "doc_id": np.arange(10)})
+    with caplog.at_level(logging.WARNING,
+                         logger="wavelet_decomposition_ray.dedup"):
+        out2 = fn(big)
+    assert len(out2) == 0
+    assert any("dropping candidate bucket" in r.message for r in caplog.records)
+
+
+def test_set_blob_roundtrip():
+    import numpy as np
+
+    from wavelet_decomposition_ray.functions import dedup as dd
+
+    arr = np.array([0, 1, 2**63, 2**64 - 1], dtype=np.uint64)
+    np.testing.assert_array_equal(dd.blob_set(dd.set_blob(arr)), arr)
