@@ -805,22 +805,26 @@ def _pack_codes(vals: np.ndarray, lens: np.ndarray) -> bytes:
     # build; multiply by a power-of-two lookup instead (identical mod 2^64)
     pow2 = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
     end_over = bit_in + lens - 64           # >0 where the code spills
-    fits = end_over <= 0
-    contrib_main = np.empty_like(vals)
-    contrib_main[fits] = vals[fits] * pow2[(-end_over[fits])]
-    nf = ~fits
-    contrib_main[nf] = vals[nf] >> end_over[nf].astype(np.uint64)
+    # branch-free: left-shift by max(-end_over, 0), right-shift by
+    # max(end_over, 0) — exactly one of the two is a no-op per lane, which
+    # replaces four boolean fancy-index passes with two dense ones
+    contrib_main = (vals * pow2[np.maximum(-end_over, 0)]) >> np.maximum(
+        end_over, 0
+    ).astype(np.uint64)
 
-    spill = nf
+    spill = end_over > 0
     w_spill = word[spill] + 1
     contrib_spill = vals[spill] * pow2[64 - end_over[spill]]
 
-    def accumulate(words_sorted, contribs):
+    def accumulate(words_arr, contribs):
+        # per-word sums of a word-sorted contribution stream are exact
+        # cumsum differences at word-boundary indices; boundaries come from
+        # an O(n) bincount rather than per-word binary searches
         s = np.zeros(len(contribs) + 1, dtype=np.uint64)
         np.cumsum(contribs, out=s[1:])
-        lo = np.searchsorted(words_sorted, np.arange(n_words))
-        hi = np.searchsorted(words_sorted, np.arange(1, n_words + 1))
-        return s[hi] - s[lo]
+        bounds = np.zeros(n_words + 1, dtype=np.int64)
+        np.cumsum(np.bincount(words_arr, minlength=n_words), out=bounds[1:])
+        return s[bounds[1:]] - s[bounds[:-1]]
 
     out = accumulate(word, contrib_main)
     if spill.any():
