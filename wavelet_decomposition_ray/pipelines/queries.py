@@ -395,6 +395,139 @@ EPN_SQL = (
 # sequence = per-user values ordered by (ts, event_id), tok = rint(value*100)
 # --------------------------------------------------------------------------
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def q_sessionize(sf_dir: str) -> "ray.data.Dataset":
+    """Session windows over the event stream: per user, a new session
+    starts when the inactivity gap exceeds 30 minutes (the gap-based
+    streaming window Ray Data has no primitive for — expressed as a
+    per-key ordered map_groups; users are small, so per-key grouping is
+    skew-safe). Emits per-session count / token sum / first+last event
+    micro-timestamps."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def per_user(g):
+        import pandas as pd
+
+        g = g.sort_values(["ts", "event_id"])
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        tok = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        brk = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            brk[1:] = (np.diff(ts_us) > SESSION_GAP_US).astype(np.int64)
+        sid = np.cumsum(brk) - 1
+        df = pd.DataFrame(
+            {
+                "user_id": np.full(len(g), int(g["user_id"].iloc[0]),
+                                   dtype=np.int64),
+                "session_idx": sid,
+                "tok": tok,
+                "ts_us": ts_us,
+            }
+        )
+        out = df.groupby(["user_id", "session_idx"], as_index=False).agg(
+            n_events=("tok", "size"),
+            tok_sum=("tok", "sum"),
+            first_us=("ts_us", "min"),
+            last_us=("ts_us", "max"),
+        )
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SESSIONIZE_SQL = (
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,"
+    " CAST(round(value * 100) AS BIGINT) AS tok,"
+    " CASE WHEN lag(epoch_us(ts)) OVER w IS NULL"
+    f"  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}"
+    "  THEN 1 ELSE 0 END AS brk"
+    " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+    " s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id"
+    "   ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)"
+    "   AS session_idx FROM e)"
+    " SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,"
+    " CAST(sum(tok) AS BIGINT) AS tok_sum,"
+    " min(ts_us) AS first_us, max(ts_us) AS last_us"
+    " FROM s GROUP BY user_id, session_idx"
+)
+
+
+def q_range_join(sf_dir: str) -> "ray.data.Dataset":
+    """RANGE join (non-equi): each event joined to the per-day lineitem
+    quantity aggregate over the +-3 calendar-day window around its
+    timestamp. The small side is a Ray partial+final daily aggregate whose
+    sorted day array + prefix sums broadcast once; the probe is two
+    vectorized searchsorteds per batch — the broadcast-range-join shape
+    (band joins at scale partition both sides by coarse time bucket and
+    replicate the band edges)."""
+    from ray.data.aggregate import Sum
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_shipdate", "l_quantity"]
+    )
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        day = t["l_shipdate"].to_pandas().dt.strftime("%Y-%m-%d")
+        qty = t["l_quantity"].to_numpy().astype(np.int64)
+        g = (
+            pd.DataFrame({"day": day, "qty": qty})
+            .groupby("day", as_index=False)["qty"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = (
+        li.map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("qty", alias_name="qty"))
+        .to_pandas()  # tiny: one row per calendar day
+        .sort_values("day")
+    )
+    DAY_US = 86_400_000_000
+    day_us = (
+        daily["day"].astype("datetime64[us]").to_numpy().astype(np.int64)
+    )
+    prefix = np.zeros(len(daily) + 1, dtype=np.int64)
+    np.cumsum(daily["qty"].to_numpy().astype(np.int64), out=prefix[1:])
+    side = ray.put((day_us, prefix))
+
+    def probe(t: pa.Table) -> pa.Table:
+        days, pref = ray.get(side)
+        ts = t["ts"].to_pandas().to_numpy().astype("datetime64[us]").astype(np.int64)
+        ev_day = (ts // DAY_US) * DAY_US
+        lo = np.searchsorted(days, ev_day - 3 * DAY_US, side="left")
+        hi = np.searchsorted(days, ev_day + 3 * DAY_US, side="right")
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "n_days": pa.array((hi - lo).astype(np.int64)),
+                "qty_sum": pa.array(pref[hi] - pref[lo]),
+            }
+        )
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    return ev.map_batches(probe, batch_format="pyarrow", batch_size=2048)
+
+
+RANGE_JOIN_SQL = (
+    "WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,"
+    " CAST(sum(l_quantity) AS BIGINT) AS qty FROM lineitem GROUP BY day)"
+    " SELECT e.event_id,"
+    " CAST(count(d.day) AS BIGINT) AS n_days,"
+    " CAST(COALESCE(sum(d.qty), 0) AS BIGINT) AS qty_sum"
+    " FROM events e LEFT JOIN daily d"
+    "   ON d.day BETWEEN CAST(e.ts AS DATE) - 3 AND CAST(e.ts AS DATE) + 3"
+    " GROUP BY e.event_id"
+)
+
+
 def q_events_rollup(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
@@ -1344,6 +1477,8 @@ CORE_QUERIES = {
     "codec_ok": (q_codec_ok, CODEC_SQL),
     "epn_quantiles": (q_epn_quantiles, EPN_SQL),
     "events_rollup_w4": (q_events_rollup, EVENTS_ROLLUP_SQL),
+    "sessionize": (q_sessionize, SESSIONIZE_SQL),
+    "range_join": (q_range_join, RANGE_JOIN_SQL),
     "daily_rollup": (q_daily_rollup, DAILY_ROLLUP_SQL),
     "sliding_w8": (q_sliding_w8, SLIDING_SQL),
     "events_asof": (q_events_asof, EVENTS_ASOF_SQL),
