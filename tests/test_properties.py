@@ -56,3 +56,48 @@ def test_rollup_block_codec_property(toks):
     back = oc.decode_rollup_block(oc.encode_rollup_block(tier))
     for k in tier:
         np.testing.assert_array_equal(back[k], tier[k])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-(1 << 63), (1 << 63) - 1), min_size=1,
+                 max_size=120),
+        min_size=1,
+        max_size=24,
+    ),
+    st.integers(1, 64),
+)
+def test_dod_wavefront_streams_property(blocks, min_lanes):
+    """Multi-stream wavefront decode == per-stream scalar decode for any
+    stream mix and any lane threshold (forces both the vector path and the
+    scalar-tail continuation)."""
+    streams = [oc.dod_encode(np.array(b, dtype=np.int64)) for b in blocks]
+    counts = np.array([len(b) for b in blocks], dtype=np.int64)
+    off = np.concatenate([[0], np.cumsum(counts)])
+    out = np.empty(off[-1], dtype=np.int64)
+    oc.dod_decode_streams(streams, counts, out, off[:-1], min_lanes=min_lanes)
+    for s, b in enumerate(blocks):
+        np.testing.assert_array_equal(out[off[s] : off[s + 1]],
+                                      np.array(b, dtype=np.int64))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-(1 << 63), (1 << 63) - 1), min_size=1,
+                 max_size=80),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_dod_encode_blocks_matches_scalar_property(blocks):
+    """The vectorized merged-code block encoder is byte-identical to the
+    scalar reference for every block."""
+    flat = np.concatenate([np.array(b, dtype=np.int64) for b in blocks])
+    off = np.concatenate(
+        [[0], np.cumsum([len(b) for b in blocks])]
+    ).astype(np.int64)
+    enc = oc.dod_encode_blocks(flat, off)
+    for j, b in enumerate(blocks):
+        assert enc[j] == oc.dod_encode_py(np.array(b, dtype=np.int64)), j
