@@ -104,6 +104,32 @@ class LangId:
         )
 
 
+class BpeishTokenizer:
+    """BPE-ish regex token counting (GPT-2-style segmentation classes:
+    contractions, letter runs, digit runs, punctuation runs, whitespace) —
+    the compiled pattern is per-actor state; counting is one findall per
+    doc via pandas str.count on the compiled regex."""
+
+    PATTERN = r"'[a-z][a-z]?| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+    def __init__(self):
+        import re
+
+        self.rx = re.compile(self.PATTERN)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        text = batch["text"].to_pandas()
+        n_tokens = text.str.count(self.rx).fillna(0).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": pa.array(n_tokens.to_numpy()),
+            }
+        )
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Document fingerprints: md5 (content identity, SQL-checkable against
     DuckDB's md5()) and a rolling polynomial hash (Rabin-Karp mod 2^61-1)

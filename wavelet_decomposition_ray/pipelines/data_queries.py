@@ -98,6 +98,23 @@ def _lang_id_sql() -> str:
 LANG_ID_SQL = _lang_id_sql()
 
 
+def q_token_count_bpe(sf_dir: str):
+    """BPE-ish regex token count (the brief's second token-counting mode):
+    actor-pool stage holding the compiled pattern; oracle runs the SAME
+    regex through DuckDB's RE2 (verified to agree on these classes)."""
+    return _docs(sf_dir).map_batches(
+        tx.BpeishTokenizer, batch_format="pyarrow", batch_size=256,
+        concurrency=2,
+    )
+
+
+TOKEN_COUNT_BPE_SQL = (
+    "SELECT doc_id, CAST(length(regexp_extract_all(text, '"
+    + tx.BpeishTokenizer.PATTERN.replace("'", "''")
+    + "')) AS BIGINT) AS n_bpe_tokens FROM documents"
+)
+
+
 def q_fingerprint(sf_dir: str):
     ds = _docs(sf_dir).map_batches(tx.fingerprint_batch, batch_format="pyarrow")
     return ds.map_batches(lambda t: t.select(["doc_id", "md5"]),
@@ -704,6 +721,7 @@ FRAME_SAMPLE_SQL = (
 
 DATA_QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
+    "token_count_bpe": (q_token_count_bpe, TOKEN_COUNT_BPE_SQL),
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
     "lang_id": (q_lang_id, LANG_ID_SQL),
     "fingerprint_md5": (q_fingerprint, FINGERPRINT_SQL),
