@@ -277,6 +277,50 @@ def make_capped_pairs(cap: int):
     return capped_pairs
 
 
+def make_partition_pairs(key_cols: list[str], cap: int):
+    """map_groups fn factory over a COARSE partition (``part`` column):
+    emits all id pairs per exact candidate key inside the partition. One
+    Ray group per partition instead of one per bucket — thousands of
+    micro-groups through groupby().map_groups() measured ~100x slower than
+    the underlying pair arithmetic. Oversized buckets drop with a logged
+    warning, exactly like :func:`make_capped_pairs`."""
+    import logging
+
+    log = logging.getLogger("wavelet_decomposition_ray.dedup")
+
+    def partition_pairs(df):
+        import pandas as pd
+
+        outs_a, outs_b = [], []
+        for key, sub in df.groupby(key_cols, sort=False):
+            ids = np.unique(sub["doc_id"].to_numpy())
+            if len(ids) > cap:
+                log.warning(
+                    "dropping candidate bucket %s=%s: %d docs > cap %d",
+                    key_cols, key, len(ids), cap,
+                )
+                continue
+            i, j = np.triu_indices(len(ids), k=1)
+            outs_a.append(ids[i])
+            outs_b.append(ids[j])
+        if not outs_a:
+            return pd.DataFrame(
+                {"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64)}
+            )
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(outs_a), "doc_b": np.concatenate(outs_b)}
+        )
+
+    return partition_pairs
+
+
+def add_part_column(t: pa.Table, key_col: str, n_parts: int) -> pa.Table:
+    """Coarse partition id from a bucket-key column (vectorized)."""
+    k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    part = ((k % n_parts) + n_parts) % n_parts
+    return t.append_column("part", pa.array(part.astype(np.int32)))
+
+
 def verify_pairs_blob_batch(t: pa.Table, tau: float) -> pa.Table:
     """(doc_a, doc_b, blob_a, blob_b) -> exact-Jaccard-verified pairs."""
     a = t["doc_a"].to_numpy(zero_copy_only=False)
