@@ -322,7 +322,6 @@ def _value_counts_by_source(sf_dir: str, absolute: bool = False
     token domain), not corpus-sized — this is what makes the EPN order
     statistics skew-proof: src-0 holding 40% of all rows no longer means a
     40%-of-corpus sort on one actor (VERDICT r1 "What's wrong #5")."""
-    from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
         vals, off = list_to_numpy(t["tokens"])
@@ -348,7 +347,30 @@ def _value_counts_by_source(sf_dir: str, absolute: bool = False
 
     partials = _seq_ds(sf_dir).map_batches(partial, batch_format="pyarrow",
                                            batch_size=256)
-    return partials.groupby(["source", "tok"]).aggregate(Sum("c", alias_name="c"))
+
+    # fold the partials per (source, tok) inside COARSE partitions — a Ray
+    # aggregate over ~65k distinct (source, tok) keys spends ~10 s on
+    # micro-group plumbing at this scale; one pandas groupby per coarse
+    # partition is exact and ~20x cheaper (same trick as the dedup
+    # candidate buckets)
+    n_parts = 8
+
+    def add_part(t: pa.Table) -> pa.Table:
+        tok = t["tok"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "part", pa.array((tok % n_parts).astype(np.int32))
+        )
+
+    def fold(df):
+        out = df.groupby(["source", "tok"], as_index=False)["c"].sum()
+        out["c"] = out["c"].astype(np.int64)
+        return out
+
+    return (
+        partials.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+    )
 
 
 def q_epn_quantiles(sf_dir: str) -> "ray.data.Dataset":
