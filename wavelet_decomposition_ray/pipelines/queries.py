@@ -332,15 +332,19 @@ def _value_counts_by_source(sf_dir: str, absolute: bool = False
         srcs = t["source"].to_pylist()
         codes, inv = np.unique(np.array(srcs, dtype=object), return_inverse=True)
         src_of_tok = np.repeat(inv, lens)
-        assert (v >= 0).all(), "value-histogram path assumes non-negative toks"
-        key = (src_of_tok.astype(np.int64) << 42) | v  # tok < 2^42
+        # bias to non-negative so the (source, tok) pair packs into one
+        # int64 key; tok range must fit 42 bits after the bias
+        vmin = int(v.min()) if len(v) else 0
+        vb = v - vmin
+        assert len(vb) == 0 or int(vb.max()) < (1 << 42), "token range too wide"
+        key = (src_of_tok.astype(np.int64) << 42) | vb
         uk, counts = np.unique(key, return_counts=True)
         return pa.table(
             {
                 "source": pa.array(
                     codes[(uk >> 42).astype(np.int64)].tolist(), type=pa.string()
                 ),
-                "tok": pa.array(uk & ((1 << 42) - 1)),
+                "tok": pa.array((uk & ((1 << 42) - 1)) + vmin),
                 "c": pa.array(counts.astype(np.int64)),
             }
         )
