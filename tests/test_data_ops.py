@@ -305,3 +305,31 @@ def test_set_blob_roundtrip():
 
     arr = np.array([0, 1, 2**63, 2**64 - 1], dtype=np.uint64)
     np.testing.assert_array_equal(dd.blob_set(dd.set_blob(arr)), arr)
+
+
+def test_dedup_keep_on_duplicate_free_corpus(ray_session, tmp_path):
+    """A corpus with no near-dups must keep every doc (empty pair list
+    yields a column-less frame — regression for the KeyError crash)."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    random.seed(0)
+    texts = [
+        " ".join(random.choice("abcdefghij") * 3 for _ in range(30))
+        + f" unique{i}"
+        for i in range(40)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(40)), type=pa.int64()),
+            "text": pa.array(texts),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = dq.DATA_QUERIES["dedup_keep"][0](str(tmp_path)).to_pandas()
+    assert len(out) == 40

@@ -304,9 +304,14 @@ def q_dedup_keep(sf_dir: str):
     from ..functions import components as cc
 
     pairs = q_dedup_minhash(sf_dir).to_pandas()  # bounded: buckets x cap^2
-    labels = cc.union_find_min_labels(
-        pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()
-    )
+    if len(pairs) == 0:
+        # duplicate-free corpus: an empty Dataset yields a column-less
+        # frame — nothing to drop, keep every doc
+        labels = {}
+    else:
+        labels = cc.union_find_min_labels(
+            pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()
+        )
     drop = np.array(sorted(d for d, root in labels.items() if root < d),
                     dtype=np.int64)
     drop_ref = ray.put(drop)
