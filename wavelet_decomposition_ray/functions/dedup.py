@@ -321,6 +321,21 @@ def add_part_column(t: pa.Table, key_col: str, n_parts: int) -> pa.Table:
     return t.append_column("part", pa.array(part.astype(np.int32)))
 
 
+def jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two SORTED unique arrays (the set_blob layout) via
+    a searchsorted merge — no re-sort, unlike np.intersect1d. Matches
+    :func:`jaccard` exactly."""
+    if len(a) > len(b):
+        a, b = b, a
+    if len(a) == 0:
+        return 1.0 if len(b) == 0 else 0.0
+    idx = np.searchsorted(b, a)
+    idx[idx == len(b)] = len(b) - 1
+    inter = int((b[idx] == a).sum())
+    union = len(a) + len(b) - inter
+    return inter / union
+
+
 def verify_pairs_blob_batch(t: pa.Table, tau: float) -> pa.Table:
     """(doc_a, doc_b, blob_a, blob_b) -> exact-Jaccard-verified pairs."""
     a = t["doc_a"].to_numpy(zero_copy_only=False)
@@ -328,7 +343,7 @@ def verify_pairs_blob_batch(t: pa.Table, tau: float) -> pa.Table:
     ba = t["blob_a"].to_pylist()
     bb = t["blob_b"].to_pylist()
     j = np.array(
-        [jaccard(blob_set(x), blob_set(y)) for x, y in zip(ba, bb)],
+        [jaccard_sorted(blob_set(x), blob_set(y)) for x, y in zip(ba, bb)],
         dtype=np.float64,
     )
     keep = j >= tau
