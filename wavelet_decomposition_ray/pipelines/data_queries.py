@@ -257,7 +257,13 @@ def q_dedup_minhash(sf_dir: str):
 
     The groupby key is (band_id, band_hash): fixed-width ints, the shape
     that survives 10^12 docs; buckets larger than LSH_BUCKET_CAP are
-    dropped WITH a logged warning (hot-bucket guard)."""
+    dropped WITH a logged warning (hot-bucket guard).
+
+    NB the lazy ``sets`` dataset feeds two branches (signatures and the
+    verify join), so shingling runs twice; that keeps the pipeline fully
+    streaming. On a long-lived cluster, checkpoint ``sets`` to parquet (or
+    ``materialize()`` into the object store) to trade one extra corpus
+    scan for storage."""
     # NB stateless instance-fns, not actor pools: at test scale a second
     # fixed pool can reserve every CPU of a tiny cluster and starve the
     # shuffle between the pools (pool-sizing rule, SURVEY.md §4.2.3); on a
