@@ -163,6 +163,24 @@ def test_fingerprint_matches_hashlib(docs):
     assert out["rolling_hash"].to_pylist() == [roll(t) for t in texts]
 
 
+def test_rolling_hash_vectorized_edge_cases():
+    """The vectorized (reversed-slice + segmented-sum) rolling hash must be
+    bit-identical to the scalar Horner loop on empties, non-ascii, and docs
+    crossing the 2^21-byte segment grid."""
+    MOD, BASE = (1 << 61) - 1, 257
+
+    def roll(t):
+        h = 0
+        for bch in t.encode():
+            h = (h * BASE + bch) % MOD
+        return h
+
+    texts = ["", "a", "é" * 7, "߿￿", "x" * ((1 << 21) + 3),
+             "", "y" * ((1 << 22) + 1), "tail"]
+    got = tx.rolling_hashes(texts).tolist()
+    assert got == [roll(t) for t in texts]
+
+
 def test_multimodal_plumbing(docs):
     payloads = mm.text_to_payload_batch(docs.slice(0, 20))
     assert payloads.schema.field("payload").type == pa.binary()

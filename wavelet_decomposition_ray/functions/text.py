@@ -130,25 +130,123 @@ class BpeishTokenizer:
         )
 
 
+_RH_MOD = (1 << 61) - 1  # Mersenne prime 2^61-1 (Rabin-Karp modulus)
+_RH_BASE = 257
+_RH_POWS = np.array([1], dtype=np.uint64)  # 257^k mod p, grown on demand
+
+
+def _rh_powers(n: int) -> np.ndarray:
+    """Power table 257^k mod p for k < n (module-cached, grow-only)."""
+    global _RH_POWS
+    if len(_RH_POWS) < n:
+        m = len(_RH_POWS)
+        ext = np.empty(n, dtype=np.uint64)
+        ext[:m] = _RH_POWS
+        p = int(_RH_POWS[m - 1])
+        for k in range(m, n):
+            p = (p * _RH_BASE) % _RH_MOD
+            ext[k] = p
+        _RH_POWS = ext
+    return _RH_POWS
+
+
+_RH_CHUNK = 1 << 21  # segment cap: keeps raw product sums inside uint64
+
+
+def _rh_half_tables(n: int):
+    """Cached 31-bit halves of the power table (hi = pow>>31, lo =
+    pow & (2^31-1)) — per-byte products byte*half stay < 2^39, so raw
+    segment sums up to 2^21 bytes are uint64-exact with NO per-byte
+    modular reduction."""
+    global _RH_HI, _RH_LO
+    P = _rh_powers(n)
+    try:
+        if len(_RH_HI) >= n:
+            return _RH_HI, _RH_LO
+    except NameError:
+        pass
+    _RH_HI = P >> np.uint64(31)
+    _RH_LO = P & np.uint64((1 << 31) - 1)
+    return _RH_HI, _RH_LO
+
+
+def rolling_hashes(texts: list[str]) -> np.ndarray:
+    """Rabin-Karp polynomial hash mod 2^61-1 of each text's utf-8 bytes,
+    vectorized across the batch (no per-byte Python):
+
+    h(doc) = sum_i byte_i * 257^(n-1-i) mod p. Doc i's power sequence is a
+    REVERSED SLICE of the cached table (one memcpy per doc — no per-byte
+    gather/repeat); the power is pre-split into 31-bit halves so every
+    byte*half product is < 2^39 and raw ``np.add.reduceat`` sums over
+    segments of <= 2^21 bytes are uint64-exact. Segment sums recombine
+    mod p with the Mersenne fold 2^61 === 1. Bit-identical to the scalar
+    ``h = (h*257 + b) % p`` loop (pytest-pinned) and to the HUGEINT
+    power-table SQL oracle."""
+    enc = [t.encode() for t in texts]
+    lens = np.array([len(b) for b in enc], dtype=np.int64)
+    out = np.zeros(len(enc), dtype=np.uint64)
+    total = int(lens.sum())
+    if total == 0:
+        return out.view(np.int64)
+    assert int(lens.max()) <= (1 << 24), (
+        "rolling hash: doc over 16 MiB — raise the power-table cap "
+        "or pre-split the document"
+    )
+    flat = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+    PH, PL = _rh_half_tables(int(lens.max()))
+    nz_lens = [int(l) for l in lens if l]
+    ph = np.concatenate([PH[l - 1 :: -1] for l in nz_lens])
+    pl = np.concatenate([PL[l - 1 :: -1] for l in nz_lens])
+    hi = flat * ph  # < 2^38 each
+    lo = flat * pl  # < 2^39 each
+    # segment starts: every doc start, plus a 2^21 grid inside long docs
+    doc_starts = np.concatenate([[0], np.cumsum(nz_lens)[:-1]]).astype(np.int64)
+    if max(nz_lens) > _RH_CHUNK:
+        extra = [
+            np.arange(s + _RH_CHUNK, s + l, _RH_CHUNK)
+            for s, l in zip(doc_starts.tolist(), nz_lens)
+            if l > _RH_CHUNK
+        ]
+        starts = np.unique(np.concatenate([doc_starts, *extra]))
+        seg_doc = np.searchsorted(doc_starts, starts, side="right") - 1
+    else:
+        starts = doc_starts
+        seg_doc = None
+    shi = np.add.reduceat(hi, starts)  # < 2^59 per segment
+    slo = np.add.reduceat(lo, starts)  # < 2^60 per segment
+    m30 = np.uint64((1 << 30) - 1)
+    s30, s61 = np.uint64(30), np.uint64(61)
+    c31 = np.uint64(1 << 31)
+    p_u = np.uint64(_RH_MOD)
+    # per-segment value = slo + shi*2^31 (mod p): fold the *2^31 carry via
+    # 2^61 === 1, then canonicalize below 2^61
+    seg = slo + (shi & m30) * c31 + (shi >> s30)  # < 2^62
+    seg = (seg & p_u) + (seg >> s61)
+    seg = (seg & p_u) + (seg >> s61)  # <= 2^61 - 1
+    if seg_doc is not None:
+        # fold multi-segment docs: 31-bit split keeps doc sums exact
+        bnd = np.searchsorted(seg_doc, np.arange(len(nz_lens)))
+        shi2 = np.add.reduceat(seg >> np.uint64(31), bnd)
+        slo2 = np.add.reduceat(seg & np.uint64((1 << 31) - 1), bnd)
+        seg = slo2 + (shi2 & m30) * c31 + (shi2 >> s30)
+        seg = (seg & p_u) + (seg >> s61)
+        seg = (seg & p_u) + (seg >> s61)
+    seg[seg >= p_u] -= p_u
+    out[lens > 0] = seg
+    return out.view(np.int64)
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Document fingerprints: md5 (content identity, SQL-checkable against
     DuckDB's md5()) and a rolling polynomial hash (Rabin-Karp mod 2^61-1)
     over the utf-8 bytes — the shingle-friendly fingerprint family."""
-    MOD = (1 << 61) - 1
-    BASE = 257
     texts = batch["text"].to_pylist()
     md5s = [hashlib.md5(t.encode()).hexdigest() for t in texts]
-    rolls = []
-    for t in texts:
-        h = 0
-        for b in t.encode():
-            h = (h * BASE + b) % MOD
-        rolls.append(h)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
             "md5": pa.array(md5s, type=pa.string()),
-            "rolling_hash": pa.array(np.array(rolls, dtype=np.int64)),
+            "rolling_hash": pa.array(rolling_hashes(texts)),
         }
     )
 
