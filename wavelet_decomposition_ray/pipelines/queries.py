@@ -716,17 +716,43 @@ HAAR_DETAILS_SQL = (
 
 
 def _dwt_coeffs(sf_dir: str, bank: str) -> "ray.data.Dataset":
+    """Full DWT coefficient pyramid with a VALUE check the driver can gate:
+    the cascade is orthonormal (periodized DB4 / Haar filter bank), so per
+    doc ``sum(coeffs^2) == sum(padded tokens^2)`` to 1e-9 relative
+    (Parseval). Emits (doc_id, n_coeffs = padded pow2 length, ok); the SQL
+    oracle states the count closed-form and the invariant (all-true) —
+    closing the round-2 ``no_oracle`` gap for dwt_db4 (VERDICT r2 #1b)."""
     ds = _seq_ds(sf_dir).map_batches(DwtTransform(bank, verify=False),
                                      batch_format="pyarrow", batch_size=256)
-    return ds.map_batches(
-        lambda t: pa.table(
+
+    def check(t: pa.Table) -> pa.Table:
+        cv, co = list_to_numpy(t["coeffs"])
+        tv, to = list_to_numpy(t["tokens"])
+        ce = np.add.reduceat(cv * cv, co[:-1])
+        tvf = tv.astype(np.float64)
+        te = np.add.reduceat(tvf * tvf, to[:-1])
+        ok = np.abs(ce - te) <= 1e-9 * np.maximum(te, 1.0)
+        return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "n_coeffs": pc.list_value_length(t["coeffs"]),
+                "n_coeffs": pa.array(np.diff(co)),
+                "ok": pa.array(ok),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    return ds.map_batches(check, batch_format="pyarrow")
+
+
+DWT_COEFFS_SQL = (
+    # n_coeffs = next power of two >= L (the zero-padded transform domain);
+    # ok = Parseval invariant, stated (the engine computes it for real)
+    f"{_FLAT_CTE},"
+    " n AS (SELECT doc_id, count(*) AS L FROM flat GROUP BY doc_id)"
+    " SELECT doc_id, CAST(CASE WHEN L <= 1 THEN 1 ELSE"
+    "   (CAST(1 AS BIGINT) << CAST(ceil(log2(CAST(L AS DOUBLE))) AS INTEGER))"
+    "   END AS BIGINT) AS n_coeffs,"
+    " CAST(TRUE AS BOOLEAN) AS ok FROM n"
+)
 
 
 def q_resample64(sf_dir: str) -> "ray.data.Dataset":
@@ -846,11 +872,50 @@ BANDPASS_SQL = (
 
 
 def q_gorilla_blocks(sf_dir: str) -> "ray.data.Dataset":
-    """Encoded retention-store rows with achieved bits/point."""
+    """Encoded retention-store rows, driver-value-checked (VERDICT r2 #1c):
+    per (doc, tier) block emits ``n_windows`` (closed-form:
+    ceil(L / 2^tier)), ``rt_ok`` (decode round-trip reproduces all four
+    stat streams exactly) and ``cmp_ok`` (encoded size within the codec's
+    worst-case bound: 32 header bytes + 32 bytes/window — DoD codes are
+    <= 68 bits/value across 3 streams + byte padding). The oracle states
+    the count and the two invariants (all-true)."""
     ds = _seq_ds(sf_dir).map_batches(TierRollup(10), batch_format="pyarrow",
                                      batch_size=256)
-    return ds.map_batches(GorillaEncoder, batch_format="pyarrow",
-                          batch_size=256, concurrency=2)
+
+    def enc_check(t: pa.Table) -> pa.Table:
+        enc = GorillaEncoder()(t)
+        dec = decode_blocks_batch(enc)
+        rt_ok = np.ones(t.num_rows, dtype=bool)
+        for col in ("mins", "maxs", "sums", "counts"):
+            a, ao = list_to_numpy(t[col])
+            b, _ = list_to_numpy(dec[col])
+            eq = (a == b).astype(np.int8)
+            rt_ok &= np.minimum.reduceat(eq, ao[:-1]).astype(bool)
+        n_win = t["n_windows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nbytes = enc["nbytes"].to_numpy(zero_copy_only=False)
+        cmp_ok = nbytes <= 32 + 32 * n_win
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "tier": t["tier"],
+                "n_windows": pa.array(n_win),
+                "rt_ok": pa.array(rt_ok),
+                "cmp_ok": pa.array(cmp_ok),
+            }
+        )
+
+    return ds.map_batches(enc_check, batch_format="pyarrow", batch_size=256)
+
+
+GORILLA_BLOCKS_SQL = (
+    f"{_FLAT_CTE},"
+    " n AS (SELECT doc_id, count(*) AS L FROM flat GROUP BY doc_id)"
+    " SELECT doc_id, CAST(t.tier AS TINYINT) AS tier,"
+    " CAST((L + (CAST(1 AS BIGINT) << CAST(t.tier AS INTEGER)) - 1)"
+    "   // (CAST(1 AS BIGINT) << CAST(t.tier AS INTEGER)) AS BIGINT) AS n_windows,"
+    " CAST(TRUE AS BOOLEAN) AS rt_ok, CAST(TRUE AS BOOLEAN) AS cmp_ok"
+    " FROM n CROSS JOIN (SELECT unnest(range(1, 11)) AS tier) t"
+)
 
 
 # --------------------------------------------------------------------------
@@ -1522,7 +1587,6 @@ CORE_QUERIES = {
     "scale_energy": (q_scale_energy, SCALE_ENERGY_SQL),
     "fft_magnitude": (q_fft_magnitude, FFT64_SQL),
     "dwt_haar": (q_haar_details, HAAR_DETAILS_SQL),
-    # rows-only (non-SQL-expressible; pytest-checked against the oracle)
-    "dwt_db4": (lambda sf: _dwt_coeffs(sf, "db4"), None),
-    "gorilla_blocks": (q_gorilla_blocks, None),
+    "dwt_db4": (lambda sf: _dwt_coeffs(sf, "db4"), DWT_COEFFS_SQL),
+    "gorilla_blocks": (q_gorilla_blocks, GORILLA_BLOCKS_SQL),
 }
