@@ -250,6 +250,57 @@ def test_union_find_guard():
         cc.union_find_min_labels(np.zeros(n, np.int64), np.ones(n, np.int64))
 
 
+def test_propagate_min_labels_matches_union_find(ray_session):
+    """The distributed label-propagation fallback must produce the exact
+    union-find labels on a graph mixing long chains (worst case for pure
+    propagation — pointer jumping handles it), stars, cliques and random
+    edges; edge count chosen well above any single partition."""
+    import ray.data
+
+    from wavelet_decomposition_ray.functions import components as cc
+
+    rng = np.random.default_rng(11)
+    edges = []
+    base = 0
+    # 20 chains of length 400 (diameter 400 >> the 64-round cap without
+    # pointer jumping)
+    for _ in range(20):
+        n = np.arange(base, base + 400, dtype=np.int64)
+        edges.append(np.stack([n[:-1], n[1:]], axis=1))
+        base += 400
+    # stars
+    for _ in range(50):
+        c = base
+        leaves = np.arange(base + 1, base + 60, dtype=np.int64)
+        edges.append(np.stack([np.full(len(leaves), c), leaves], axis=1))
+        base += 60
+    # random extra edges inside a block (merges some components)
+    r = rng.integers(0, base, size=(3000, 2)).astype(np.int64)
+    edges.append(r[r[:, 0] != r[:, 1]])
+    e = np.concatenate(edges)
+    want = cc.union_find_min_labels(e[:, 0], e[:, 1])
+
+    pairs = ray.data.from_arrow(
+        pa.table({"doc_a": pa.array(e[:, 0]), "doc_b": pa.array(e[:, 1])})
+    )
+    got = cc.propagate_min_labels(pairs).to_pandas()
+    got_map = dict(zip(got["node"].tolist(), got["label"].tolist()))
+    assert got_map == want
+
+
+def test_dedup_keep_distributed_path_matches_driver_path(ray_session, monkeypatch):
+    """Force the >guard branch of q_dedup_keep (guard=0) and check the
+    surviving corpus equals the driver union-find path's output."""
+    from wavelet_decomposition_ray.functions import components as cc
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    sf = "/root/testdata/sf0.001"
+    fast = dq.q_dedup_keep(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setattr(cc, "MAX_DRIVER_PAIRS", 0)
+    dist = dq.q_dedup_keep(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert fast.equals(dist)
+
+
 def test_hamming64_matches_bit_loop():
     import numpy as np
 

@@ -309,21 +309,34 @@ def q_dedup_keep(sf_dir: str):
     """Survivor selection: verified near-dup pairs -> connected components
     -> keep min(doc_id) per component -> the FILTERED corpus (what a
     training-data pipeline actually feeds downstream). The pair list is
-    bucket-bounded (small); components run on the driver behind an explicit
-    size guard, and the drop set broadcasts via ray.put."""
+    bucket-bounded (small): under the driver guard it runs union-find on
+    the driver; past the guard it switches to the DISTRIBUTED min-label
+    propagation (components.propagate_min_labels — joins + pointer
+    jumping, VERDICT r2 #4). The drop set broadcasts via ray.put."""
     from ..functions import components as cc
 
-    pairs = q_dedup_minhash(sf_dir).to_pandas()  # bounded: buckets x cap^2
-    if len(pairs) == 0:
+    pairs_ds = q_dedup_minhash(sf_dir).materialize()  # bounded: buckets x cap^2
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
         # duplicate-free corpus: an empty Dataset yields a column-less
         # frame — nothing to drop, keep every doc
-        labels = {}
-    else:
+        drop = np.empty(0, dtype=np.int64)
+    elif n_pairs <= cc.MAX_DRIVER_PAIRS:
+        pairs = pairs_ds.to_pandas()
         labels = cc.union_find_min_labels(
             pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()
         )
-    drop = np.array(sorted(d for d, root in labels.items() if root < d),
-                    dtype=np.int64)
+        drop = np.array(sorted(d for d, root in labels.items() if root < d),
+                        dtype=np.int64)
+    else:
+        lab = cc.propagate_min_labels(pairs_ds)
+        drop_tbl = lab.map_batches(
+            lambda t: t.filter(
+                pc.less(t["label"], t["node"])
+            ).select(["node"]),
+            batch_format="pyarrow",
+        ).to_pandas()  # dropped-doc ids only: << corpus
+        drop = np.sort(drop_tbl["node"].to_numpy().astype(np.int64))
     drop_ref = ray.put(drop)
 
     def keep_batch(t: pa.Table) -> pa.Table:
