@@ -610,10 +610,21 @@ IVF_TRAIN_SAMPLE = 4096
 
 
 def q_ann_ivf(sf_dir: str):
-    """IVF ANN: train the coarse quantizer on a BOUNDED deterministic
-    sample (never the full corpus on the driver), broadcast it, assign
-    list ids per batch, then answer the vec_id=0 query by scoring only the
-    probed lists — partition-pruned search."""
+    """IVF ANN with a PROVABLE-coverage probe escalation, so the answer is
+    exactly the brute-force top-10 and the driver gates it against
+    ``KNN_COSINE_SQL`` (closing round 2's last ``no_oracle``, VERDICT #1d).
+
+    Index build (amortized once per corpus at scale): train the coarse
+    quantizer on a bounded deterministic sample, then one scan computes
+    each list's ANGULAR RADIUS r_l = max angle(member, centroid). Query:
+    any vector of an unprobed list l satisfies
+    cos(q, v) <= cos(max(theta_l - r_l, 0)) (spherical triangle
+    inequality, theta_l = angle(q, centroid_l)); lists are probed in
+    descending-bound order and probing stops once the running 10th-best
+    similarity strictly beats every unprobed list's bound (with a margin
+    covering the round-6 output quantization). On a partitioned store the
+    probe scans only the probed list partitions; here the list id is
+    recomputed per batch (the assignment matmul is the scan cost)."""
     # deterministic sample: hash-select by vec_id, hard-capped row count;
     # k-means quality needs a representative sample, not the corpus
     sample_rows = (
@@ -633,26 +644,70 @@ def q_ann_ivf(sf_dir: str):
     mat = np.asarray([r["embedding"] for r in sample_rows], dtype=np.float64)
     index = sim.IvfIndex(n_lists=16).train(mat)
     index_ref = ray.put(index)
+
+    # per-list angular radius: distributed per-batch partial (min cosine of
+    # member vs own centroid), folded on the driver — n_lists-sized
+    def radius_partial(t: pa.Table) -> pa.Table:
+        idx = ray.get(index_ref)
+        m = sim.normalize_rows(sim.embedding_matrix(t))
+        lists = idx.assign(m)
+        cs = (m * idx.centroids[lists]).sum(axis=1)
+        ul, inv = np.unique(lists, return_inverse=True)
+        mins = np.full(len(ul), np.inf)
+        np.minimum.at(mins, inv, cs)
+        return pa.table(
+            {"ivf_list": pa.array(ul.astype(np.int32)),
+             "min_cos": pa.array(mins)}
+        )
+
+    rad = (
+        _emb(sf_dir)
+        .map_batches(radius_partial, batch_format="pyarrow")
+        .to_pandas()  # <= n_lists rows per batch: tiny
+        .groupby("ivf_list")["min_cos"].min()
+    )
+    n_lists = len(index.centroids)
+    min_cos = np.full(n_lists, np.nan)
+    min_cos[rad.index.to_numpy()] = rad.to_numpy()
+    empty = np.isnan(min_cos)
+
     q = _query_vector(sf_dir, 0)
-    probes = set(index.probe_lists(q, n_probe=4).tolist())
+    qn = sim.normalize_rows(q[None, :])[0]
+    theta = np.arccos(np.clip(index.centroids @ qn, -1.0, 1.0))
+    r_ang = np.arccos(np.clip(min_cos, -1.0, 1.0))
+    bound = np.cos(np.maximum(theta - r_ang, 0.0))
+    bound[empty] = -2.0  # empty lists cannot contain anything
+    order = np.argsort(-bound, kind="stable")
     q_ref = ray.put(q[None, :])
 
     assigned = _emb(sf_dir).map_batches(
         lambda t: sim.ivf_assign_batch(t, index_ref), batch_format="pyarrow"
     )
-    pruned = assigned.map_batches(
-        lambda t: t.filter(
-            pa.array(np.isin(t["ivf_list"].to_numpy(zero_copy_only=False),
-                             list(probes)))
-        ),
-        batch_format="pyarrow",
-    )
-    scored = pruned.map_batches(
-        sim.CosineTopK(q_ref, [0]), batch_format="pyarrow", batch_size=512
-    )
-    top = scored.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(10)
-    return top.map_batches(lambda t: t.select(["vec_id", "cos_sim"]),
-                           batch_format="pyarrow")
+    n_probe = 4
+    MARGIN = 2e-6  # round-6 quantization of emitted sims + float slack
+    while True:
+        probes = order[:n_probe]
+        pruned = assigned.map_batches(
+            lambda t, pr=probes: t.filter(
+                pa.array(np.isin(t["ivf_list"].to_numpy(zero_copy_only=False),
+                                 pr))
+            ),
+            batch_format="pyarrow",
+        )
+        scored = pruned.map_batches(
+            sim.CosineTopK(q_ref, [0]), batch_format="pyarrow", batch_size=512
+        )
+        top = (
+            scored.sort(["cos_sim", "vec_id"], descending=[True, False])
+            .limit(10)
+            .to_pandas()[["vec_id", "cos_sim"]]
+        )
+        if n_probe >= n_lists:
+            return top  # probed everything: trivially exact
+        unprobed_max = float(bound[order[n_probe:]].max())
+        if len(top) == 10 and float(top["cos_sim"].min()) > unprobed_max + MARGIN:
+            return top  # no unprobed vector can enter the top-10
+        n_probe = min(n_lists, n_probe * 2)
 
 
 EMBED_DEDUP_BLOCKS = 8
@@ -806,6 +861,6 @@ DATA_QUERIES = {
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "knn_cosine": (q_knn_cosine, KNN_COSINE_SQL),
     "ann_lsh": (q_ann_lsh, ANN_LSH_SQL),
-    "ann_ivf": (q_ann_ivf, None),
+    "ann_ivf": (q_ann_ivf, KNN_COSINE_SQL),
     "embed_dedup": (q_embed_dedup, EMBED_DEDUP_SQL),
 }
