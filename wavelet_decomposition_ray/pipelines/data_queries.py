@@ -259,18 +259,18 @@ def q_dedup_minhash(sf_dir: str):
     that survives 10^12 docs; buckets larger than LSH_BUCKET_CAP are
     dropped WITH a logged warning (hot-bucket guard).
 
-    NB the lazy ``sets`` dataset feeds two branches (signatures and the
-    verify join), so shingling runs twice; that keeps the pipeline fully
-    streaming. On a long-lived cluster, checkpoint ``sets`` to parquet (or
-    ``materialize()`` into the object store) to trade one extra corpus
-    scan for storage."""
+    The ``sets`` dataset feeds two branches (signatures and the verify
+    join), so it is CHECKPOINTED into the object store (``materialize``)
+    — one shingling scan instead of two/three (VERDICT r2 #6; the store
+    spills to disk if sets outgrow memory; a tmp-parquet checkpoint via
+    the manifest pattern is the disk-first alternative)."""
     # NB stateless instance-fns, not actor pools: at test scale a second
     # fixed pool can reserve every CPU of a tiny cluster and starve the
     # shuffle between the pools (pool-sizing rule, SURVEY.md §4.2.3); on a
     # real cluster these become map_batches(cls, concurrency=(a, b))
     sets = _docs(sf_dir).map_batches(
         dd.shingle_sets_batch, batch_format="pyarrow", batch_size=512
-    )
+    ).materialize()
     hasher = dd.MinHasher()
     sigs = sets.map_batches(
         lambda t: dd.minhash_from_sets_batch(t, hasher),
@@ -479,10 +479,12 @@ def q_ngram_jaccard(sf_dir: str):
     """Word-3-gram Jaccard pairs >= τ, distributed shape: per-doc distinct
     gram-hash sets -> explode -> groupby(gram) with a document-frequency
     cap (logged drops) -> candidate pairs -> exact-Jaccard verify via the
-    same per-doc set JOIN as minhash (no driver-side size dict)."""
+    same per-doc set JOIN as minhash (no driver-side size dict). ``sets``
+    feeds both the explode and the verify join — checkpointed once, like
+    q_dedup_minhash."""
     sets = _docs(sf_dir).map_batches(
         dd.GramSets(), batch_format="pyarrow", batch_size=512
-    )
+    ).materialize()
 
     def explode(batch: pa.Table) -> pa.Table:
         blobs = batch["set_blob"].to_pylist()
