@@ -301,6 +301,65 @@ def test_dedup_keep_distributed_path_matches_driver_path(ray_session, monkeypatc
     assert fast.equals(dist)
 
 
+def test_simhash_band_pigeonhole():
+    """Any pair at hamming <= 6 must share at least one of the 7 bands
+    exactly (the candidate-recall guarantee), and the band slices must
+    tile all 64 bits."""
+    assert sum(dd.SIMHASH_BAND_BITS) == 64
+    assert len(dd.SIMHASH_BAND_BITS) > 6  # pigeonhole for hamming <= 6
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 1 << 63, 200, dtype=np.int64).view(np.uint64)
+    flips = np.zeros_like(base)
+    for i in range(len(base)):
+        bits = rng.choice(64, size=rng.integers(0, 7), replace=False)
+        f = np.uint64(0)
+        for b in bits:
+            f |= np.uint64(1) << np.uint64(b)
+        flips[i] = f
+    other = base ^ flips
+
+    def bands(h):
+        t = dd.simhash_bands_batch(
+            pa.table({"doc_id": pa.array(np.arange(len(h))),
+                      "simhash": pa.array(h.view(np.int64))})
+        )
+        return t["band_hash"].to_numpy().reshape(len(h), len(dd.SIMHASH_BAND_BITS))
+
+    ba, bo = bands(base), bands(other)
+    assert ((ba == bo).any(axis=1)).all()
+
+
+def test_read_all_partials_raises_on_legacy_bucket(tmp_path):
+    """A manifest bucket with data but no partials file (pre-partials
+    store) must fail loudly, not fold an incomplete source_stats."""
+    import json
+
+    import pandas as pd
+
+    from wavelet_decomposition_ray.state import manifest as mf
+
+    out = str(tmp_path / "store")
+    mdir = mf.manifest_dir(out)
+    import os
+    os.makedirs(mdir)
+    json.dump({"bucket": 0, "file": "data/bucket-0.parquet"},
+              open(f"{mdir}/bucket-00000.json", "w"))
+    json.dump({"bucket": 1, "file": "data/bucket-1.parquet"},
+              open(f"{mdir}/bucket-00001.json", "w"))
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(
+            {"bucket": [1], "source": ["s"], "tier": [1], "n_docs": [1],
+             "n_windows": [1], "nbytes": [1]})),
+        f"{mdir}/partials-00001.parquet",
+    )
+    with pytest.raises(RuntimeError, match="without[\\s\\S]*partials"):
+        mf.read_all_partials(out)
+    # empty-bucket manifest rows (file=None) need no partials
+    json.dump({"bucket": 0, "file": None},
+              open(f"{mdir}/bucket-00000.json", "w"))
+    assert len(mf.read_all_partials(out)) == 1
+
+
 def test_hamming64_matches_bit_loop():
     import numpy as np
 

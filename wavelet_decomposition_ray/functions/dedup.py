@@ -313,13 +313,23 @@ def make_capped_pairs(cap: int):
     return capped_pairs
 
 
+DROP_FRACTION_ALERT = 0.10  # error-level log past this dropped-mass share
+
+
 def make_partition_pairs(key_cols: list[str], cap: int):
     """map_groups fn factory over a COARSE partition (``part`` column):
     emits all id pairs per exact candidate key inside the partition. One
     Ray group per partition instead of one per bucket — thousands of
     micro-groups through groupby().map_groups() measured ~100x slower than
-    the underlying pair arithmetic. Oversized buckets drop with a logged
-    warning, exactly like :func:`make_capped_pairs`."""
+    the underlying pair arithmetic.
+
+    Oversized buckets drop with a logged warning, and the partition's
+    TOTAL dropped candidate mass (sum of C(n,2) over dropped buckets, as a
+    fraction of all candidate mass) is surfaced at the end — at error
+    level past DROP_FRACTION_ALERT, so a corpus whose buckets are
+    systematically over the cap (recall silently collapsing toward 0)
+    fails loudly in the logs rather than returning a quietly-empty pair
+    set (ADVICE r2)."""
     import logging
 
     log = logging.getLogger("wavelet_decomposition_ray.dedup")
@@ -328,17 +338,33 @@ def make_partition_pairs(key_cols: list[str], cap: int):
         import pandas as pd
 
         outs_a, outs_b = [], []
+        kept_mass = 0
+        dropped_mass = 0
+        dropped_buckets = 0
         for key, sub in df.groupby(key_cols, sort=False):
             ids = np.unique(sub["doc_id"].to_numpy())
+            mass = len(ids) * (len(ids) - 1) // 2
             if len(ids) > cap:
+                dropped_mass += mass
+                dropped_buckets += 1
                 log.warning(
                     "dropping candidate bucket %s=%s: %d docs > cap %d",
                     key_cols, key, len(ids), cap,
                 )
                 continue
+            kept_mass += mass
             i, j = np.triu_indices(len(ids), k=1)
             outs_a.append(ids[i])
             outs_b.append(ids[j])
+        if dropped_mass:
+            frac = dropped_mass / max(kept_mass + dropped_mass, 1)
+            lvl = log.error if frac > DROP_FRACTION_ALERT else log.warning
+            lvl(
+                "partition dropped %d candidate pairs across %d hot "
+                "buckets (%.1f%% of candidate mass; cap=%d) — recall is "
+                "below 1 for pairs confined to those buckets",
+                dropped_mass, dropped_buckets, 100.0 * frac, cap,
+            )
         if not outs_a:
             return pd.DataFrame(
                 {"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64)}
@@ -469,23 +495,37 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return _POPCNT8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
 
 
-def simhash_bands_batch(batch: pa.Table, n_bands: int = 8) -> pa.Table:
-    """Explode 64-bit simhashes into ``n_bands`` byte bands — the candidate
-    bucket key for hamming-distance pair search. With 8 bands of 8 bits,
-    any pair at hamming <= 7 shares at least one clean band (pigeonhole),
-    so recall for the hamming<=6 predicate is EXACTLY 1."""
+# 7 bands over 64 bits (10+9*6): pigeonhole needs MORE bands than the max
+# hamming distance (6) for a guaranteed clean band; 7 is the minimum, which
+# maximizes per-band width (512-1024 buckets/band vs 256 for byte bands) —
+# 2-4x more selective before the occupancy cap starts dropping buckets
+# (ADVICE r2: byte-band occupancy N/256 overwhelmed the cap past ~65k docs)
+SIMHASH_BAND_BITS = (10, 9, 9, 9, 9, 9, 9)
+_SIMHASH_SHIFTS = np.cumsum((0,) + SIMHASH_BAND_BITS[:-1]).astype(np.uint64)
+_SIMHASH_MASKS = np.array(
+    [(1 << b) - 1 for b in SIMHASH_BAND_BITS], dtype=np.uint64
+)
+
+
+def simhash_bands_batch(batch: pa.Table) -> pa.Table:
+    """Explode 64-bit simhashes into the 7 pigeonhole bands: any pair at
+    hamming <= 6 differs in at most 6 of the 7 bands, so at least one band
+    matches exactly — candidate recall for the hamming<=6 predicate is
+    EXACTLY 1 *before* the occupancy cap; buckets past the cap are dropped
+    loudly (make_partition_pairs), which is the only recall loss channel."""
     h = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
     n = len(h)
-    bytes_ = np.ascontiguousarray(h).view(np.uint8).reshape(n, 8)
-    assert n_bands == 8, "byte bands wired for n_bands=8"
-    rep = np.repeat(np.arange(n), 8)
+    nb = len(SIMHASH_BAND_BITS)
+    # (n, nb) band values: right shift is fast in this numpy build
+    vals = (h[:, None] >> _SIMHASH_SHIFTS[None, :]) & _SIMHASH_MASKS[None, :]
+    rep = np.repeat(np.arange(n), nb)
     doc = batch["doc_id"]
     if isinstance(doc, pa.ChunkedArray):
         doc = doc.combine_chunks()
     return pa.table(
         {
-            "band_id": pa.array(np.tile(np.arange(8, dtype=np.int32), n)),
-            "band_hash": pa.array(bytes_.ravel().astype(np.int32)),
+            "band_id": pa.array(np.tile(np.arange(nb, dtype=np.int32), n)),
+            "band_hash": pa.array(vals.ravel().astype(np.int32)),
             "doc_id": doc.take(pa.array(rep)),
         }
     )

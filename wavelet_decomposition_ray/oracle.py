@@ -723,12 +723,15 @@ def dod_decode_streams(
     else:
         return
 
-    # scalar tail: finish the few longest streams from their saved state
+    # scalar tail: finish the few longest streams from their saved state.
+    # Convert ONLY each tail lane's word range to a Python list — a whole-
+    # buffer tolist() put O(total decoded bytes) on the read hot path
+    # (ADVICE r2)
     k_tail = int(np.searchsorted(-cnt, -i - 1, side="right"))
-    wl = words.tolist()
     for lane in range(k_tail):
+        wl = words[gbase[lane] : gbase[lane] + nw[lane]].tolist()
         _dod_scalar_continue(
-            wl, int(gbase[lane]), int(pos[lane]), int(cur[lane]),
+            wl, 0, int(pos[lane]), int(cur[lane]),
             int(delta[lane]), out, int(oo[lane]), i, int(cnt[lane]),
         )
 

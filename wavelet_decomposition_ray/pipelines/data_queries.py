@@ -412,10 +412,19 @@ DEDUP_SIMHASH_SQL = _simhash_sql()
 
 
 def q_simhash_pairs(sf_dir: str):
-    """SimHash near-dup PAIRS (hamming <= SIMHASH_MAX_HAMMING): byte-band
-    buckets (8 bands x 8 bits — pigeonhole guarantees recall 1 for the
-    <= 6 predicate) -> capped candidate groupby -> exact hamming verify via
-    joins on the per-doc simhash (int payload)."""
+    """SimHash near-dup PAIRS (hamming <= SIMHASH_MAX_HAMMING): 7 pigeonhole
+    bands over the 64-bit hash (>6 bands => one clean band per qualifying
+    pair) -> capped candidate groupby -> exact hamming verify via joins on
+    the per-doc simhash (int payload).
+
+    Recall is exactly 1 ONLY while no bucket exceeds the occupancy cap:
+    the cap scales with corpus size (4x the expected N/512 bucket load, so
+    only adversarially hot buckets drop) and drops are surfaced with a
+    dropped-mass fraction in the logs (ADVICE r2 — the round-2 fixed cap
+    silently emptied the pair set past ~65k docs)."""
+    n_docs = _docs(sf_dir, columns=("doc_id",)).count()  # parquet metadata
+    min_band_buckets = 1 << min(dd.SIMHASH_BAND_BITS)
+    cap = max(LSH_BUCKET_CAP, -(-4 * n_docs // min_band_buckets))
     sims = _docs(sf_dir).map_batches(
         dd.SimHasher(), batch_format="pyarrow", batch_size=256
     )
@@ -426,7 +435,7 @@ def q_simhash_pairs(sf_dir: str):
     )
     cand = _dedupe_pairs(
         bands.groupby("part").map_groups(
-            dd.make_partition_pairs(["band_id", "band_hash"], LSH_BUCKET_CAP),
+            dd.make_partition_pairs(["band_id", "band_hash"], cap),
             batch_format="pandas",
         )
     )

@@ -102,19 +102,39 @@ def read_all_partials(out_dir: str):
     """Concatenate every bucket's persisted per-(source, tier) partials
     (written atomically by :class:`PartitionWriter`) into one pandas frame —
     the input of the finalize fold. Covers buckets completed by PREVIOUS
-    runs, which a resumed run never re-executes. Returns None when no
-    partials exist (legacy store or empty run)."""
+    runs, which a resumed run never re-executes. Returns None when NO
+    partials exist (legacy store or empty run — callers fall back to
+    this-run partials only).
+
+    Raises when partials exist but some non-empty manifest bucket has no
+    partials file (a legacy store mixed with new buckets): folding the
+    partial set would silently omit the legacy buckets from
+    source_stats.parquet (ADVICE r2)."""
     import pandas as pd
 
     mdir = manifest_dir(out_dir)
     if not os.path.isdir(mdir):
         return None
+    have = set()
     frames = []
     for f in sorted(os.listdir(mdir)):
         if f.startswith("partials-") and f.endswith(".parquet"):
+            have.add(int(f[len("partials-") : -len(".parquet")]))
             frames.append(pq.read_table(os.path.join(mdir, f)).to_pandas())
     if not frames:
         return None
+    need = {
+        int(row["bucket"]) for row in read_manifest(out_dir)
+        if row.get("file") is not None
+    }
+    missing = sorted(need - have)
+    if missing:
+        raise RuntimeError(
+            f"store at {out_dir} has manifest buckets {missing} without "
+            "partials files (written by a pre-partials version): "
+            "source_stats would silently omit them — delete the store's "
+            "source_stats/manifest and re-run, or rebuild the store"
+        )
     return pd.concat(frames, ignore_index=True)
 
 
