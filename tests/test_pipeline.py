@@ -90,6 +90,29 @@ def test_full_job_and_resume(seq_dir, tmp_path):
             assert hashlib.md5(fh.read()).hexdigest() == row["checksum"]
 
 
+def test_full_job_survives_actor_death(seq_dir, tmp_path):
+    """Mid-job encoder-actor loss (simulated node failure: the first
+    RollupEncode task to claim the flag file hard-kills its worker) must be
+    retried transparently — the job completes and every output byte equals
+    a clean run's (the stage is a pure per-row function, so the retry is
+    deterministic)."""
+    clean = str(tmp_path / "clean")
+    rp.run_rollup_job(seq_dir, clean, bank="haar", n_tiers=8, n_buckets=8,
+                      batch_size=64, verify=False)
+
+    flag = str(tmp_path / "kill-one-encoder")
+    open(flag, "w").close()
+    out = str(tmp_path / "faulted")
+    summary = rp.run_rollup_job(
+        seq_dir, out, bank="haar", n_tiers=8, n_buckets=8, batch_size=64,
+        verify=False, encoder_concurrency=(2, 4), fault_flag=flag,
+    )
+    assert not os.path.exists(flag), "fault was never injected"
+    assert os.path.exists(flag + ".claimed"), "fault was never injected"
+    assert summary["buckets_written"] == 8
+    assert _file_hashes(out) == _file_hashes(clean)
+
+
 def test_source_tier_aggregate_matches_pandas(seq_dir, ray_session):
     ds = rp.sequences_dataset(seq_dir)
     rolled = rp.rollup_dataset(ds, bank="haar", n_tiers=4, verify=False, batch_size=64)

@@ -119,6 +119,7 @@ def run_rollup_job(
     verify: bool = True,
     batch_size: int = 256,
     encoder_concurrency=(1, 8),
+    fault_flag: str | None = None,
 ) -> dict:
     """Run the full job; resumable from per-bucket checkpoints.
 
@@ -156,7 +157,7 @@ def run_rollup_job(
     try:
         return _run_rollup_job_inner(
             input_path, out_dir, bank, n_tiers, n_buckets, resume, verify,
-            batch_size, encoder_concurrency, t0,
+            batch_size, encoder_concurrency, t0, fault_flag,
         )
     finally:
         (
@@ -168,7 +169,7 @@ def run_rollup_job(
 
 def _run_rollup_job_inner(
     input_path, out_dir, bank, n_tiers, n_buckets, resume, verify,
-    batch_size, encoder_concurrency, t0,
+    batch_size, encoder_concurrency, t0, fault_flag=None,
 ):
     done = mf.completed_buckets(out_dir) if resume else frozenset()
     if len(done) >= n_buckets:
@@ -214,11 +215,16 @@ def _run_rollup_job_inner(
     # materialized as Arrow list columns (RollupEncode docstring)
     ds = ds.map_batches(
         RollupEncode,
-        fn_constructor_kwargs={"n_tiers": n_tiers},
+        fn_constructor_kwargs={"n_tiers": n_tiers, "fault_flag": fault_flag},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=encoder_concurrency,
         num_cpus=1,
+        # actor loss mid-job (node failure at scale) must retry, not fail:
+        # restart the actor and re-run its in-flight tasks (the stage is a
+        # pure per-row function, so retries are byte-identical)
+        max_restarts=-1,
+        max_task_retries=-1,
     )
     partials_ds = ds.groupby("bucket", num_partitions=n_buckets).map_groups(
         mf.PartitionWriter(out_dir), batch_format="pyarrow"

@@ -95,15 +95,35 @@ class RollupEncode:
     Output rows and blob bytes are identical to TierRollup -> GorillaEncoder.
     """
 
-    def __init__(self, n_tiers: int = 10):
+    def __init__(self, n_tiers: int = 10, fault_flag: str | None = None):
         self.n_tiers = n_tiers
         self.points_encoded = 0
         self.bytes_out = 0
+        # test hook: path of a flag file; the FIRST actor task to claim it
+        # kills its own worker process mid-stage (simulated node loss).
+        # Inert in production (None). The retry pytest proves the job
+        # completes with byte-identical output anyway.
+        self.fault_flag = fault_flag
+
+    def _maybe_inject_fault(self):
+        import os
+
+        if not self.fault_flag:
+            return
+        try:
+            # atomic claim: exactly one actor dies even with a pool racing
+            os.replace(self.fault_flag, self.fault_flag + ".claimed")
+        except OSError:
+            return
+        os._exit(1)  # hard kill — an exception would be a user error, not
+        #              an actor death, and would fail the job instead
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import struct
 
         from ..functions.listops import tumble_starts
+
+        self._maybe_inject_fault()
 
         values, offsets = list_to_numpy(batch["tokens"])
         v64 = values.astype(np.int64)
