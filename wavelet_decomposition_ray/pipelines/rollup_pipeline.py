@@ -220,11 +220,13 @@ def _run_rollup_job_inner(
         batch_size=batch_size,
         concurrency=encoder_concurrency,
         num_cpus=1,
-        # actor loss mid-job (node failure at scale) must retry, not fail:
-        # restart the actor and re-run its in-flight tasks (the stage is a
-        # pure per-row function, so retries are byte-identical)
-        max_restarts=-1,
-        max_task_retries=-1,
+        # NB: deliberately NO max_restarts / max_task_retries here — Ray Data
+        # replaces dead pool actors and re-runs their in-flight bundles on
+        # its own (pytest kills an encoder mid-job and output stays
+        # byte-identical), while marking the actor restartable at the Ray
+        # core level disables actor-task submission pipelining and costs
+        # ~60-70% wall time (interleaved A/B at 16 cpus, sf0.4: 11.4-15.2 s
+        # plain vs 19.3-21.1 s with max_restarts=-1).
     )
     partials_ds = ds.groupby("bucket", num_partitions=n_buckets).map_groups(
         mf.PartitionWriter(out_dir), batch_format="pyarrow"
