@@ -552,19 +552,93 @@ def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
     return np.asarray(rows[0]["embedding"], dtype=np.float64)
 
 
+def _local_topk_per_query(k: int):
+    """Batch fn after CosineTopK: keep only each query's local top-k by
+    (cos desc, vec_id asc). Downstream global sort/limit then runs on
+    ~k x n_queries x n_batches rows instead of the corpus — the
+    local-then-global top-k shape that survives 10^12 rows."""
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qid = t["query_id"].to_numpy(zero_copy_only=False)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        cs = t["cos_sim"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, -cs, qid))  # qid, then cos desc, then vid
+        qs = qid[order]
+        # rank within query = position - first position of that query
+        first = np.searchsorted(qs, np.unique(qs))
+        rank = np.arange(len(qs)) - np.repeat(
+            first, np.diff(np.append(first, len(qs)))
+        )
+        keep = order[rank < k]
+        return t.take(pa.array(np.sort(keep)))
+
+    return local_topk
+
+
 def q_knn_cosine(sf_dir: str):
     """Brute-force cosine top-10 against the query vector (vec_id=0):
-    numpy matmul per batch vs the broadcast query; global top-k via
-    sort+limit on the tiny candidate set."""
+    numpy matmul per batch vs the broadcast query, per-batch LOCAL top-10,
+    then global sort+limit over the tiny surviving candidate set (the
+    round-2 version sorted every scored row — a corpus-sized distributed
+    sort for a 10-row answer)."""
     q = _query_vector(sf_dir, 0)
     q_ref = ray.put(q[None, :])
 
     ds = _emb(sf_dir).map_batches(
         sim.CosineTopK(q_ref, [0]), batch_format="pyarrow", batch_size=512
     )
+    ds = ds.map_batches(_local_topk_per_query(10), batch_format="pyarrow")
     top = ds.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(10)
     return top.map_batches(lambda t: t.select(["vec_id", "cos_sim"]),
                            batch_format="pyarrow")
+
+
+KNN_MULTI_IDS = (0, 1, 2)
+
+
+def q_knn_cosine_multi(sf_dir: str):
+    """Batched similarity search — the realistic serving shape: top-10 per
+    query for a BATCH of query vectors, via ONE broadcast query matrix and
+    one matmul per data batch (scores all queries simultaneously), local
+    top-10 per (batch, query), then a per-query finish over the tiny
+    candidate set (3 groups — not a micro-group risk)."""
+    rows = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id").isin(list(KNN_MULTI_IDS)),
+    ).take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    qmat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    qids = [int(r["vec_id"]) for r in rows]
+    q_ref = ray.put(qmat)
+
+    ds = _emb(sf_dir).map_batches(
+        sim.CosineTopK(q_ref, qids), batch_format="pyarrow", batch_size=512
+    )
+    cand = ds.map_batches(_local_topk_per_query(10), batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = _local_topk_per_query(10)(t)
+        return out.select(["query_id", "vec_id", "cos_sim"])
+
+    return cand.groupby("query_id").map_groups(finish, batch_format="pyarrow")
+
+
+KNN_MULTI_SQL = (
+    "WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,"
+    " generate_subscripts(embedding, 1) AS i FROM embeddings),"
+    " n AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),"
+    f" q AS (SELECT vec_id AS query_id, i, v FROM e WHERE vec_id IN {KNN_MULTI_IDS}),"
+    " d AS (SELECT q.query_id, e.vec_id, sum(e.v * q.v) AS dot"
+    "   FROM e JOIN q USING (i) GROUP BY q.query_id, e.vec_id),"
+    " s AS (SELECT d.query_id, d.vec_id,"
+    "   round(d.dot / (n.nrm * nq.nrm), 6) AS cos_sim"
+    "   FROM d JOIN n ON n.vec_id = d.vec_id"
+    "   JOIN n nq ON nq.vec_id = d.query_id)"
+    " SELECT query_id, vec_id, cos_sim FROM s"
+    " QUALIFY row_number() OVER (PARTITION BY query_id"
+    "   ORDER BY cos_sim DESC, vec_id) <= 10"
+)
 
 
 KNN_COSINE_SQL = (
@@ -871,6 +945,7 @@ DATA_QUERIES = {
     "dedup_keep": (q_dedup_keep, DEDUP_KEEP_SQL),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "knn_cosine": (q_knn_cosine, KNN_COSINE_SQL),
+    "knn_cosine_multi": (q_knn_cosine_multi, KNN_MULTI_SQL),
     "ann_lsh": (q_ann_lsh, ANN_LSH_SQL),
     "ann_ivf": (q_ann_ivf, KNN_COSINE_SQL),
     "embed_dedup": (q_embed_dedup, EMBED_DEDUP_SQL),
