@@ -67,6 +67,41 @@ TEXT_QUALITY_SQL = (
 )
 
 
+QUALITY_MIN_WORDS = 5
+QUALITY_WL_RANGE = (2.0, 12.0)
+QUALITY_MIN_TTR = 0.3
+
+
+def q_quality_filter(sf_dir: str):
+    """The actual corpus-filtering step of a training-data pipeline: keep
+    documents whose quality signals clear the thresholds (enough words,
+    plausible mean word length, non-degenerate type-token ratio). Pure
+    streaming map+filter — composes with dedup_keep downstream. Filters on
+    the ROUNDED metrics so the SQL oracle's predicate is bit-identical."""
+    lo, hi = QUALITY_WL_RANGE
+
+    def keep(t: pa.Table) -> pa.Table:
+        scored = tx.quality_batch(t)
+        nw = scored["n_words"].to_numpy(zero_copy_only=False)
+        wl = scored["avg_word_len"].to_numpy(zero_copy_only=False)
+        ttr = scored["type_token_ratio"].to_numpy(zero_copy_only=False)
+        mask = (nw >= QUALITY_MIN_WORDS) & (wl >= lo) & (wl <= hi) & (
+            ttr >= QUALITY_MIN_TTR
+        )
+        return scored.filter(pa.array(mask))
+
+    return _docs(sf_dir).map_batches(keep, batch_format="pyarrow",
+                                     batch_size=512)
+
+
+QUALITY_FILTER_SQL = (
+    f"SELECT * FROM ({TEXT_QUALITY_SQL})"
+    f" WHERE n_words >= {QUALITY_MIN_WORDS}"
+    f" AND avg_word_len BETWEEN {QUALITY_WL_RANGE[0]} AND {QUALITY_WL_RANGE[1]}"
+    f" AND type_token_ratio >= {QUALITY_MIN_TTR}"
+)
+
+
 def q_lang_id(sf_dir: str):
     return _docs(sf_dir).map_batches(
         tx.LangId, batch_format="pyarrow", batch_size=256, concurrency=2
@@ -933,6 +968,7 @@ DATA_QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "token_count_bpe": (q_token_count_bpe, TOKEN_COUNT_BPE_SQL),
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
+    "quality_filter": (q_quality_filter, QUALITY_FILTER_SQL),
     "lang_id": (q_lang_id, LANG_ID_SQL),
     "multimodal_features": (q_multimodal_features, MULTIMODAL_SQL),
     "frame_sample": (q_frame_sample, FRAME_SAMPLE_SQL),
