@@ -90,6 +90,40 @@ class MediaFeatures:
         )
 
 
+class MediaResize:
+    """Actor-pool stage: "resize" the decoded payload to a fixed-length
+    thumbnail by exact integer index sampling — position k of ``size``
+    samples byte ``k * (n - 1) // (size - 1)`` (nearest-pixel resize in 1-D;
+    swap ``_decode_payload`` + this sampler for PIL's ``Image.resize`` on a
+    real cluster). Integer arithmetic keeps it SQL-checkable."""
+
+    def __init__(self, size: int = 16):
+        assert size >= 2
+        self.size = size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        types = batch["media_type"].to_pylist()
+        n = len(payloads)
+        out = np.full((n, self.size), -1, dtype=np.int32)
+        ks = np.arange(self.size, dtype=np.int64)
+        for i, (p, t) in enumerate(zip(payloads, types)):
+            arr = _decode_payload(p, t)
+            if len(arr) == 0:
+                continue
+            idx = ks * (len(arr) - 1) // (self.size - 1)
+            out[i] = arr[idx].astype(np.int32)
+        from .listops import numpy_to_list
+
+        off = np.arange(n + 1, dtype=np.int64) * self.size
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "thumb": numpy_to_list(out.ravel(), off, pa.int32()),
+            }
+        )
+
+
 class FrameSampler:
     """Actor-pool stage: sample every ``stride``-th byte ("frame") of the
     payload — the video frame-sampling shape (decode stubbed as above)."""

@@ -964,6 +964,47 @@ FRAME_SAMPLE_SQL = (
 # recorded no CORRECTNESS row for the then-last registry entry even though
 # it passes the gate locally — keep the tail position for queries that
 # already have rows.
+RESIZE_SIZE = 16
+
+
+def q_media_resize(sf_dir: str):
+    """Multimodal resize stage (brief: decode / feature-extract / RESIZE /
+    frame-sample): fixed-length nearest-sample thumbnail of every payload,
+    in long form so the sampled byte values are SQL-checkable."""
+    ds = _docs(sf_dir).map_batches(mm.text_to_payload_batch, batch_format="pyarrow")
+    ds = ds.map_batches(mm.MediaResize(RESIZE_SIZE), batch_format="pyarrow",
+                        batch_size=256)
+
+    def explode(t: pa.Table) -> pa.Table:
+        from ..functions.listops import list_to_numpy
+
+        vals, off = list_to_numpy(t["thumb"])
+        n = len(off) - 1
+        row_of = np.repeat(np.arange(n), RESIZE_SIZE)
+        k = np.tile(np.arange(RESIZE_SIZE, dtype=np.int64), n)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(row_of)),
+                "k": pa.array(k),
+                "byte_val": pa.array(vals.astype(np.int32)),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+MEDIA_RESIZE_SQL = (
+    # payload = utf-8 text bytes (the declared fake, ASCII in this synth);
+    # thumbnail position k samples byte k*(n-1)//(size-1)
+    "SELECT doc_id, CAST(t.k AS BIGINT) AS k,"
+    " CAST(ascii(substr(text,"
+    f"   CAST(t.k * (length(text) - 1) // {RESIZE_SIZE - 1} + 1 AS INTEGER),"
+    "   1)) AS INTEGER) AS byte_val"
+    f" FROM documents, UNNEST(range(0, {RESIZE_SIZE})) t(k)"
+    " WHERE length(text) > 0"
+)
+
+
 DATA_QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "token_count_bpe": (q_token_count_bpe, TOKEN_COUNT_BPE_SQL),
@@ -972,6 +1013,7 @@ DATA_QUERIES = {
     "lang_id": (q_lang_id, LANG_ID_SQL),
     "multimodal_features": (q_multimodal_features, MULTIMODAL_SQL),
     "frame_sample": (q_frame_sample, FRAME_SAMPLE_SQL),
+    "media_resize": (q_media_resize, MEDIA_RESIZE_SQL),
     "fingerprint_md5": (q_fingerprint, FINGERPRINT_SQL),
     "fingerprint_rolling": (q_fingerprint_rolling, FINGERPRINT_ROLLING_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
