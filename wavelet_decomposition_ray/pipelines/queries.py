@@ -1541,16 +1541,10 @@ def q_source_stats_salted(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
-def q_store_stats(sf_dir: str) -> "ray.data.Dataset":
-    """Per-(source, tier) stats answered FROM THE RETENTION STORE: run the
-    flagship job (idempotent — resume skips completed buckets), read the
-    encoded per-bucket parquet back, decode the Gorilla/DoD blocks, and
-    aggregate. Must equal the same SQL oracle as ``source_stats`` computed
-    from raw tokens — the full write->read->query lifecycle of the store
-    (reference entry point 3, SURVEY.md §3.3)."""
+def _ensure_store(sf_dir: str) -> str:
+    """Idempotently build (or reuse) the retention store for ``sf_dir``
+    with a lineage freshness guard; returns the store directory."""
     import os
-
-    from ..stages.encode import decode_blocks_batch
 
     seq = synth.ensure_sequences(sf_dir)
     sf_name = os.path.basename(os.path.normpath(sf_dir))
@@ -1580,6 +1574,21 @@ def q_store_stats(sf_dir: str) -> "ray.data.Dataset":
     rp.run_rollup_job(seq, out, bank="haar", n_tiers=10, n_buckets=16,
                       resume=True, verify=False, batch_size=256,
                       encoder_concurrency=(1, 8))
+    return out
+
+
+def q_store_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-(source, tier) stats answered FROM THE RETENTION STORE: run the
+    flagship job (idempotent — resume skips completed buckets), read the
+    encoded per-bucket parquet back, decode the Gorilla/DoD blocks, and
+    aggregate. Must equal the same SQL oracle as ``source_stats`` computed
+    from raw tokens — the full write->read->query lifecycle of the store
+    (reference entry point 3, SURVEY.md §3.3)."""
+    import os
+
+    from ..stages.encode import decode_blocks_batch
+
+    out = _ensure_store(sf_dir)
     decoded = ray.data.read_parquet(os.path.join(out, "data")).map_batches(
         decode_blocks_batch, batch_format="pyarrow", batch_size=2048
     )
@@ -1592,12 +1601,45 @@ def q_store_stats(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+STORE_TIER = 3
+
+
+def q_store_tier(sf_dir: str) -> "ray.data.Dataset":
+    """Tier-scoped store read — the retention store's core access pattern:
+    answer a single-tier question by PUSHING the tier predicate into the
+    parquet read (only matching row groups leave storage) and decoding only
+    those rows' blobs; everything else is identical to ``store_stats``.
+    Oracle = the raw-token aggregate restricted to the same tier."""
+    import os
+
+    from ..stages.encode import decode_blocks_batch
+
+    out = _ensure_store(sf_dir)
+    decoded = ray.data.read_parquet(
+        os.path.join(out, "data"),
+        filter=(pc.field("tier") == STORE_TIER),
+    ).map_batches(decode_blocks_batch, batch_format="pyarrow", batch_size=2048)
+    agg = rp.source_tier_aggregate(decoded)
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("tier"), "tier", pc.cast(t["tier"], pa.int8())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+STORE_TIER_SQL = (
+    f"SELECT * FROM ({SOURCE_STATS_SQL}) WHERE tier = {STORE_TIER}"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
     "rollup_t6": (lambda sf: _rollup_long(sf, 6), _rollup_sql(6)),
     "source_stats": (q_source_stats, SOURCE_STATS_SQL),
     "store_stats": (q_store_stats, SOURCE_STATS_SQL),
+    "store_tier3": (q_store_tier, STORE_TIER_SQL),
     "haar_l1": (q_haar_l1, HAAR_L1_SQL),
     "roundtrip_haar": (lambda sf: _roundtrip(sf, "haar"), ROUNDTRIP_SQL),
     "roundtrip_db4": (lambda sf: _roundtrip(sf, "db4"), ROUNDTRIP_SQL),
