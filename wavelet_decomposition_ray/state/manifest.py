@@ -162,7 +162,12 @@ class PartitionWriter:
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
         bucket = int(group["bucket"][0].as_py())
-        group = group.sort_by([("doc_id", "ascending"), ("tier", "ascending")])
+        # tier-FIRST sort: clusters each retention tier into contiguous
+        # parquet row groups, so tier-scoped reads (the store's dominant
+        # query shape — coarse tiers for long ranges) prune at the row-group
+        # level via predicate pushdown instead of decoding every row. Still
+        # fully deterministic (resume rewrites stay byte-identical).
+        group = group.sort_by([("tier", "ascending"), ("doc_id", "ascending")])
         group = group.drop_columns(["bucket"])
         rel = f"data/bucket={bucket:05d}.parquet"
         path = os.path.join(self.out_dir, rel)
