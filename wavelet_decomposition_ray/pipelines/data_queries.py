@@ -18,7 +18,6 @@ from ..functions import dedup as dd
 from ..functions import multimodal as mm
 from ..functions import similarity as sim
 from ..functions import text as tx
-from ..functions.listops import numpy_to_list
 
 NEAR_DUP_TAU = 0.5       # char-5-shingle / word-3-gram Jaccard threshold
 EMBED_TAU = 0.4          # cosine near-dup threshold (data max is ~0.51)
@@ -232,8 +231,6 @@ def _dedupe_pairs(cand: "ray.data.Dataset") -> "ray.data.Dataset":
     a many-key aggregate)."""
 
     def local(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
         return pa.Table.from_pandas(
             t.to_pandas().drop_duplicates(["doc_a", "doc_b"]),
             preserve_index=False,
