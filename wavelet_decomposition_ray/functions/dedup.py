@@ -191,13 +191,30 @@ def shingle_sets_batch(batch: pa.Table, k: int = 5) -> pa.Table:
         sizes = np.bincount(dv, minlength=n).astype(np.int64)
         soff = np.concatenate([[0], np.cumsum(sizes)])
         raw = np.ascontiguousarray(hvs).astype("<u8").tobytes()
-        blobs = [raw[soff[i] * 8 : soff[i + 1] * 8] for i in range(n)]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "set_blob": blob_array_from_flat(raw, soff),
+                "set_size": pa.array(sizes),
+            }
+        )
     return pa.table(
         {
             "doc_id": batch["doc_id"],
             "set_blob": pa.array(blobs, type=pa.binary()),
             "set_size": pa.array(sizes),
         }
+    )
+
+
+def blob_array_from_flat(raw: bytes, set_off: np.ndarray) -> pa.Array:
+    """Zero-copy pa.binary array over one flat value buffer: element i =
+    raw[set_off[i]*8 : set_off[i+1]*8] — no per-doc byte slicing."""
+    byte_off = (set_off * 8).astype(np.int32)
+    assert len(raw) < (1 << 31), "binary column over 2 GiB: split the batch"
+    return pa.Array.from_buffers(
+        pa.binary(), len(byte_off) - 1,
+        [None, pa.py_buffer(byte_off.tobytes()), pa.py_buffer(raw)],
     )
 
 
@@ -245,25 +262,36 @@ class GramSets:
         self.wh = WordHasher()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # batch-vectorized like shingle_sets_batch: one _mix3 over the
+        # concatenated word-hash stream (grams straddling a doc boundary
+        # are masked out), one lexsort for the per-doc distinct sets, one
+        # flat buffer for all blobs — no per-doc Python loop
         texts = batch["text"].to_pylist()
         words_per_doc = [t.split() for t in texts]
         flat = [w for ws in words_per_doc for w in ws]
         hw = self.wh.hash_words(flat)
+        n = len(texts)
         lens = np.array([len(ws) for ws in words_per_doc], dtype=np.int64)
-        off = np.concatenate([[0], np.cumsum(lens)])
-        blobs, sizes = [], np.empty(len(texts), dtype=np.int64)
-        for i in range(len(texts)):
-            seg = hw[off[i] : off[i + 1]]
-            if len(seg) < 3:
-                g = np.empty(0, dtype=np.uint64)
-            else:
-                g = np.unique(_mix3(seg[:-2], seg[1:-1], seg[2:]))
-            blobs.append(set_blob(g))
-            sizes[i] = len(g)
+        doc_of = np.repeat(np.arange(n), lens)
+        if len(hw) >= 3:
+            valid = doc_of[:-2] == doc_of[2:]
+            gh = _mix3(hw[:-2], hw[1:-1], hw[2:])[valid]
+            gd = doc_of[:-2][valid]
+            order = np.lexsort((gh, gd))
+            gd, gh = gd[order], gh[order]
+            keep = np.ones(len(gd), dtype=bool)
+            keep[1:] = (gd[1:] != gd[:-1]) | (gh[1:] != gh[:-1])
+            gd, gh = gd[keep], gh[keep]
+        else:
+            gd = np.empty(0, dtype=np.int64)
+            gh = np.empty(0, dtype=np.uint64)
+        sizes = np.bincount(gd, minlength=n).astype(np.int64)
+        soff = np.concatenate([[0], np.cumsum(sizes)])
+        raw = np.ascontiguousarray(gh).astype("<u8").tobytes()
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "set_blob": pa.array(blobs, type=pa.binary()),
+                "set_blob": blob_array_from_flat(raw, soff),
                 "set_size": pa.array(sizes),
             }
         )
