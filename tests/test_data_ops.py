@@ -301,6 +301,18 @@ def test_dedup_keep_distributed_path_matches_driver_path(ray_session, monkeypatc
     assert fast.equals(dist)
 
 
+def test_media_resize_edges():
+    """Empty payloads are dropped (oracle parity); short payloads clamp to
+    nearest-sample endpoints."""
+    b = pa.table({"doc_id": pa.array([1, 2]),
+                  "payload": pa.array([b"", b"ab"], type=pa.binary()),
+                  "media_type": pa.array(["text/fake"] * 2)})
+    out = mm.MediaResize(16)(b)
+    assert out["doc_id"].to_pylist() == [2]
+    t = out["thumb"][0].as_py()
+    assert len(t) == 16 and t[0] == ord("a") and t[-1] == ord("b")
+
+
 def test_simhash_band_pigeonhole():
     """Any pair at hamming <= 6 must share at least one of the 7 bands
     exactly (the candidate-recall guarantee), and the band slices must

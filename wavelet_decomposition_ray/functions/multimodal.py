@@ -104,22 +104,25 @@ class MediaResize:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         types = batch["media_type"].to_pylist()
-        n = len(payloads)
-        out = np.full((n, self.size), -1, dtype=np.int32)
+        keep_rows, thumbs = [], []
         ks = np.arange(self.size, dtype=np.int64)
         for i, (p, t) in enumerate(zip(payloads, types)):
             arr = _decode_payload(p, t)
             if len(arr) == 0:
-                continue
+                continue  # empty payloads have no thumbnail (oracle parity)
             idx = ks * (len(arr) - 1) // (self.size - 1)
-            out[i] = arr[idx].astype(np.int32)
+            keep_rows.append(i)
+            thumbs.append(arr[idx].astype(np.int32))
         from .listops import numpy_to_list
 
+        n = len(keep_rows)
+        flat = (np.concatenate(thumbs) if thumbs
+                else np.empty(0, dtype=np.int32))
         off = np.arange(n + 1, dtype=np.int64) * self.size
         return pa.table(
             {
-                "doc_id": batch["doc_id"],
-                "thumb": numpy_to_list(out.ravel(), off, pa.int32()),
+                "doc_id": batch["doc_id"].take(pa.array(keep_rows)),
+                "thumb": numpy_to_list(flat, off, pa.int32()),
             }
         )
 
