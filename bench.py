@@ -67,12 +67,12 @@ def _headline(sf_dir: str, ncpus: int) -> dict:
                       resume=False, verify=False, batch_size=256,
                       encoder_concurrency=(1, ncpus))
 
-    # best-of-2 inside one session: this shared host shows minute-scale
-    # background-load swings of 1.5-2x (measured 2026-08-17); the repeat is
-    # back-to-back so the pair sees the same conditions, and BOTH times are
+    # best-of-3 inside one session: this shared host shows minute-scale
+    # background-load swings of 1.5-2x (measured 2026-08-17); the repeats
+    # are back-to-back so they see similar conditions, and ALL times are
     # reported (value = best, job_runs = all) — no silent selection
     job_times = []
-    for rep in range(2):
+    for rep in range(3):
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.perf_counter()
         summary = rp.run_rollup_job(
@@ -98,7 +98,7 @@ def _headline(sf_dir: str, ncpus: int) -> dict:
     import ray.data as rd
 
     dec_times = []
-    for rep in range(2):
+    for rep in range(3):
         t1 = time.perf_counter()
         decoded = rd.read_parquet(os.path.join(out, "data")).map_batches(
             decode_blocks_batch, batch_format="pyarrow", batch_size=2048
