@@ -208,6 +208,43 @@ DEDUP_EXACT_SQL = (
 )
 
 
+def q_dedup_exact_keep(sf_dir: str):
+    """Exact-dedup corpus FILTER — the cheap first pass every training-data
+    pipeline runs before near-dup: hash -> per-hash min(doc_id) survivors
+    (small: one row per DISTINCT content) -> broadcast survivor set ->
+    streaming filter of the corpus. The broadcast side is distinct-content-
+    sized; at 10^12 docs swap it for a semi-join on content_hash."""
+    from ray.data.aggregate import Min
+
+    keep_ids = (
+        _docs(sf_dir)
+        .map_batches(dd.exact_hash_batch, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(Min("doc_id", alias_name="keep_id"))
+        .to_pandas()["keep_id"]
+        .to_numpy()
+    )
+    keep_ref = ray.put(np.sort(keep_ids.astype(np.int64)))
+
+    def keep_batch(t: pa.Table) -> pa.Table:
+        k = ray.get(keep_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(k, ids)
+        idx[idx == len(k)] = len(k) - 1 if len(k) else 0
+        mask = (k[idx] == ids) if len(k) else np.zeros(len(ids), dtype=bool)
+        return t.filter(pa.array(mask))
+
+    return _docs(sf_dir, columns=("doc_id", "n_chars")).map_batches(
+        keep_batch, batch_format="pyarrow"
+    )
+
+
+DEDUP_EXACT_KEEP_SQL = (
+    "SELECT doc_id, n_chars FROM documents"
+    " QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1"
+)
+
+
 LSH_BUCKET_CAP = 256     # max docs per band bucket before the O(k^2) guard
 GRAM_DF_CAP = 64         # max docs per gram bucket (document-frequency cap):
                          # candidate volume grows with sum(df^2); a gram
@@ -1014,6 +1051,7 @@ DATA_QUERIES = {
     "fingerprint_md5": (q_fingerprint, FINGERPRINT_SQL),
     "fingerprint_rolling": (q_fingerprint_rolling, FINGERPRINT_ROLLING_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_exact_keep": (q_dedup_exact_keep, DEDUP_EXACT_KEEP_SQL),
     "dedup_minhash": (q_dedup_minhash, DEDUP_MINHASH_SQL),
     "dedup_simhash": (q_dedup_simhash, DEDUP_SIMHASH_SQL),
     "simhash_pairs": (q_simhash_pairs, SIMHASH_PAIRS_SQL),
