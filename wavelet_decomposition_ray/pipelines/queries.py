@@ -627,6 +627,206 @@ EVENTS_ROLLUP_SQL = (
 )
 
 
+HOUR_US = 3_600_000_000
+# (user_id, ts_us) pairs pack into one sortable int64 key iff ts_us < 2^51
+# (true until 2041) and user_id < 2^12; both asserted loudly in the fold.
+_TS_BITS = 51
+
+
+def q_gapfill_hourly(sf_dir: str) -> "ray.data.Dataset":
+    """Gap-fill / forward-fill resample: each user's irregular event stream
+    sampled onto a regular hourly grid spanning [first event, last event],
+    carrying the last observed token forward (the classic time-series
+    regularization step ahead of any windowed aggregate).
+
+    Shape: same coarse hash-partition fold as :func:`q_sessionize`. Inside
+    the partition the per-user grids are built with one repeat/cumsum pass
+    and the fill is ONE global ``searchsorted`` over (user, ts) keys packed
+    into int64 — no per-user loop, no per-grid-point work."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def fold(df):
+        import pandas as pd
+
+        uid, ts_us, tok, user_start = _user_sorted(df)
+        n = len(uid)
+        if n == 0:
+            return pd.DataFrame(
+                {"user_id": np.array([], dtype=np.int64),
+                 "hour_us": np.array([], dtype=np.int64),
+                 "tok_ff": np.array([], dtype=np.int64)}
+            )
+        assert ts_us.max() < (1 << _TS_BITS) and uid.max() < (
+            1 << (63 - _TS_BITS)
+        ), "gapfill key packing: ts or user_id out of packable range"
+        starts = np.nonzero(user_start)[0]
+        ends = np.append(starts[1:], n)
+        lo, hi = ts_us[starts], ts_us[ends - 1]
+        g0 = (lo + HOUR_US - 1) // HOUR_US * HOUR_US  # ceil to the hour
+        cnt = np.maximum(0, (hi - g0) // HOUR_US + 1)
+        off = np.concatenate([[0], np.cumsum(cnt)])
+        total = int(off[-1])
+        iu = np.repeat(np.arange(len(starts)), cnt)
+        k = np.arange(total, dtype=np.int64) - np.repeat(off[:-1], cnt)
+        hour_us = g0[iu] + k * HOUR_US
+        guser = uid[starts][iu]
+        # last event <= grid point within the same user: one searchsorted on
+        # packed keys; 'right' breaks ts ties toward the largest event_id
+        # (events are (user, ts, event_id)-sorted), matching the SQL window
+        key_ev = (uid << np.int64(_TS_BITS)) | ts_us
+        key_gr = (guser << np.int64(_TS_BITS)) | hour_us
+        pos = np.searchsorted(key_ev, key_gr, side="right") - 1
+        return pd.DataFrame(
+            {"user_id": guser, "hour_us": hour_us, "tok_ff": tok[pos]}
+        )
+
+    return (
+        ds.map_batches(_add_user_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+GAPFILL_SQL = (
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,"
+    " CAST(round(value * 100) AS BIGINT) AS tok FROM events),"
+    " b AS (SELECT user_id,"
+    f"  (min(ts_us) + {HOUR_US - 1}) // {HOUR_US} * {HOUR_US} AS g0,"
+    "  max(ts_us) AS hi FROM e GROUP BY user_id),"
+    " grid AS (SELECT user_id,"
+    f"  unnest(generate_series(g0, hi, {HOUR_US})) AS hour_us"
+    "  FROM b WHERE g0 <= hi),"
+    " pts AS (SELECT user_id, ts_us, 1 AS is_evt, tok, event_id FROM e"
+    "  UNION ALL SELECT user_id, hour_us, 0, NULL, NULL FROM grid),"
+    " f AS (SELECT user_id, ts_us, is_evt,"
+    "  last_value(tok IGNORE NULLS) OVER (PARTITION BY user_id"
+    "   ORDER BY ts_us, is_evt DESC, event_id"
+    "   ROWS UNBOUNDED PRECEDING) AS tok_ff FROM pts)"
+    " SELECT user_id, ts_us AS hour_us, CAST(tok_ff AS BIGINT) AS tok_ff"
+    " FROM f WHERE is_evt = 0"
+)
+
+
+def q_events_rate(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user discrete derivative: consecutive-event token delta, time
+    delta, and rate per second (lag-window shape). First event of each user
+    (and exact-duplicate timestamps) emit nothing. ``rate_per_s`` is the
+    identical IEEE expression on both sides (dtok / (dt_us / 1e6)), so the
+    doubles are bit-exact, not merely close."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def fold(df):
+        import pandas as pd
+
+        uid, ts_us, tok, user_start = _user_sorted(df)
+        eid = (
+            df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")[
+                "event_id"
+            ].to_numpy().astype(np.int64)
+        )
+        n = len(uid)
+        if n < 2:
+            keep = np.zeros(n, dtype=bool)
+            dt = dtok = np.array([], dtype=np.int64)
+        else:
+            dt_all = np.empty(n, dtype=np.int64)
+            dtok_all = np.empty(n, dtype=np.int64)
+            dt_all[1:] = np.diff(ts_us)
+            dtok_all[1:] = np.diff(tok)
+            keep = ~user_start
+            keep[1:] &= dt_all[1:] > 0
+            dt, dtok = dt_all[keep], dtok_all[keep]
+        return pd.DataFrame(
+            {
+                "user_id": uid[keep],
+                "event_id": eid[keep],
+                "dt_us": dt,
+                "dtok": dtok,
+                "rate_per_s": dtok / (dt / 1e6) if len(dt) else
+                np.array([], dtype=np.float64),
+            }
+        )
+
+    return (
+        ds.map_batches(_add_user_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+EVENTS_RATE_SQL = (
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,"
+    " CAST(round(value * 100) AS BIGINT) AS tok FROM events),"
+    " d AS (SELECT user_id, event_id,"
+    "  ts_us - lag(ts_us) OVER w AS dt_us, tok - lag(tok) OVER w AS dtok"
+    "  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))"
+    " SELECT user_id, event_id, CAST(dt_us AS BIGINT) AS dt_us,"
+    " CAST(dtok AS BIGINT) AS dtok,"
+    " CAST(dtok AS DOUBLE) / (dt_us / 1000000.0) AS rate_per_s"
+    " FROM d WHERE dt_us > 0"
+)
+
+
+def q_events_ewma8(sf_dir: str) -> "ray.data.Dataset":
+    """Exponential-decay trailing window (8-tap, base 2): for each event at
+    per-user position ``pos``, ``ewma_num = sum_{k=0..min(pos,7)}
+    tok[pos-k] * 2^(7-k)`` — the integer-exact numerator of a truncated
+    EWMA with alpha = 1/2 (streaming smoother shape; BIGINT on both sides
+    so the oracle is hash-exact, no float cascade).
+
+    Vectorized as 8 shifted adds over the partition-wide arrays with
+    user-boundary masks — no per-user loop, no per-row window build."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def fold(df):
+        import pandas as pd
+
+        uid, ts_us, tok, user_start = _user_sorted(df)
+        eid = (
+            df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")[
+                "event_id"
+            ].to_numpy().astype(np.int64)
+        )
+        n = len(uid)
+        starts = np.nonzero(user_start)[0]
+        runs = np.diff(np.append(starts, n))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, runs)
+        ewma = np.zeros(n, dtype=np.int64)
+        idx = np.arange(n, dtype=np.int64)
+        for k in range(8):
+            m = pos >= k
+            ewma[m] += tok[idx[m] - k] << (7 - k)
+        return pd.DataFrame(
+            {"user_id": uid, "event_id": eid, "ewma_num": ewma}
+        )
+
+    return (
+        ds.map_batches(_add_user_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+EWMA8_SQL = (
+    "WITH seq AS (SELECT user_id, event_id,"
+    " CAST(round(value * 100) AS BIGINT) AS tok,"
+    " row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos"
+    " FROM events)"
+    " SELECT a.user_id, a.event_id,"
+    " CAST(sum(b.tok * (CAST(1 AS BIGINT) <<"
+    "   CAST(7 - a.pos + b.pos AS INTEGER))) AS BIGINT) AS ewma_num"
+    " FROM seq a JOIN seq b ON b.user_id = a.user_id"
+    "  AND b.pos BETWEEN a.pos - 7 AND a.pos"
+    " GROUP BY a.user_id, a.event_id"
+)
+
+
 # --------------------------------------------------------------------------
 # Calendar-day rollup over lineitem (partial+final aggregate showcase)
 # --------------------------------------------------------------------------
@@ -1648,6 +1848,9 @@ CORE_QUERIES = {
     "epn_quantiles": (q_epn_quantiles, EPN_SQL),
     "events_rollup_w4": (q_events_rollup, EVENTS_ROLLUP_SQL),
     "sessionize": (q_sessionize, SESSIONIZE_SQL),
+    "gapfill_hourly": (q_gapfill_hourly, GAPFILL_SQL),
+    "events_rate": (q_events_rate, EVENTS_RATE_SQL),
+    "events_ewma8": (q_events_ewma8, EWMA8_SQL),
     "range_join": (q_range_join, RANGE_JOIN_SQL),
     "daily_rollup": (q_daily_rollup, DAILY_ROLLUP_SQL),
     "sliding_w8": (q_sliding_w8, SLIDING_SQL),
