@@ -253,3 +253,72 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
 
 def crc32_of(texts: list[str]) -> np.ndarray:
     return np.array([zlib.crc32(t.encode()) for t in texts], dtype=np.int64)
+
+
+def vocab_partial_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch partial of the corpus vocabulary aggregate: for every
+    whitespace word in the batch, its occurrence count ``n`` and document
+    frequency ``df``. Each document is exactly one input row, so a (doc,
+    word) pair occurs in exactly one batch — summing the partials across
+    batches is the exact global (n, df), no distinct-shuffle needed."""
+    import itertools
+
+    import pandas as pd
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    words = batch["text"].to_pandas().str.split()
+    lens = words.str.len().fillna(0).astype(np.int64).to_numpy()
+    flat = list(itertools.chain.from_iterable(w for w in words if w))
+    g = pd.DataFrame({"doc": np.repeat(ids, lens), "word": flat})
+    n = g.groupby("word").size()
+    df = g.drop_duplicates().groupby("word").size()
+    return pa.table(
+        {
+            "word": pa.array(n.index, type=pa.string()),
+            "n": pa.array(n.to_numpy().astype(np.int64)),
+            "df": pa.array(df.reindex(n.index).to_numpy().astype(np.int64)),
+        }
+    )
+
+
+CHUNK_LEN = 256
+CHUNK_STRIDE = 224  # 32-char overlap between consecutive chunks
+
+
+def chunk_batch(batch: pa.Table) -> pa.Table:
+    """Split documents into fixed-size overlapping chunks (the embedding /
+    context-window prep step): chunk k covers codepoints
+    [k*stride, k*stride + len); the last chunk may be short. Emits one row
+    per chunk with its length and content md5 (md5 is inherently per-chunk;
+    the row assembly around it is repeat/arange-built)."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = batch["text"].to_pylist()
+    nc = np.array(
+        [
+            1 + (len(s) - CHUNK_LEN + CHUNK_STRIDE - 1) // CHUNK_STRIDE
+            if len(s) > CHUNK_LEN
+            else 1
+            for s in texts
+        ],
+        dtype=np.int64,
+    )
+    off = np.concatenate([[0], np.cumsum(nc)])
+    chunk_idx = np.arange(int(off[-1]), dtype=np.int64) - np.repeat(off[:-1], nc)
+    chunks = [
+        s[k * CHUNK_STRIDE : k * CHUNK_STRIDE + CHUNK_LEN]
+        for s, c in zip(texts, nc)
+        for k in range(int(c))
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.repeat(ids, nc)),
+            "chunk_idx": pa.array(chunk_idx),
+            "chunk_len": pa.array(
+                np.array([len(c) for c in chunks], dtype=np.int64)
+            ),
+            "chunk_md5": pa.array(
+                [hashlib.md5(c.encode()).hexdigest() for c in chunks],
+                type=pa.string(),
+            ),
+        }
+    )

@@ -149,6 +149,73 @@ TOKEN_COUNT_BPE_SQL = (
 )
 
 
+VOCAB_TOP_K = 20
+
+
+def q_vocab_top20(sf_dir: str):
+    """Corpus vocabulary statistics, top-K by occurrence count: the
+    Zipf-head report a corpus audit starts with. Partial (n, df) per batch
+    (exact — each doc is one row, see :func:`vocab_partial_batch`), one
+    word-keyed groupby of word-sized partials, then local-top-K per block
+    and a bounded final top-K on the driver (<= K rows per block, never the
+    vocabulary itself)."""
+    from ray.data.aggregate import Sum
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(tx.vocab_partial_batch, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"), Sum("df", alias_name="df"))
+    )
+
+    def local_top(df):
+        return df.sort_values(["n", "word"], ascending=[False, True]).head(
+            VOCAB_TOP_K
+        )
+
+    top = agg.map_batches(
+        local_top, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    return (
+        top.sort_values(["n", "word"], ascending=[False, True])
+        .head(VOCAB_TOP_K)
+        .reset_index(drop=True)
+    )
+
+
+VOCAB_TOP20_SQL = (
+    "WITH w AS (SELECT doc_id,"
+    " unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))"
+    "   AS word FROM documents),"
+    " t AS (SELECT word, CAST(count(*) AS BIGINT) AS n,"
+    "  CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM w GROUP BY word)"
+    f" SELECT word, n, df FROM t ORDER BY n DESC, word LIMIT {VOCAB_TOP_K}"
+)
+
+
+def q_doc_chunks(sf_dir: str):
+    """Document chunking for embedding prep: fixed 256-codepoint chunks at
+    stride 224 (32 overlap), one output row per chunk with length + md5.
+    Pure streaming flat map — rows-out > rows-in, no shuffle."""
+    return _docs(sf_dir).map_batches(
+        tx.chunk_batch, batch_format="pyarrow", batch_size=512
+    )
+
+
+DOC_CHUNKS_SQL = (
+    "WITH c AS (SELECT doc_id,"
+    " unnest(generate_series(0, CAST(CASE WHEN length(text) > "
+    f"{tx.CHUNK_LEN} THEN (length(text) - {tx.CHUNK_LEN} + "
+    f"{tx.CHUNK_STRIDE - 1}) // {tx.CHUNK_STRIDE} ELSE 0 END AS BIGINT)))"
+    " AS chunk_idx, text FROM documents)"
+    " SELECT doc_id, chunk_idx,"
+    f" CAST(length(substr(text, chunk_idx * {tx.CHUNK_STRIDE} + 1,"
+    f" {tx.CHUNK_LEN})) AS BIGINT) AS chunk_len,"
+    f" md5(substr(text, chunk_idx * {tx.CHUNK_STRIDE} + 1, {tx.CHUNK_LEN}))"
+    " AS chunk_md5 FROM c"
+)
+
+
 def q_fingerprint(sf_dir: str):
     ds = _docs(sf_dir).map_batches(tx.fingerprint_batch, batch_format="pyarrow")
     return ds.map_batches(lambda t: t.select(["doc_id", "md5"]),
@@ -1045,6 +1112,8 @@ DATA_QUERIES = {
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
     "quality_filter": (q_quality_filter, QUALITY_FILTER_SQL),
     "lang_id": (q_lang_id, LANG_ID_SQL),
+    "vocab_top20": (q_vocab_top20, VOCAB_TOP20_SQL),
+    "doc_chunks": (q_doc_chunks, DOC_CHUNKS_SQL),
     "multimodal_features": (q_multimodal_features, MULTIMODAL_SQL),
     "frame_sample": (q_frame_sample, FRAME_SAMPLE_SQL),
     "media_resize": (q_media_resize, MEDIA_RESIZE_SQL),
