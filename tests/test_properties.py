@@ -176,3 +176,38 @@ def test_sliding_w8_batch_property(rows):
     else:
         got = []
     assert sorted(got) == sorted(want)
+
+
+def test_langid_packed_scorer_matches_literal_counts():
+    """The one-pass packed-trigram LangId equals per-gram literal
+    (non-overlapping) substring counting with alphabetical argmax —
+    including empty/short docs, non-ascii text, shared grams (en/fr 'ion'),
+    and score ties."""
+    import pyarrow as pa
+
+    from wavelet_decomposition_ray.functions.text import LangId
+
+    texts = [
+        "", "ab", "the and ing", "THE AND ING of ion",
+        "que los ado nte que", "der die und ein sch cht",
+        "thé überión ionion", "ионион", "xyzxyzxyz",
+        "ion ion ion",  # en/fr shared gram -> tie, alphabetical pick
+        "a" * 50, " th of ng  de ",
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    got = LangId()(batch).to_pandas()
+
+    langs = sorted(LangId.PROFILES)
+    for i, t in enumerate(texts):
+        lt = t.lower()
+        scores = [
+            sum(lt.count(g) for g in LangId.PROFILES[lang]) for lang in langs
+        ]
+        best = max(range(len(langs)), key=lambda j: (scores[j], -j))
+        assert got.loc[i, "pred_lang"] == langs[best], t
+        assert got.loc[i, "lang_score"] == scores[best], t

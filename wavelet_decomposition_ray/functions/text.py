@@ -74,32 +74,80 @@ class LangId:
     }
 
     def __init__(self):
-        import re
-
+        # One-pass scorer state (built once per actor): every profile gram
+        # is 3 codepoints packed into an int64 (21 bits each); scoring is a
+        # single searchsorted of ALL text trigram windows against the sorted
+        # gram codes, then a (doc x code) bincount times the code->lang 0/1
+        # matrix. Window counting equals the non-overlapping substring count
+        # the SQL oracle uses iff no gram self-overlaps (g[0] != g[2],
+        # asserted) — 30 regex passes over the corpus become one.
         self.langs = sorted(self.PROFILES)
-        # compile once per actor (stateful-stage pattern)
-        self.patterns = {
-            l: [re.compile(re.escape(g)) for g in self.PROFILES[l]] for l in self.langs
-        }
+        entries = []  # (packed_code, lang_idx); codes may repeat across langs
+        for j, lang in enumerate(self.langs):
+            for g in self.PROFILES[lang]:
+                assert len(g) == 3 and g[0] != g[2], (
+                    f"profile gram {g!r} self-overlaps: window counting "
+                    "would diverge from non-overlapping counting"
+                )
+                c = [ord(ch) for ch in g]
+                assert max(c) < (1 << 21)
+                entries.append(((c[0] << 42) | (c[1] << 21) | c[2], j))
+        entries.sort()
+        self.codes = np.array([e[0] for e in entries], dtype=np.int64)
+        # code -> lang membership matrix (codes shared across langs get two
+        # rows; searchsorted('left') maps every duplicate hit to the FIRST
+        # rank, so fold duplicate codes' lang rows together there)
+        uniq, first = np.unique(self.codes, return_index=True)
+        m = np.zeros((len(self.codes), len(self.langs)), dtype=np.int64)
+        for r, (code, j) in enumerate(entries):
+            r0 = first[np.searchsorted(uniq, code)]
+            m[r0, j] += 1
+        self.lang_matrix = m
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pandas as pd
 
-        text = batch["text"].to_pandas().str.lower()
-        scores = np.zeros((len(text), len(self.langs)), dtype=np.int64)
-        for j, lang in enumerate(self.langs):
-            for pat in self.patterns[lang]:
-                scores[:, j] += (
-                    text.str.count(pat).fillna(0).to_numpy().astype(np.int64)
+        texts = [t.lower() for t in batch["text"].to_pylist()]
+        n_docs = len(texts)
+        scores = np.zeros((n_docs, len(self.langs)), dtype=np.int64)
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        if lens.sum():
+            cp = np.frombuffer(
+                "".join(texts).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            wn = np.maximum(lens - 2, 0)  # trigram windows per doc
+            total = int(wn.sum())
+            if total:
+                # window start indices: per-doc ranges over the flat buffer
+                doc_off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+                w_off = np.concatenate([[0], np.cumsum(wn)])
+                starts = (
+                    np.arange(total, dtype=np.int64)
+                    - np.repeat(w_off[:-1], wn)
+                    + np.repeat(doc_off, wn)
                 )
+                packed = (cp[starts] << 42) | (cp[starts + 1] << 21) | cp[
+                    starts + 2
+                ]
+                rank = np.searchsorted(self.codes, packed)
+                hit = (rank < len(self.codes)) & (
+                    self.codes[np.minimum(rank, len(self.codes) - 1)]
+                    == packed
+                )
+                doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), wn)[hit]
+                cnt = np.bincount(
+                    doc_of * len(self.codes) + rank[hit],
+                    minlength=n_docs * len(self.codes),
+                ).reshape(n_docs, len(self.codes))
+                scores = cnt @ self.lang_matrix
         best = np.argmax(scores, axis=1)
         pred = np.array(self.langs, dtype=object)[best]
-        conf = scores[np.arange(len(text)), best]
+        conf = scores[np.arange(n_docs), best]
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "pred_lang": pa.array(pred.tolist(), type=pa.string()),
-                "lang_score": pa.array(conf),
+                "lang_score": pa.array(conf.astype(np.int64)),
             }
         )
 
