@@ -1106,6 +1106,58 @@ MEDIA_RESIZE_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# grouped top-k (partial top-k per batch, final top-k per group)
+# --------------------------------------------------------------------------
+
+TOPK_PER_LANG = 3
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """Top-``k`` documents per language by (n_chars DESC, doc_id ASC) — the
+    distributed grouped-top-k pattern: each batch keeps only its local
+    top-k per lang (a superset of the global winners under the same total
+    order), so the groupby shuffles at most ``k x langs`` rows per batch
+    instead of the corpus; the final per-group fold re-ranks the
+    candidates."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def partial_topk(df):
+        return (
+            df.sort_values(["lang", "n_chars", "doc_id"],
+                           ascending=[True, False, True], kind="mergesort")
+            .groupby("lang", sort=False)
+            .head(TOPK_PER_LANG)
+        )
+
+    def final_topk(df):
+        out = (
+            df.sort_values(["n_chars", "doc_id"], ascending=[False, True],
+                           kind="mergesort")
+            .head(TOPK_PER_LANG)
+            .reset_index(drop=True)
+        )
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pandas", batch_size=1024)
+        .groupby("lang")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+TOP_DOCS_SQL = (
+    "WITH r AS (SELECT lang, doc_id, n_chars,"
+    " row_number() OVER (PARTITION BY lang"
+    "  ORDER BY n_chars DESC, doc_id) AS rank FROM documents)"
+    " SELECT lang, doc_id, n_chars, CAST(rank AS BIGINT) AS rank"
+    f" FROM r WHERE rank <= {TOPK_PER_LANG}"
+)
+
+
 DATA_QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "token_count_bpe": (q_token_count_bpe, TOKEN_COUNT_BPE_SQL),
@@ -1131,4 +1183,5 @@ DATA_QUERIES = {
     "ann_lsh": (q_ann_lsh, ANN_LSH_SQL),
     "ann_ivf": (q_ann_ivf, KNN_COSINE_SQL),
     "embed_dedup": (q_embed_dedup, EMBED_DEDUP_SQL),
+    "top_docs_per_lang": (q_top_docs_per_lang, TOP_DOCS_SQL),
 }

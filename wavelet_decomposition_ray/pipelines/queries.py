@@ -1833,6 +1833,260 @@ STORE_TIER_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# Trailing-window anomaly detection over the event stream
+# --------------------------------------------------------------------------
+
+W_ZSCORE = 16  # trailing window: the last min(pos+1, 16) events of the user
+
+
+def q_events_zscore16(sf_dir: str) -> "ray.data.Dataset":
+    """Per-event trailing-window z-score anomaly flag: over each user's last
+    ``min(pos+1, 16)`` events (inclusive), flag when |x - mean| > 3*sigma
+    (population).  Kept integer-exact by clearing denominators:
+
+        (n*x - S)^2 > 9 * (n*Q - S^2)      with S = window sum, Q = window
+                                           sum of squares, n = window count
+
+    so the driver hash compares BIGINTs, never a float sqrt.  Same coarse
+    per-user-partition fold as :func:`q_sessionize`; the window sums are two
+    cumsum differences against a per-row window-start index — no per-row
+    window materialization, no per-user loop."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def fold(df):
+        import pandas as pd
+
+        uid, ts_us, tok, user_start = _user_sorted(df)
+        eid = (
+            df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")[
+                "event_id"
+            ].to_numpy().astype(np.int64)
+        )
+        n = len(uid)
+        if n == 0:
+            return pd.DataFrame(
+                {c: np.array([], dtype=np.int64)
+                 for c in ("user_id", "event_id", "win_n", "win_sum",
+                           "win_sumsq")}
+            ).assign(is_anomaly=np.array([], dtype=np.int32))
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(user_start, idx, 0))
+        lo = np.maximum(idx - (W_ZSCORE - 1), run_start)
+        cs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tok, out=cs[1:])
+        cq = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tok * tok, out=cq[1:])
+        S = cs[idx + 1] - cs[lo]
+        Q = cq[idx + 1] - cq[lo]
+        nw = idx + 1 - lo
+        dev = nw * tok - S
+        flag = dev * dev > 9 * (nw * Q - S * S)
+        return pd.DataFrame(
+            {"user_id": uid, "event_id": eid, "win_n": nw, "win_sum": S,
+             "win_sumsq": Q, "is_anomaly": flag.astype(np.int32)}
+        )
+
+    return (
+        ds.map_batches(_add_user_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+EVENTS_ZSCORE_SQL = (
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,"
+    " CAST(round(value * 100) AS BIGINT) AS tok FROM events),"
+    " w AS (SELECT user_id, event_id, tok,"
+    "  CAST(count(*) OVER win AS BIGINT) AS win_n,"
+    "  CAST(sum(tok) OVER win AS BIGINT) AS win_sum,"
+    "  CAST(sum(tok * tok) OVER win AS BIGINT) AS win_sumsq"
+    "  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id"
+    f"   ROWS BETWEEN {W_ZSCORE - 1} PRECEDING AND CURRENT ROW))"
+    " SELECT user_id, event_id, win_n, win_sum, win_sumsq,"
+    " CAST((win_n * tok - win_sum) * (win_n * tok - win_sum) >"
+    "      9 * (win_n * win_sumsq - win_sum * win_sum) AS INTEGER)"
+    "  AS is_anomaly"
+    " FROM w"
+)
+
+
+# --------------------------------------------------------------------------
+# Seasonal hour-of-day profile (partial+final aggregate)
+# --------------------------------------------------------------------------
+
+def q_hourly_profile(sf_dir: str) -> "ray.data.Dataset":
+    """Per-(event_type, hour-of-day) event count, token sum and mean — the
+    seasonal-profile aggregate (24 x types output).  Pre-aggregated inside
+    ``map_batches`` (one row per key per batch) so the global groupby
+    shuffles a few hundred partial rows, not the event stream; the mean is
+    the identical IEEE double division on both sides."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partial(df):
+        import pandas as pd
+
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(),
+                "hod": (ts_us // HOUR_US) % 24,
+                "tok": np.rint(df["value"].to_numpy() * 100).astype(np.int64),
+            }
+        ).groupby(["event_type", "hod"], as_index=False).agg(
+            pn=("tok", "size"), psum=("tok", "sum")
+        )
+        g["pn"] = g["pn"].astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "hod"])
+        .aggregate(
+            Sum("pn", alias_name="n_events"), Sum("psum", alias_name="tok_sum")
+        )
+    )
+
+    def finish(df):
+        df["avg_tok"] = df["tok_sum"].to_numpy().astype(np.float64) / df[
+            "n_events"
+        ].to_numpy()
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+HOURLY_PROFILE_SQL = (
+    "WITH e AS (SELECT event_type,"
+    f" (epoch_us(ts) // {HOUR_US}) % 24 AS hod,"
+    " CAST(round(value * 100) AS BIGINT) AS tok FROM events)"
+    " SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n_events,"
+    " CAST(sum(tok) AS BIGINT) AS tok_sum,"
+    " CAST(sum(tok) AS DOUBLE) / count(*) AS avg_tok"
+    " FROM e GROUP BY event_type, hod"
+)
+
+
+# --------------------------------------------------------------------------
+# Daily distinct-user counts (distributed COUNT DISTINCT)
+# --------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+_DAY_BITS = 20  # day index < 2^20 until year ~4840
+
+
+def q_distinct_users_daily(sf_dir: str) -> "ray.data.Dataset":
+    """Per-day distinct active users — the distributed COUNT DISTINCT
+    pattern.  Three-level: (1) per-batch dedup of packed (user, day) keys
+    shrinks the exchange to unique pairs, (2) a hash partition on user_id
+    makes partition-local dedup globally exact (each user lives in exactly
+    one partition), (3) per-day partial counts sum in a tiny final groupby.
+    No global distinct shuffle of raw events."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        u = t["ts"].to_numpy(zero_copy_only=False)
+        ts_us = u.astype("datetime64[us]").astype(np.int64)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = ts_us // _DAY_US
+        if len(uid):
+            assert uid.min() >= 0 and uid.max() < (1 << (62 - _DAY_BITS)) and (
+                day.min() >= 0 and day.max() < (1 << _DAY_BITS)
+            ), "distinct_users_daily key packing out of range"
+        key = np.unique(uid * (1 << _DAY_BITS) + day)
+        return pa.table(
+            {
+                "key": key,
+                "part": ((key >> _DAY_BITS) % N_EVENT_PARTS).astype(np.int32),
+            }
+        )
+
+    def fold(df):
+        import pandas as pd
+
+        key = np.unique(df["key"].to_numpy())
+        day, cnt = np.unique(key & ((1 << _DAY_BITS) - 1), return_counts=True)
+        return pd.DataFrame({"day": day, "pn": cnt.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("pn", alias_name="n_users"))
+    )
+
+
+DISTINCT_USERS_SQL = (
+    f"SELECT epoch_us(ts) // {_DAY_US} AS day,"
+    " CAST(count(DISTINCT user_id) AS BIGINT) AS n_users"
+    " FROM events GROUP BY day"
+)
+
+
+# --------------------------------------------------------------------------
+# Per-sequence lag-1 autocorrelation statistics
+# --------------------------------------------------------------------------
+
+def q_autocorr_lag1(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc lag-1 autocorrelation ingredients over the token sequence:
+    n, sum, sum of squares and the lag-1 dot product sum(t[i] * t[i+1]) —
+    all BIGINT so the oracle is hash-exact (the float r1 is a driver-side
+    division away).  One pass over the batch's flat values buffer: the
+    shifted product is computed globally, cross-doc boundary terms are
+    zeroed, and per-doc sums are ``reduceat`` segments — no per-row loop."""
+    ds = _seq_ds(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        if n_docs == 0 or len(v) == 0:
+            return pa.table(
+                {"doc_id": t["doc_id"],
+                 "n": pa.array([], type=pa.int64()),
+                 "s": pa.array([], type=pa.int64()),
+                 "q": pa.array([], type=pa.int64()),
+                 "lag1_dot": pa.array([], type=pa.int64())}
+            )
+        n = np.diff(off)
+        s = np.add.reduceat(v, off[:-1])
+        q = np.add.reduceat(v * v, off[:-1])
+        prod = v[:-1] * v[1:]
+        prod[off[1:-1] - 1] = 0  # cross-doc boundary terms
+        dot = np.add.reduceat(prod, np.minimum(off[:-1], len(prod) - 1))
+        # a doc of length 1 would alias its neighbor's segment; the synth
+        # schema guarantees n_tok >= 2, assert rather than silently mis-sum
+        assert (n >= 2).all(), "autocorr_lag1 requires n_tok >= 2"
+        return pa.table(
+            {"doc_id": t["doc_id"], "n": n, "s": s, "q": q, "lag1_dot": dot}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+
+AUTOCORR_SQL = (
+    f"{_FLAT_CTE},"
+    " l AS (SELECT doc_id, tok,"
+    "  lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM flat)"
+    " SELECT doc_id, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(sum(tok) AS BIGINT) AS s,"
+    " CAST(sum(tok * tok) AS BIGINT) AS q,"
+    " CAST(sum(tok * nxt) AS BIGINT) AS lag1_dot"
+    " FROM l GROUP BY doc_id"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -1871,4 +2125,8 @@ CORE_QUERIES = {
     "dwt_haar": (q_haar_details, HAAR_DETAILS_SQL),
     "dwt_db4": (lambda sf: _dwt_coeffs(sf, "db4"), DWT_COEFFS_SQL),
     "gorilla_blocks": (q_gorilla_blocks, GORILLA_BLOCKS_SQL),
+    "events_zscore16": (q_events_zscore16, EVENTS_ZSCORE_SQL),
+    "hourly_profile": (q_hourly_profile, HOURLY_PROFILE_SQL),
+    "distinct_users_daily": (q_distinct_users_daily, DISTINCT_USERS_SQL),
+    "autocorr_lag1": (q_autocorr_lag1, AUTOCORR_SQL),
 }
