@@ -1158,6 +1158,103 @@ TOP_DOCS_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# deterministic hash sampling: train/holdout split + source-weighted mixing
+# --------------------------------------------------------------------------
+
+def _md5_u64_sql(h: str) -> str:
+    """DuckDB expression for the little-endian u64 of the first 8 bytes of
+    an md5 hex column ``h`` — the SQL twin of ``dedup._stable_u64``."""
+    return (
+        f"CAST(('0x' || substr({h},15,2) || substr({h},13,2)"
+        f" || substr({h},11,2) || substr({h},9,2) || substr({h},7,2)"
+        f" || substr({h},5,2) || substr({h},3,2) || substr({h},1,2))"
+        " AS UBIGINT)"
+    )
+
+
+HOLDOUT_PERMILLE = 50  # 5% deterministic holdout
+
+
+def q_split_train_holdout(sf_dir: str):
+    """Deterministic content-addressed train/holdout split: each document
+    lands in a stable per-mille bucket from the md5 of a salted doc_id, so
+    the split never changes as the corpus grows, needs no shuffle or state,
+    and any worker can re-derive it.  The salt ("split:") decorrelates this
+    hash from every other md5 use in the pipeline."""
+    ds = _docs(sf_dir, columns=("doc_id",))
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        b = np.array(
+            [dd._stable_u64(f"split:{i}") % 1000 for i in ids], dtype=np.int64
+        )
+        split = ["holdout" if x < HOLDOUT_PERMILLE else "train" for x in b]
+        return pa.table(
+            {"doc_id": t["doc_id"], "bucket": pa.array(b, type=pa.int64()),
+             "split": pa.array(split, type=pa.string())}
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow", batch_size=1024)
+
+
+SPLIT_SQL = (
+    "WITH h AS (SELECT doc_id,"
+    " md5('split:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),"
+    f" u AS (SELECT doc_id, {_md5_u64_sql('h')} % 1000 AS b FROM h)"
+    " SELECT doc_id, CAST(b AS BIGINT) AS bucket,"
+    f" CASE WHEN b < {HOLDOUT_PERMILLE} THEN 'holdout' ELSE 'train' END"
+    "  AS split FROM u"
+)
+
+
+# per-source keep rates (per mille): the data-mixing step of a training
+# pipeline — upsample high-quality sources, downsample the rest
+MIXTURE_PERMILLE = {"src0": 900, "src1": 700, "src2": 500, "src3": 300}
+MIXTURE_DEFAULT_PERMILLE = 100
+
+
+def q_mixture_sample(sf_dir: str):
+    """Source-weighted deterministic sampling (corpus mixing): keep a doc
+    when its stable hash bucket falls under its source's keep rate.  Pure
+    streaming filter — no shuffle, no RNG state, reproducible under
+    re-partitioning and resume (the properties grid-scale mixing needs)."""
+    ds = _docs(sf_dir, columns=("doc_id", "source"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        src = t["source"].to_pylist()
+        b = np.array(
+            [dd._stable_u64(f"mix:{i}") % 1000 for i in ids], dtype=np.int64
+        )
+        thr = np.array(
+            [MIXTURE_PERMILLE.get(s, MIXTURE_DEFAULT_PERMILLE) for s in src],
+            dtype=np.int64,
+        )
+        out = t.append_column("bucket", pa.array(b, type=pa.int64()))
+        return out.filter(pa.array(b < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=1024)
+
+
+def _mixture_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in sorted(MIXTURE_PERMILLE.items())
+    )
+    return (
+        "WITH h AS (SELECT doc_id, source,"
+        " md5('mix:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),"
+        f" u AS (SELECT doc_id, source, {_md5_u64_sql('h')} % 1000 AS b"
+        "  FROM h)"
+        " SELECT doc_id, source, CAST(b AS BIGINT) AS bucket FROM u"
+        f" WHERE b < (CASE source {cases}"
+        f"  ELSE {MIXTURE_DEFAULT_PERMILLE} END)"
+    )
+
+
+MIXTURE_SQL = _mixture_sql()
+
+
 DATA_QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "token_count_bpe": (q_token_count_bpe, TOKEN_COUNT_BPE_SQL),
@@ -1184,4 +1281,6 @@ DATA_QUERIES = {
     "ann_ivf": (q_ann_ivf, KNN_COSINE_SQL),
     "embed_dedup": (q_embed_dedup, EMBED_DEDUP_SQL),
     "top_docs_per_lang": (q_top_docs_per_lang, TOP_DOCS_SQL),
+    "split_train_holdout": (q_split_train_holdout, SPLIT_SQL),
+    "mixture_sample": (q_mixture_sample, MIXTURE_SQL),
 }

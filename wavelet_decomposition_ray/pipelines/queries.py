@@ -2087,6 +2087,94 @@ AUTOCORR_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# Sequence packing: shard-local concat + fixed-length chunking
+# --------------------------------------------------------------------------
+
+PACK_CHUNK = 512
+PACK_PARTS = 16  # shards; sized to the cluster like N_EVENT_PARTS
+
+
+def q_corpus_pack512(sf_dir: str) -> "ray.data.Dataset":
+    """Pretraining-style sequence packing: docs are sharded by a stable
+    hash of doc_id, each shard's docs are concatenated in doc_id order into
+    one token stream, and the stream is cut into fixed 512-token chunks
+    (the pack-then-chunk layout most LLM pretraining loaders use).  Emits
+    per-(shard, chunk) token count and sum — BIGINT-exact for the oracle.
+
+    Packing is deliberately SHARD-LOCAL: each shard's stream is independent,
+    so no global prefix scan or cross-partition carry exists, and shards
+    scale with the cluster.  Inside a shard the chunk boundaries are one
+    cumsum + ``reduceat`` over the concatenated values buffer."""
+    from ..functions.dedup import _stable_u64
+
+    ds = _seq_ds(sf_dir)
+
+    def addpart(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        part = np.array(
+            [_stable_u64(f"pack:{i}") % PACK_PARTS for i in ids],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "tokens": t["tokens"],
+             "part": pa.array(part, type=pa.int64())}
+        )
+
+    def fold(df):
+        import pandas as pd
+
+        df = df.sort_values("doc_id", kind="mergesort")
+        arrs = list(df["tokens"].to_numpy())
+        if not arrs:
+            return pd.DataFrame(
+                {c: np.array([], dtype=np.int64)
+                 for c in ("part", "chunk_idx", "n", "s")}
+            )
+        flat = np.concatenate(arrs).astype(np.int64)
+        total = len(flat)
+        cuts = np.arange(0, total, PACK_CHUNK)
+        return pd.DataFrame(
+            {
+                "part": np.full(len(cuts), df["part"].iloc[0], dtype=np.int64),
+                "chunk_idx": cuts // PACK_CHUNK,
+                "n": np.minimum(PACK_CHUNK, total - cuts),
+                "s": np.add.reduceat(flat, cuts),
+            }
+        )
+
+    return (
+        ds.map_batches(addpart, batch_format="pyarrow", batch_size=256)
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def _pack_sql() -> str:
+    from .data_queries import _md5_u64_sql
+
+    return (
+        f"WITH d AS (SELECT doc_id, tokens FROM read_parquet('{SYNTH_GLOB_001}')),"
+        " h AS (SELECT doc_id, tokens,"
+        "  md5('pack:' || doc_id) AS h FROM d),"
+        f" p AS (SELECT doc_id, tokens, CAST({_md5_u64_sql('h')} %"
+        f" {PACK_PARTS} AS BIGINT) AS part FROM h),"
+        " o AS (SELECT part, doc_id, tokens,"
+        "  COALESCE(sum(len(tokens)) OVER (PARTITION BY part ORDER BY doc_id"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base"
+        "  FROM p),"
+        " f AS (SELECT part,"
+        # base is a HUGEINT window sum: cast the chunk id back to BIGINT
+        f"  CAST((base + generate_subscripts(tokens, 1) - 1) // {PACK_CHUNK}"
+        "   AS BIGINT) AS chunk_idx, unnest(tokens) AS tok FROM o)"
+        " SELECT part, chunk_idx, CAST(count(*) AS BIGINT) AS n,"
+        " CAST(sum(tok) AS BIGINT) AS s FROM f GROUP BY part, chunk_idx"
+    )
+
+
+PACK_SQL = _pack_sql()
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -2129,4 +2217,5 @@ CORE_QUERIES = {
     "hourly_profile": (q_hourly_profile, HOURLY_PROFILE_SQL),
     "distinct_users_daily": (q_distinct_users_daily, DISTINCT_USERS_SQL),
     "autocorr_lag1": (q_autocorr_lag1, AUTOCORR_SQL),
+    "corpus_pack512": (q_corpus_pack512, PACK_SQL),
 }
