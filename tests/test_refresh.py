@@ -1,0 +1,123 @@
+"""Incremental refresh (continuous-aggregate) semantics of the retention
+store: appended/removed docs invalidate ONLY the buckets they hash into, the
+refreshed store is byte-identical to a from-scratch build on the new input,
+and an unchanged input refreshes nothing."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import pytest
+
+from wavelet_decomposition_ray import synth
+from wavelet_decomposition_ray.functions.dedup import _stable_u64
+from wavelet_decomposition_ray.pipelines import rollup_pipeline as rp
+from wavelet_decomposition_ray.state import manifest as mf
+
+SF = "/root/testdata/sf0.001"
+NB = 16
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("refresh"))
+    seq = synth.ensure_sequences(SF)
+    tbl = pads.dataset(seq).to_table()
+    ids = tbl["doc_id"].to_pylist()
+    appended = sorted(i for i in ids if _stable_u64(f"t:{i}") % 20 == 0)
+    assert appended and len(appended) < len(ids) // 4
+    keep = pa.array([i not in set(appended) for i in ids], type=pa.bool_())
+    sub = os.path.join(base, "subset")
+    os.makedirs(sub)
+    pq.write_table(tbl.filter(keep), os.path.join(sub, "part-0.parquet"))
+    full = os.path.join(base, "full")
+    os.makedirs(full)
+    pq.write_table(tbl, os.path.join(full, "part-0.parquet"))
+    return base, sub, full, appended
+
+
+def _run(inp, out, **kw):
+    return rp.run_rollup_job(
+        inp, out, bank="haar", n_tiers=6, n_buckets=NB, verify=False,
+        batch_size=128, encoder_concurrency=(1, 2), **kw
+    )
+
+
+def _checksums(out):
+    return {r["bucket"]: r["checksum"] for r in mf.read_manifest(out)}
+
+
+def _stats(out):
+    return (
+        pq.read_table(os.path.join(out, "source_stats.parquet"))
+        .to_pandas()
+        .sort_values(["source", "tier"])
+        .reset_index(drop=True)
+    )
+
+
+def test_refresh_append_rewrites_only_stale_buckets(corpus):
+    base, sub, full, appended = corpus
+    incr = os.path.join(base, "incr")
+    scratch = os.path.join(base, "scratch")
+    _run(sub, incr)
+    expected_stale = set(mf.bucket_of_ids(appended, NB).tolist())
+    assert 0 < len(expected_stale) < NB  # some buckets must stay untouched
+
+    r = _run(full, incr, refresh=True)
+    assert r["buckets_refreshed"] == len(expected_stale)
+    assert r["buckets_written"] == len(expected_stale)
+
+    _run(full, scratch)
+    assert _checksums(incr) == _checksums(scratch)
+    pd.testing.assert_frame_equal(_stats(incr), _stats(scratch))
+
+
+def test_refresh_noop_on_unchanged_input(corpus):
+    base, _, full, _ = corpus
+    incr = os.path.join(base, "incr")  # refreshed to `full` by the test above
+    r = _run(full, incr, refresh=True)
+    assert r["buckets_refreshed"] == 0
+    assert r["buckets_written"] == 0
+
+
+def test_refresh_handles_removals(corpus):
+    base, sub, full, appended = corpus
+    store = os.path.join(base, "shrink")
+    _run(full, store)
+    expected_stale = set(mf.bucket_of_ids(appended, NB).tolist())
+
+    r = _run(sub, store, refresh=True)
+    assert r["buckets_refreshed"] == len(expected_stale)
+
+    scratch_sub = os.path.join(base, "scratch_sub")
+    _run(sub, scratch_sub)
+    assert _checksums(store) == _checksums(scratch_sub)
+    pd.testing.assert_frame_equal(_stats(store), _stats(scratch_sub))
+
+
+def test_legacy_manifest_rows_count_as_stale(corpus):
+    base, sub, _, _ = corpus
+    store = os.path.join(base, "legacy")
+    _run(sub, store)
+    # strip the fingerprint from one bucket's manifest row (pre-fingerprint
+    # store): refresh must treat it as stale and rewrite it
+    import json
+
+    mdir = mf.manifest_dir(store)
+    target = sorted(
+        f for f in os.listdir(mdir)
+        if f.startswith("bucket-") and f.endswith(".json")
+    )[0]
+    path = os.path.join(mdir, target)
+    row = json.load(open(path))
+    row.pop("doc_xor")
+    with open(path, "w") as fh:
+        json.dump(row, fh, sort_keys=True)
+
+    before = _checksums(store)
+    r = _run(sub, store, refresh=True)
+    assert r["buckets_refreshed"] == 1
+    assert _checksums(store) == before  # deterministic rewrite

@@ -2088,6 +2088,65 @@ AUTOCORR_SQL = (
 
 
 # --------------------------------------------------------------------------
+# Continuous-aggregate refresh lifecycle
+# --------------------------------------------------------------------------
+
+def q_store_refresh(sf_dir: str) -> "ray.data.Dataset":
+    """Incremental-ingest lifecycle of the retention store: build the store
+    from a deterministic ~60% subset of the corpus, then present the FULL
+    corpus and ``refresh=True`` — the doc_id-fingerprint pre-pass detects
+    which buckets gained docs, only those re-run, and the refreshed store
+    must answer per-(source, tier) stats identical to a from-scratch build
+    (same oracle as ``source_stats``).  This is the continuous-aggregate
+    contract: appends converge the store without a full rebuild."""
+    import os
+    import shutil
+
+    from ..functions.dedup import _stable_u64
+    from ..stages.encode import decode_blocks_batch
+
+    seq = synth.ensure_sequences(sf_dir)
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/graft_refresh/{sf_name}"
+    subset_dir = os.path.join(base, "subset")
+    store = os.path.join(base, "store")
+    # rebuild from clean state each call: the whole lifecycle IS the query
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(subset_dir, exist_ok=True)
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    tbl = pads.dataset(seq).to_table()
+    ids = tbl["doc_id"].to_pylist()
+    keep = pa.array(
+        [_stable_u64(f"refresh:{i}") % 10 < 6 for i in ids], type=pa.bool_()
+    )
+    pq.write_table(tbl.filter(keep), os.path.join(subset_dir, "part-0.parquet"))
+
+    rp.run_rollup_job(subset_dir, store, bank="haar", n_tiers=10,
+                      resume=True, verify=False, batch_size=256,
+                      encoder_concurrency=(1, 4))
+    summary = rp.run_rollup_job(seq, store, bank="haar", n_tiers=10,
+                                resume=True, refresh=True, verify=False,
+                                batch_size=256, encoder_concurrency=(1, 4))
+    assert summary["buckets_refreshed"] > 0, (
+        "refresh detected no changed buckets after an append"
+    )
+
+    decoded = ray.data.read_parquet(os.path.join(store, "data")).map_batches(
+        decode_blocks_batch, batch_format="pyarrow", batch_size=2048
+    )
+    agg = rp.source_tier_aggregate(decoded)
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("tier"), "tier", pc.cast(t["tier"], pa.int8())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# --------------------------------------------------------------------------
 # Sequence packing: shard-local concat + fixed-length chunking
 # --------------------------------------------------------------------------
 
@@ -2218,4 +2277,5 @@ CORE_QUERIES = {
     "distinct_users_daily": (q_distinct_users_daily, DISTINCT_USERS_SQL),
     "autocorr_lag1": (q_autocorr_lag1, AUTOCORR_SQL),
     "corpus_pack512": (q_corpus_pack512, PACK_SQL),
+    "store_refresh": (q_store_refresh, SOURCE_STATS_SQL),
 }

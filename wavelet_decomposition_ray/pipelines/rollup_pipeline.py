@@ -120,14 +120,30 @@ def run_rollup_job(
     batch_size: int = 256,
     encoder_concurrency=(1, 8),
     fault_flag: str | None = None,
+    refresh: bool = False,
 ) -> dict:
     """Run the full job; resumable from per-bucket checkpoints.
+
+    ``refresh=True`` turns resume into a continuous-aggregate refresh: a
+    cheap doc_id-only pre-pass fingerprints each bucket's doc set and any
+    completed bucket whose input changed (appended/removed docs) is
+    invalidated and re-run; unchanged buckets are still skipped.  The
+    refreshed store is byte-identical to a from-scratch build on the new
+    input (per-bucket determinism).
 
     Returns a summary dict (also written to ``out_dir/metrics.json``) with
     throughput, per-stage stats and the driver-side final per-(source, tier)
     aggregates path.
     """
     t0 = time.perf_counter()
+    n_refreshed = 0
+    if resume and refresh:
+        # runs on the DEFAULT shuffle config (tiny doc_id-only exchange),
+        # before the hash-shuffle overrides below
+        stale = mf.stale_buckets(input_path, out_dir, n_buckets)
+        if stale:
+            mf.invalidate_buckets(out_dir, stale)
+        n_refreshed = len(stale)
     from ray.data import DataContext
     from ray.data.context import ShuffleStrategy
 
@@ -157,7 +173,7 @@ def run_rollup_job(
     try:
         return _run_rollup_job_inner(
             input_path, out_dir, bank, n_tiers, n_buckets, resume, verify,
-            batch_size, encoder_concurrency, t0, fault_flag,
+            batch_size, encoder_concurrency, t0, fault_flag, n_refreshed,
         )
     finally:
         (
@@ -169,7 +185,7 @@ def run_rollup_job(
 
 def _run_rollup_job_inner(
     input_path, out_dir, bank, n_tiers, n_buckets, resume, verify,
-    batch_size, encoder_concurrency, t0, fault_flag=None,
+    batch_size, encoder_concurrency, t0, fault_flag=None, n_refreshed=0,
 ):
     done = mf.completed_buckets(out_dir) if resume else frozenset()
     if len(done) >= n_buckets:
@@ -180,6 +196,7 @@ def _run_rollup_job_inner(
             "elapsed_s": round(time.perf_counter() - t0, 3),
             "buckets_written": 0,
             "buckets_skipped": len(done),
+            "buckets_refreshed": n_refreshed,
             "n_windows": int(sum(r["n_windows"] for r in manifest_rows)),
             "bytes_encoded": int(sum(r["bytes_encoded"] for r in manifest_rows)),
             "rolled_points_per_s": 0.0,
@@ -272,6 +289,7 @@ def _run_rollup_job_inner(
         "elapsed_s": round(elapsed, 3),
         "buckets_written": len(manifest_rows) - len(done),
         "buckets_skipped": len(done),
+        "buckets_refreshed": n_refreshed,
         "n_windows": n_windows,
         "n_windows_this_run": n_windows_run,
         "bytes_encoded": bytes_encoded,

@@ -90,8 +90,8 @@ def mark_empty_buckets(out_dir: str, n_buckets: int) -> None:
         if b in have:
             continue
         row = {"bucket": b, "file": None, "n_rows": 0, "n_docs": 0,
-               "n_windows": 0, "bytes_encoded": 0, "checksum": None,
-               "elapsed_s": 0.0}
+               "doc_xor": 0, "n_windows": 0, "bytes_encoded": 0,
+               "checksum": None, "elapsed_s": 0.0}
         tmp = os.path.join(mdir, f".bucket-{b:05d}.json.tmp")
         with open(tmp, "w") as fh:
             json.dump(row, fh, sort_keys=True)
@@ -136,6 +136,114 @@ def read_all_partials(out_dir: str):
             "source_stats/manifest and re-run, or rebuild the store"
         )
     return pd.concat(frames, ignore_index=True)
+
+
+def input_bucket_summary(input_path: str, n_buckets: int):
+    """Distributed pre-pass over ONLY the ``doc_id`` column: per-bucket doc
+    count + order-independent XOR fingerprint of stable 64-bit doc-id
+    hashes.  Each batch emits at most ``n_buckets`` partial rows, so the
+    exchange carries O(batches x buckets) tiny rows — never the corpus.
+    Returns a pandas frame (bucket, n_docs, doc_xor), one row per occupied
+    bucket."""
+    import ray.data
+
+    from ..functions.dedup import _stable_u64
+
+    ds = ray.data.read_parquet(input_path, columns=["doc_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        if not ids:
+            return pa.table(
+                {"bucket": pa.array([], type=pa.int32()),
+                 "pcnt": pa.array([], type=pa.int64()),
+                 "pxor": pa.array([], type=pa.int64())}
+            )
+        b = bucket_of_ids(ids, n_buckets)
+        h = np.array([_stable_u64(s) for s in ids], dtype=np.uint64).view(
+            np.int64
+        )
+        order = np.argsort(b, kind="stable")
+        bs, hs = b[order], h[order]
+        ub, start = np.unique(bs, return_index=True)
+        ends = np.append(start[1:], len(bs))
+        return pa.table(
+            {
+                "bucket": pa.array(ub, type=pa.int32()),
+                "pcnt": pa.array((ends - start).astype(np.int64)),
+                "pxor": pa.array(np.bitwise_xor.reduceat(hs, start)),
+            }
+        )
+
+    def fold(df):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "bucket": [int(df["bucket"].iloc[0])],
+                "n_docs": [int(df["pcnt"].sum())],
+                "doc_xor": [int(np.bitwise_xor.reduce(df["pxor"].to_numpy()))],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def stale_buckets(input_path: str, out_dir: str, n_buckets: int) -> frozenset[int]:
+    """Completed buckets whose recorded doc-set fingerprint no longer
+    matches the current input — docs were appended to or removed from them
+    since the bucket was written (in-place token edits under an UNCHANGED
+    doc_id are outside this contract: the store is an append/remove ingest
+    sink keyed by doc_id).  Manifest rows written before fingerprints
+    existed count as stale (safe: they just re-run)."""
+    rows = {int(r["bucket"]): r for r in read_manifest(out_dir)}
+    if not rows:
+        return frozenset()
+    summary = input_bucket_summary(input_path, n_buckets)
+    cur = {
+        int(b): (int(c), int(x))
+        for b, c, x in zip(summary["bucket"], summary["n_docs"],
+                           summary["doc_xor"])
+    }
+    stale = set()
+    for b, r in rows.items():
+        want = cur.get(b, (0, 0))
+        have = (
+            (int(r["n_docs"]), int(r["doc_xor"])) if "doc_xor" in r else None
+        )
+        if have != want:
+            stale.add(b)
+    return frozenset(stale)
+
+
+def invalidate_buckets(out_dir: str, buckets) -> None:
+    """Make stale buckets pending again.  The manifest row is removed FIRST
+    (from that instant the bucket is pending and any crash leaves it
+    pending), then the partials file, then the data file — refresh is
+    crash-safe at every step."""
+    mdir = manifest_dir(out_dir)
+    for b in sorted(buckets):
+        mpath = os.path.join(mdir, f"bucket-{b:05d}.json")
+        rel = None
+        if os.path.isfile(mpath):
+            try:
+                with open(mpath) as fh:
+                    rel = json.load(fh).get("file")
+            except (ValueError, OSError):
+                rel = None
+            os.remove(mpath)
+        ppath = os.path.join(mdir, f"partials-{b:05d}.parquet")
+        if os.path.isfile(ppath):
+            os.remove(ppath)
+        if rel:
+            dpath = os.path.join(out_dir, rel)
+            if os.path.isfile(dpath):
+                os.remove(dpath)
 
 
 def read_manifest(out_dir: str) -> list[dict]:
@@ -206,11 +314,22 @@ class PartitionWriter:
         pq.write_table(pa.Table.from_pandas(partials, preserve_index=False), ptmp)
         os.replace(ptmp, os.path.join(mdir, f"partials-{bucket:05d}.parquet"))
 
+        # order-independent input fingerprint of this bucket's doc set:
+        # (count, XOR of stable 64-bit doc-id hashes) — refresh compares it
+        # against the same summary recomputed from the CURRENT input to
+        # detect appended/removed docs in already-completed buckets
+        from ..functions.dedup import _stable_u64
+
+        ids = pa.compute.unique(group["doc_id"]).to_pylist()
+        hx = np.array([_stable_u64(s) for s in ids], dtype=np.uint64).view(
+            np.int64
+        )
         row = {
             "bucket": bucket,
             "file": rel,
             "n_rows": group.num_rows,
-            "n_docs": int(pa.compute.count_distinct(group["doc_id"]).as_py()),
+            "n_docs": len(ids),
+            "doc_xor": int(np.bitwise_xor.reduce(hx)) if len(hx) else 0,
             "n_windows": int(pdf["n_windows"].sum()),
             "bytes_encoded": int(pdf["nbytes"].sum()),
             "checksum": checksum,
