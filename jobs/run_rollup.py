@@ -34,6 +34,10 @@ def main() -> int:
     p.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--refresh", action="store_true",
+                   help="continuous-aggregate refresh: fingerprint each "
+                   "bucket's doc set and re-run only buckets whose input "
+                   "changed since the last run (appends/removals)")
     p.add_argument("--no-verify", action="store_true",
                    help="skip the per-row round-trip invariant stage")
     args = p.parse_args()
@@ -61,6 +65,7 @@ def main() -> int:
         n_tiers=args.tiers,
         n_buckets=args.buckets,
         resume=not args.no_resume,
+        refresh=args.refresh,
         verify=not args.no_verify,
         batch_size=args.batch_size,
         encoder_concurrency=(max(1, args.num_cpus // 2), args.num_cpus),
