@@ -2088,6 +2088,192 @@ AUTOCORR_SQL = (
 
 
 # --------------------------------------------------------------------------
+# Equi-joins: broadcast (map-side) and co-partitioned (shuffle) hash join
+# --------------------------------------------------------------------------
+
+def q_revenue_by_nation(sf_dir: str) -> "ray.data.Dataset":
+    """Broadcast equi-join: the large orders stream joined to the SMALL
+    customer->nation dimension chain entirely map-side — the dimensions are
+    collected once, ``ray.put`` once, and probed with sorted-key
+    ``searchsorted`` lookups inside every batch (no shuffle of the fact
+    table).  Revenue is carried as integer cents so the distributed sum is
+    order-independent and hash-exact; the float column is one shared IEEE
+    division at the end."""
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    cust = cust.sort_values("c_custkey")
+    nat = nat.sort_values("n_nationkey")
+    side = ray.put(
+        (
+            cust["c_custkey"].to_numpy().astype(np.int64),
+            cust["c_nationkey"].to_numpy().astype(np.int64),
+            nat["n_nationkey"].to_numpy().astype(np.int64),
+            nat["n_name"].to_numpy(),
+        )
+    )
+
+    def probe(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ckeys, cnat, nkeys, nnames = ray.get(side)
+        ok = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        i = np.searchsorted(ckeys, ok)
+        assert (i < len(ckeys)) .all() and (ckeys[i] == ok).all(), (
+            "orders.o_custkey violates customer FK"
+        )
+        j = np.searchsorted(nkeys, cnat[i])
+        g = (
+            pd.DataFrame({"n_name": nnames[j], "cents": cents})
+            .groupby("n_name", as_index=False)
+            .agg(pn=("cents", "size"), pcents=("cents", "sum"))
+        )
+        g["pn"] = g["pn"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    agg = (
+        ds.map_batches(probe, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("pn", alias_name="n_orders"),
+            Sum("pcents", alias_name="revenue_cents"),
+        )
+    )
+
+    def finish(df):
+        df["revenue"] = (
+            df["revenue_cents"].to_numpy().astype(np.float64) / 100.0
+        )
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+REVENUE_BY_NATION_SQL = (
+    "WITH o AS (SELECT o_custkey,"
+    " CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)"
+    " SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_orders,"
+    " CAST(sum(cents) AS BIGINT) AS revenue_cents,"
+    " CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue"
+    " FROM o JOIN customer c ON o.o_custkey = c.c_custkey"
+    " JOIN nation n ON c.c_nationkey = n.n_nationkey"
+    " GROUP BY n.n_name"
+)
+
+
+N_JOIN_PARTS = 32
+
+
+def q_order_priority_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """Large x large shuffle hash join: lineitem joined to orders on
+    orderkey with NEITHER side broadcastable.  Both sides hash-partition on
+    the join key into the same coarse buckets (one tagged union dataset,
+    one exchange); inside each bucket a single vectorized pandas merge +
+    partial aggregate runs, and a tiny final groupby sums the partials.
+    This is the co-partition fold shape (components.py) rather than
+    ``Dataset.join`` — Acero's hash join crashes on empty/skewed key
+    partitions in this Ray build.  Revenue is integer 10^-4 dollars:
+    cents x (100 - discount%), exact on both sides."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def tag_li(t: pa.Table) -> pa.Table:
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ep = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        dpct = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((okey % N_JOIN_PARTS).astype(np.int32)),
+                "side": pa.array(np.zeros(len(okey), dtype=np.int8)),
+                "okey": pa.array(okey),
+                "rev_u": pa.array(ep * (100 - dpct)),
+                "flag": t["l_returnflag"],
+                "priority": pa.array([""] * len(okey), type=pa.string()),
+            }
+        )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((okey % N_JOIN_PARTS).astype(np.int32)),
+                "side": pa.array(np.ones(len(okey), dtype=np.int8)),
+                "okey": pa.array(okey),
+                "rev_u": pa.array(np.zeros(len(okey), dtype=np.int64)),
+                "flag": pa.array([""] * len(okey), type=pa.string()),
+                "priority": t["o_orderpriority"],
+            }
+        )
+
+    both = li.map_batches(tag_li, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def fold(df):
+        import pandas as pd
+
+        l = df[df["side"] == 0][["okey", "rev_u", "flag"]]
+        o = df[df["side"] == 1][["okey", "priority"]]
+        if not len(l) or not len(o):
+            return pd.DataFrame(
+                {"priority": pd.Series([], dtype=object),
+                 "flag": pd.Series([], dtype=object),
+                 "pn": pd.Series([], dtype=np.int64),
+                 "prev": pd.Series([], dtype=np.int64)}
+            )
+        m = l.merge(o, on="okey", how="inner")
+        g = m.groupby(["priority", "flag"], as_index=False).agg(
+            pn=("rev_u", "size"), prev=("rev_u", "sum")
+        )
+        g["pn"] = g["pn"].astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Sum
+
+    return (
+        both.groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby(["priority", "flag"])
+        .aggregate(
+            Sum("pn", alias_name="n_items"), Sum("prev", alias_name="revenue_u")
+        )
+    )
+
+
+ORDER_PRIORITY_REVENUE_SQL = (
+    "WITH l AS (SELECT l_orderkey AS okey, l_returnflag AS flag,"
+    " CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u"
+    " FROM lineitem)"
+    " SELECT o.o_orderpriority AS priority, l.flag,"
+    " CAST(count(*) AS BIGINT) AS n_items,"
+    " CAST(sum(l.rev_u) AS BIGINT) AS revenue_u"
+    " FROM l JOIN orders o ON l.okey = o.o_orderkey"
+    " GROUP BY priority, flag"
+)
+
+
+# --------------------------------------------------------------------------
 # Continuous-aggregate refresh lifecycle
 # --------------------------------------------------------------------------
 
@@ -2278,4 +2464,8 @@ CORE_QUERIES = {
     "autocorr_lag1": (q_autocorr_lag1, AUTOCORR_SQL),
     "corpus_pack512": (q_corpus_pack512, PACK_SQL),
     "store_refresh": (q_store_refresh, SOURCE_STATS_SQL),
+    "revenue_by_nation": (q_revenue_by_nation, REVENUE_BY_NATION_SQL),
+    "order_priority_revenue": (
+        q_order_priority_revenue, ORDER_PRIORITY_REVENUE_SQL
+    ),
 }
