@@ -144,3 +144,84 @@ def test_decode_rollup_blocks_matches_single():
             np.testing.assert_array_equal(
                 dec[k][off[j] : off[j + 1]], tier[k], err_msg=f"blob {j} {k}"
             )
+
+
+def _random_blobs(seed, n_docs):
+    rng = np.random.default_rng(seed)
+    blobs, tiers = [], []
+    for d in range(n_docs):
+        t = rng.integers(-(1 << 40), 1 << 40, size=int(rng.integers(1, 200))).astype(np.int64)
+        tier = oc.rollup_tier(t, 1 << (d % 5 + 1))
+        tiers.append(tier)
+        blobs.append(oc.encode_rollup_block(tier))
+    return blobs, tiers
+
+
+def test_native_decoder_matches_wavefront(monkeypatch):
+    """The C scalar decoder and the pure-numpy wavefront are the SAME
+    function bit-for-bit: run dod_decode_streams once per path on identical
+    adversarial streams and compare the raw output buffers."""
+    from wavelet_decomposition_ray import native
+
+    if native.decoder() is None:
+        pytest.skip("no C compiler on this host")
+    rng = np.random.default_rng(31)
+    streams, counts = [], []
+    for t in range(150):
+        n = int(rng.integers(1, 400))
+        if t % 4 == 0:
+            v = np.cumsum(rng.integers(-3, 4, n)).astype(np.int64)
+        elif t % 4 == 1:
+            v = rng.integers(-(2**62), 2**62, n).astype(np.int64)
+        elif t % 4 == 2:
+            v = np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max] * (n // 2 + 1))[:n].astype(np.int64)
+        else:
+            v = rng.integers(-2000, 2000, n).astype(np.int64) * rng.integers(0, 2**40, n)
+        streams.append(oc.dod_encode(v))
+        counts.append(n)
+    counts = np.array(counts, dtype=np.int64)
+    off = np.concatenate([[0], np.cumsum(counts)])
+    out_native = np.empty(off[-1], dtype=np.int64)
+    oc.dod_decode_streams(streams, counts, out_native, off[:-1])
+
+    out_wave = np.empty(off[-1], dtype=np.int64)
+    monkeypatch.setattr(native, "decoder", lambda: None)
+    oc.dod_decode_streams(streams, counts, out_wave, off[:-1])
+    np.testing.assert_array_equal(out_native, out_wave)
+
+
+@pytest.mark.parametrize("large", [False, True])
+def test_decode_rollup_blocks_arrow_matches_list(large):
+    """Arrow zero-object fast path == list path, for binary AND
+    large_binary columns, including a sliced (non-zero offset) array."""
+    import pyarrow as pa
+
+    blobs, _ = _random_blobs(17, 60)
+    typ = pa.large_binary() if large else pa.binary()
+    arr = pa.array(blobs, type=typ)
+    want = oc.decode_rollup_blocks(blobs)
+    got = oc.decode_rollup_blocks_arrow(arr)
+    for k in ("wmin", "wmax", "wsum", "wcount", "offsets"):
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+    # sliced array: non-zero arr.offset exercises the offset arithmetic
+    sl = arr.slice(13, 30)
+    want_sl = oc.decode_rollup_blocks(blobs[13:43])
+    got_sl = oc.decode_rollup_blocks_arrow(sl)
+    for k in ("wmin", "wmax", "wsum", "wcount", "offsets"):
+        np.testing.assert_array_equal(got_sl[k], want_sl[k], err_msg=f"slice {k}")
+
+
+def test_decode_rollup_blocks_arrow_chunked_and_empty():
+    import pyarrow as pa
+
+    blobs, _ = _random_blobs(23, 20)
+    ca = pa.chunked_array([pa.array(blobs[:7], type=pa.binary()),
+                           pa.array(blobs[7:], type=pa.binary())])
+    want = oc.decode_rollup_blocks(blobs)
+    got = oc.decode_rollup_blocks_arrow(ca)
+    for k in ("wmin", "wmax", "wsum", "wcount", "offsets"):
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+    empty = oc.decode_rollup_blocks_arrow(pa.array([], type=pa.binary()))
+    assert len(empty["offsets"]) == 1 and empty["offsets"][0] == 0

@@ -210,8 +210,8 @@ def decode_blocks_batch(batch: pa.Table) -> pa.Table:
     """Inverse stage: encoded blobs -> rollup list rows (the read path of
     the retention store). Round-trip with GorillaEncoder is the codec
     identity invariant (FIXTURES.md invariant 4)."""
-    blobs = batch["blob"].to_pylist()
-    dec = oc.decode_rollup_blocks(blobs)  # one wavefront over all 3N streams
+    dec = oc.decode_rollup_blocks_arrow(batch["blob"])  # all 3N streams, no
+    # per-blob Python objects (vectorized framing + native stream decode)
     off = dec["offsets"]
     from ..functions.listops import numpy_to_list
 
