@@ -225,3 +225,84 @@ def test_decode_rollup_blocks_arrow_chunked_and_empty():
 
     empty = oc.decode_rollup_blocks_arrow(pa.array([], type=pa.binary()))
     assert len(empty["offsets"]) == 1 and empty["offsets"][0] == 0
+
+
+def test_encode_blocks_raw_native_matches_numpy(monkeypatch):
+    """dod_encode_blocks_raw: native C path == numpy fallback path, on
+    adversarial blocks (empty, len-1, extreme int64, wraparound dods)."""
+    from wavelet_decomposition_ray import native
+
+    if native.encoder() is None:
+        pytest.skip("no C compiler on this host")
+    rng = np.random.default_rng(41)
+    vals = []
+    for t in range(120):
+        n = int(rng.integers(0, 300))
+        if t % 4 == 0:
+            v = np.cumsum(rng.integers(-3, 4, n)).astype(np.int64)
+        elif t % 4 == 1:
+            v = rng.integers(-(2**62), 2**62, n).astype(np.int64)
+        elif t % 4 == 2:
+            v = np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max] * (n // 2 + 1))[:n].astype(np.int64)
+        else:
+            v = rng.integers(-2000, 2000, n).astype(np.int64) * rng.integers(0, 2**40, n)
+        vals.append(v)
+    flat = np.concatenate(vals)
+    off = np.concatenate([[0], np.cumsum([len(v) for v in vals])]).astype(np.int64)
+
+    def to_list(triple):
+        buf, starts, lens = triple
+        mv = memoryview(buf)
+        return [bytes(mv[int(s): int(s) + int(l)]) for s, l in zip(starts, lens)]
+
+    got_native = to_list(oc.dod_encode_blocks_raw(flat, off))
+    monkeypatch.setattr(native, "encoder", lambda: None)
+    got_numpy = to_list(oc.dod_encode_blocks_raw(flat, off))
+    assert got_native == got_numpy
+    # and both equal the scalar reference
+    want = [oc.dod_encode_py(v) for v in vals]
+    assert got_native == want
+
+
+def test_frame_blob_column_matches_scalar_framing():
+    """_frame_blob_column == per-row encode_rollup_block, and the numpy
+    gather fallback == the native gather."""
+    from wavelet_decomposition_ray import native
+    from wavelet_decomposition_ray.stages import encode as es
+
+    rng = np.random.default_rng(53)
+    tiers = []
+    for d in range(40):
+        t = rng.integers(-(1 << 40), 1 << 40, int(rng.integers(1, 150))).astype(np.int64)
+        tiers.append(oc.rollup_tier(t, 1 << (d % 4 + 1)))
+    want = [oc.encode_rollup_block(tv) for tv in tiers]
+    n_win = np.array([len(tv["wmin"]) for tv in tiers], np.int64)
+    w_arr = np.array([tv["wcount"][0] for tv in tiers], np.int64)
+    last_arr = np.array([tv["wcount"][-1] for tv in tiers], np.int64)
+    offs = np.concatenate([[0], np.cumsum(n_win)]).astype(np.int64)
+    streams = [
+        oc.dod_encode_blocks_raw(
+            np.concatenate([tv[k].astype(np.int64) for tv in tiers]), offs
+        )
+        for k in ("wmin", "wmax", "wsum")
+    ]
+    arr, nbytes = es._frame_blob_column(n_win, w_arr, last_arr, streams)
+    assert arr.to_pylist() == want
+    np.testing.assert_array_equal(nbytes, [len(b) for b in want])
+
+    # numpy gather fallback produces the same column
+    out2 = np.empty(int(nbytes.sum()), dtype=np.uint8)
+    off2 = np.zeros(len(nbytes) + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=off2[1:])
+    # reuse the private fallback directly on one stream triple layout
+    buf, starts, lens = streams[0]
+    dst = off2[:-1] + 28
+    chk = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    es._gather_np(buf, starts, lens, chk, dst)
+    g = native.gather()
+    if g is not None:
+        chk2 = np.zeros_like(chk)
+        g(buf.ctypes.data, np.ascontiguousarray(starts).ctypes.data,
+          np.ascontiguousarray(lens).ctypes.data, chk2.ctypes.data,
+          np.ascontiguousarray(dst).ctypes.data, len(lens))
+        np.testing.assert_array_equal(chk, chk2)

@@ -1,11 +1,11 @@
-"""Build-on-first-import ctypes loader for the native DoD decoder.
+"""Build-on-first-import ctypes loader for the native DoD codec.
 
 No pip, no Python headers: ``dod.c`` is plain C compiled once with the
 system compiler into a shared library cached next to the source (atomic
 rename, so concurrent Ray workers race safely).  Every caller must handle
-``decoder() is None`` — machines without a C compiler fall back to the
-pure-numpy wavefront in ``oracle.py``, which is the semantic reference
-(a property test pins C == Python bit-for-bit).
+``decoder()/encoder()/gather() is None`` — machines without a C compiler
+fall back to the pure-numpy paths in ``oracle.py``, which are the semantic
+reference (property tests pin C == Python bit-for-bit).
 """
 
 from __future__ import annotations
@@ -20,7 +20,7 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "dod.c")
 _LIB = os.path.join(_DIR, "libdod.so")
 
-_lib = None
+_fns: dict | None = None
 _tried = False
 
 
@@ -51,28 +51,48 @@ def _compile() -> str | None:
                 pass
 
 
-def decoder():
-    """ctypes handle of ``dod_decode_streams_c`` or None (no compiler)."""
-    global _lib, _tried
+_SIGS = {
+    # base, byte_off, counts, out_off, n_streams, out
+    "dod_decode_streams_c": [ctypes.c_void_p] * 4 + [ctypes.c_int64, ctypes.c_void_p],
+    # vals, val_off, n_streams, out, cap_off, nbytes
+    "dod_encode_streams_c": [ctypes.c_void_p] * 2 + [ctypes.c_int64] + [ctypes.c_void_p] * 3,
+    # src, src_off, lens, dst, dst_off, n
+    "gather_segments_c": [ctypes.c_void_p] * 5 + [ctypes.c_int64],
+}
+
+
+def _load() -> dict:
+    global _fns, _tried
     if _tried:
-        return _lib
+        return _fns or {}
     _tried = True
+    _fns = {}
     path = _compile()
     if path is None:
-        return None
+        return _fns
     try:
         lib = ctypes.CDLL(path)
-        fn = lib.dod_decode_streams_c
-        fn.restype = None
-        fn.argtypes = [
-            ctypes.c_void_p,  # words
-            ctypes.c_void_p,  # gbase
-            ctypes.c_void_p,  # counts
-            ctypes.c_void_p,  # out_off
-            ctypes.c_int64,   # n_streams
-            ctypes.c_void_p,  # out
-        ]
-        _lib = fn
-    except OSError:
-        _lib = None
-    return _lib
+        for name, argtypes in _SIGS.items():
+            fn = getattr(lib, name)
+            fn.restype = None
+            fn.argtypes = argtypes
+            _fns[name] = fn
+    except (OSError, AttributeError):
+        # stale .so missing a newer symbol, or load failure: all-or-nothing
+        _fns = {}
+    return _fns
+
+
+def decoder():
+    """ctypes handle of ``dod_decode_streams_c`` or None (no compiler)."""
+    return _load().get("dod_decode_streams_c")
+
+
+def encoder():
+    """ctypes handle of ``dod_encode_streams_c`` or None (no compiler)."""
+    return _load().get("dod_encode_streams_c")
+
+
+def gather():
+    """ctypes handle of ``gather_segments_c`` or None (no compiler)."""
+    return _load().get("gather_segments_c")

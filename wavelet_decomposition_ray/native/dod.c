@@ -87,3 +87,73 @@ void dod_decode_streams_c(const uint8_t *base, const int64_t *byte_off,
     for (int64_t s = 0; s < n_streams; s++)
         decode_one(base + byte_off[s], counts[s], out + out_off[s]);
 }
+
+/* ---------------- encoder: exact C twin of oracle.dod_encode_py ---------- */
+
+typedef struct { uint8_t *p; uint64_t acc; int nbits; } BW;
+
+/* MSB-first bit writer; n <= 56 so acc never overflows (nbits < 8 between
+ * calls).  64-bit payloads are written as two 32-bit halves. */
+static inline void bw_put(BW *w, uint64_t v, int n) {
+    w->acc = (w->acc << n) | (v & ((1ULL << n) - 1));
+    w->nbits += n;
+    while (w->nbits >= 8) {
+        w->nbits -= 8;
+        *w->p++ = (uint8_t)(w->acc >> w->nbits);
+    }
+}
+
+static int64_t encode_one(const int64_t *v, int64_t n, uint8_t *out) {
+    if (n <= 0)
+        return 0;
+    BW w = {out, 0, 0};
+    uint64_t first = (uint64_t)v[0];
+    bw_put(&w, first >> 32, 32);
+    bw_put(&w, first & 0xFFFFFFFFULL, 32);
+    uint64_t prev_delta = 0;
+    for (int64_t i = 1; i < n; i++) {
+        /* mod-2^64 arithmetic == numpy int64 wraparound semantics */
+        uint64_t delta = (uint64_t)v[i] - (uint64_t)v[i - 1];
+        uint64_t ud = delta - prev_delta;
+        prev_delta = delta;
+        int64_t d = (int64_t)ud;
+        if (d == 0)
+            bw_put(&w, 0, 1);
+        else if (d >= -63 && d <= 64)
+            bw_put(&w, (2ULL << 7) | (uint64_t)(d + 63), 9);
+        else if (d >= -2047 && d <= 2048)
+            bw_put(&w, (6ULL << 12) | (uint64_t)(d + 2047), 15);
+        else if (d >= -(1LL << 31) + 1 && d <= (1LL << 31))
+            bw_put(&w, (14ULL << 32) | (uint64_t)(d + (1LL << 31) - 1), 36);
+        else {
+            bw_put(&w, 15, 4);
+            bw_put(&w, ud >> 32, 32);
+            bw_put(&w, ud & 0xFFFFFFFFULL, 32);
+        }
+    }
+    if (w.nbits > 0)
+        *w.p++ = (uint8_t)(w.acc << (8 - w.nbits)); /* zero pad to byte */
+    return (int64_t)(w.p - out);
+}
+
+/* Encode many independent streams from one flat int64 value array.  Stream
+ * s holds vals[val_off[s] .. val_off[s+1]); its bytes land at
+ * out + cap_off[s] (caller sizes capacity >= 16 + 9*(count-1) per stream);
+ * actual byte length is returned in nbytes[s]. */
+void dod_encode_streams_c(const int64_t *vals, const int64_t *val_off,
+                          int64_t n_streams, uint8_t *out,
+                          const int64_t *cap_off, int64_t *nbytes) {
+    for (int64_t s = 0; s < n_streams; s++)
+        nbytes[s] = encode_one(vals + val_off[s], val_off[s + 1] - val_off[s],
+                               out + cap_off[s]);
+}
+
+/* Variable-length segmented memcpy: segment s is src[src_off[s] ..
+ * src_off[s]+lens[s]) -> dst[dst_off[s] ..).  Used to splice encoded
+ * streams into their final framed-blob positions without per-row Python. */
+void gather_segments_c(const uint8_t *src, const int64_t *src_off,
+                       const int64_t *lens, uint8_t *dst,
+                       const int64_t *dst_off, int64_t n) {
+    for (int64_t s = 0; s < n; s++)
+        memcpy(dst + dst_off[s], src + src_off[s], (size_t)lens[s]);
+}

@@ -946,6 +946,42 @@ def dod_encode_blocks(values: np.ndarray, offsets: np.ndarray) -> list[bytes]:
     return [packed[byte_off[i] : byte_off[i + 1]] for i in range(n_blocks)]
 
 
+def dod_encode_blocks_raw(
+    values: np.ndarray, offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """:func:`dod_encode_blocks` without the per-block ``bytes`` objects:
+    returns ``(buf, starts, lens)`` — block i's encoded bytes are
+    ``buf[starts[i] : starts[i] + lens[i]]`` (uint8).  With the native
+    encoder (``native/``), each stream encodes scalar in C directly into a
+    capacity-sized buffer — no Python objects anywhere; otherwise the
+    vectorized numpy encoder runs and the list result is flattened.  The
+    encoder stages frame blobs straight from this form via one segmented
+    gather, so the hot path never touches per-row Python."""
+    v = np.ascontiguousarray(np.asarray(values, dtype=np.int64))
+    off = np.ascontiguousarray(np.asarray(offsets, dtype=np.int64))
+    n_blocks = len(off) - 1
+    if n_blocks <= 0:
+        z = np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.uint8), z, z
+    from . import native as _native
+
+    fn = _native.encoder()
+    if fn is not None:
+        m = np.maximum(np.diff(off) - 1, 0)
+        cap_off = np.zeros(n_blocks + 1, dtype=np.int64)
+        np.cumsum(16 + 9 * m, out=cap_off[1:])
+        buf = np.empty(int(cap_off[-1]), dtype=np.uint8)
+        lens = np.empty(n_blocks, dtype=np.int64)
+        fn(v.ctypes.data, off.ctypes.data, n_blocks, buf.ctypes.data,
+           cap_off.ctypes.data, lens.ctypes.data)
+        return buf, cap_off[:-1], lens
+    blobs = dod_encode_blocks(v, off)
+    lens = np.fromiter((len(b) for b in blobs), np.int64, n_blocks)
+    starts = np.zeros(n_blocks, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return np.frombuffer(b"".join(blobs), dtype=np.uint8), starts, lens
+
+
 # ------------- block framing: one rollup tier of one doc -------------------
 
 _MAGIC = b"GRB2"

@@ -16,6 +16,58 @@ import pyarrow as pa
 
 from ..functions.listops import list_to_numpy
 from .. import oracle as oc
+from .. import native
+
+
+def _gather_np(src, src_off, lens, dst, dst_off):
+    """Numpy fallback for native.gather(): variable-length segmented copy."""
+    nz = lens > 0
+    if not nz.any():
+        return
+    l = lens[nz]
+    pos = np.arange(int(l.sum()), dtype=np.int64) - np.repeat(
+        np.cumsum(l) - l, l
+    )
+    dst[np.repeat(dst_off[nz], l) + pos] = src[np.repeat(src_off[nz], l) + pos]
+
+
+def _frame_blob_column(n_win, w_arr, last_arr, streams):
+    """Assemble the framed rollup blobs of a whole batch as ONE Arrow binary
+    array — headers scatter as a (n, 28)-byte matrix, the three encoded stat
+    streams splice in via a segmented gather (native memcpy loop, numpy
+    fallback).  ``streams`` is three ``(buf, starts, lens)`` triples from
+    :func:`oracle.dod_encode_blocks_raw`; byte-identical to the per-row
+    ``oracle.encode_rollup_block`` framing.  Returns (binary array, nbytes).
+    """
+    n = len(n_win)
+    l0, l1, l2 = (s[2] for s in streams)
+    nbytes = 28 + l0 + l1 + l2
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=off[1:])
+    total = int(off[-1])
+    assert total < 2**31, "blob batch exceeds 2 GiB; lower batch_size"
+    out = np.empty(total, dtype=np.uint8)
+    hdr = np.empty((n, 28), dtype=np.uint8)
+    hdr[:, :4] = np.frombuffer(oc._MAGIC, dtype=np.uint8)
+    u = np.column_stack([n_win, w_arr, last_arr, l0, l1, l2]).astype("<u4")
+    hdr[:, 4:] = u.view(np.uint8)
+    out[off[:-1, None] + np.arange(28)] = hdr
+    dst = off[:-1] + 28
+    g = native.gather()
+    for buf, starts, lens in streams:
+        starts = np.ascontiguousarray(starts)
+        lens = np.ascontiguousarray(lens)
+        if g is not None:
+            g(buf.ctypes.data, starts.ctypes.data, lens.ctypes.data,
+              out.ctypes.data, np.ascontiguousarray(dst).ctypes.data, n)
+        else:
+            _gather_np(buf, starts, lens, out, dst)
+        dst = dst + lens
+    off32 = off.astype(np.int32)
+    arr = pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(off32), pa.py_buffer(out)]
+    )
+    return arr, nbytes
 
 
 class GorillaEncoder:
@@ -31,42 +83,23 @@ class GorillaEncoder:
         self.bytes_out = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import struct
-
         mins, off = list_to_numpy(batch["mins"])
         maxs, _ = list_to_numpy(batch["maxs"])
         sums, _ = list_to_numpy(batch["sums"])
         counts, _ = list_to_numpy(batch["counts"])
-        n = len(off) - 1
-        # vectorized across the whole batch: one dod_encode_blocks call per
-        # stat stream (identical bytes to per-row oracle.encode_rollup_block)
+        # vectorized across the whole batch: one raw codec call per stat
+        # stream, then one framed-blob assembly (identical bytes to per-row
+        # oracle.encode_rollup_block)
         streams = [
-            oc.dod_encode_blocks(np.ascontiguousarray(s.astype(np.int64)), off)
+            oc.dod_encode_blocks_raw(
+                np.ascontiguousarray(s.astype(np.int64)), off
+            )
             for s in (mins, maxs, sums)
         ]
-        n_win_arr = np.diff(off)
+        n_win = np.diff(off)
         w_arr = counts[off[:-1]]
         last_arr = counts[off[1:] - 1]
-        pack = struct.pack
-        magic = oc._MAGIC
-        blobs = [
-            magic
-            + pack(
-                "<6I",
-                int(n_win_arr[r]),
-                int(w_arr[r]),
-                int(last_arr[r]),
-                len(streams[0][r]),
-                len(streams[1][r]),
-                len(streams[2][r]),
-            )
-            + streams[0][r]
-            + streams[1][r]
-            + streams[2][r]
-            for r in range(n)
-        ]
-        nbytes = np.array([len(b) for b in blobs], dtype=np.int64)
-        n_win = np.diff(off)
+        blob_arr, nbytes = _frame_blob_column(n_win, w_arr, last_arr, streams)
         self.points_encoded += int(n_win.sum())
         self.bytes_out += int(nbytes.sum())
         bits_per_point = np.where(n_win > 0, nbytes * 8.0 / np.maximum(n_win, 1), 0.0)
@@ -75,7 +108,7 @@ class GorillaEncoder:
             "source": batch["source"],
             "tier": batch["tier"],
             "n_windows": batch["n_windows"],
-            "blob": pa.array(blobs, type=pa.binary()),
+            "blob": blob_arr,
             "nbytes": pa.array(nbytes),
             "bits_per_point": pa.array(bits_per_point, type=pa.float64()),
         }
@@ -119,8 +152,6 @@ class RollupEncode:
         #              an actor death, and would fail the job instead
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import struct
-
         from ..functions.listops import tumble_starts
 
         self._maybe_inject_fault()
@@ -164,10 +195,8 @@ class RollupEncode:
         streams = {}
         for k in ("wmin", "wmax", "wsum"):
             flat = np.concatenate([tv[k] for tv, _ in per_tier])
-            streams[k] = oc.dod_encode_blocks(flat, all_off)
+            streams[k] = oc.dod_encode_blocks_raw(flat, all_off)
 
-        pack = struct.pack
-        magic = oc._MAGIC
         pieces = []
         base = 0
         for t, (tv, toff) in enumerate(per_tier, start=1):
@@ -175,24 +204,22 @@ class RollupEncode:
             cnts = tv["wcount"]
             w_arr = cnts[toff[:-1]]
             last_arr = cnts[toff[1:] - 1]
-            s0 = streams["wmin"][base : base + n_rows]
-            s1 = streams["wmax"][base : base + n_rows]
-            s2_ = streams["wsum"][base : base + n_rows]
-            blobs = [
-                magic
-                + pack("<6I", int(n_win[r]), int(w_arr[r]), int(last_arr[r]),
-                       len(s0[r]), len(s1[r]), len(s2_[r]))
-                + s0[r] + s1[r] + s2_[r]
-                for r in range(n_rows)
+            tier_streams = [
+                (buf, starts[base : base + n_rows], lens[base : base + n_rows])
+                for buf, starts, lens in (
+                    streams["wmin"], streams["wmax"], streams["wsum"]
+                )
             ]
             base += n_rows
-            nbytes = np.array([len(b) for b in blobs], dtype=np.int64)
+            blob_arr, nbytes = _frame_blob_column(
+                n_win, w_arr, last_arr, tier_streams
+            )
             cols = {
                 "doc_id": batch["doc_id"],
                 "source": batch["source"],
                 "tier": pa.array(np.full(n_rows, t, dtype=np.int8)),
                 "n_windows": pa.array(n_win.astype(np.int32)),
-                "blob": pa.array(blobs, type=pa.binary()),
+                "blob": blob_arr,
                 "nbytes": pa.array(nbytes),
                 "bits_per_point": pa.array(
                     nbytes * 8.0 / np.maximum(n_win, 1), type=pa.float64()
