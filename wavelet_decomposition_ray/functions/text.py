@@ -370,3 +370,38 @@ def chunk_batch(batch: pa.Table) -> pa.Table:
             ),
         }
     )
+
+
+def word3_grams_frame(ids: np.ndarray, texts) -> "object":
+    """DISTINCT word-3-grams per document, fully pandas-vectorized: one
+    whitespace split, one explode, two shifted string concats with document
+    -boundary masking — no Python loop over rows or grams.  Returns a
+    DataFrame ``(doc, gram)``; documents with < 3 words contribute nothing.
+    Gram strings match DuckDB's ``ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]``
+    over ``string_split_regex(text, '\\s+')`` minus empties (the
+    NGRAM_JACCARD_SQL construction).  At 100-TB scale the gram strings
+    would be 64-bit hashes instead (same shape, smaller payload); strings
+    keep the SQL oracle join exact here."""
+    import itertools
+
+    import pandas as pd
+
+    ids = np.asarray(ids, dtype=np.int64)
+    words = pd.Series(texts).str.split()
+    lens = words.str.len().fillna(0).astype(np.int64).to_numpy()
+    flat = pd.Series(
+        list(itertools.chain.from_iterable(w for w in words if w)),
+        dtype=object,
+    )
+    doc = np.repeat(ids, lens)
+    n = len(flat)
+    if n < 3:
+        return pd.DataFrame({"doc": np.empty(0, np.int64), "gram": []})
+    grams = flat.str.cat(flat.shift(-1), sep=" ").str.cat(
+        flat.shift(-2), sep=" "
+    )
+    ok = np.zeros(n, dtype=bool)
+    ok[:-2] = (doc[:-2] == doc[1:-1]) & (doc[:-2] == doc[2:])
+    return pd.DataFrame(
+        {"doc": doc[ok], "gram": grams.to_numpy()[ok]}
+    ).drop_duplicates()

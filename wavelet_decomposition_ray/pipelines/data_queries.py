@@ -1255,6 +1255,239 @@ def _mixture_sql() -> str:
 MIXTURE_SQL = _mixture_sql()
 
 
+# --------------------------------------------------------------------------
+# decontamination: benchmark n-gram overlap
+# --------------------------------------------------------------------------
+
+DECONTAM_MOD = 97          # doc_id % MOD == 0 stands in for the eval suite
+DECONTAM_MIN_SHARED = 3    # distinct shared 3-grams to flag contamination
+
+
+class _DecontamScore:
+    """Actor stage: broadcast benchmark gram set (ray.put once, fetched once
+    per actor in __init__), streaming membership scan over the corpus."""
+
+    def __init__(self, bench_ref):
+        self.bench = ray.get(bench_ref)  # set[str], eval-suite sized
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % DECONTAM_MOD != 0
+        ids_k = ids[keep]
+        texts = t["text"].to_pandas()[keep].reset_index(drop=True)
+        g = tx.word3_grams_frame(ids_k, texts)
+        n_grams = g.groupby("doc").size()
+        n_shared = g[g["gram"].isin(self.bench)].groupby("doc").size()
+        res = pd.DataFrame({"doc_id": ids_k})
+        res["n_grams"] = (
+            n_grams.reindex(ids_k).fillna(0).to_numpy().astype(np.int64)
+        )
+        res["n_shared"] = (
+            n_shared.reindex(ids_k).fillna(0).to_numpy().astype(np.int64)
+        )
+        res["contaminated"] = res["n_shared"] >= DECONTAM_MIN_SHARED
+        return pa.Table.from_pandas(res, preserve_index=False)
+
+
+def q_decontam(sf_dir: str):
+    """Training-data decontamination: flag corpus documents that share
+    ``DECONTAM_MIN_SHARED``+ distinct word-3-grams with a benchmark (eval)
+    set — the overlap check every pretraining pipeline runs before
+    training.  The benchmark side is tiny by nature (an eval suite, here
+    ``doc_id % 97 == 0``), so its distinct gram set is computed
+    distributed, collected once, and broadcast via ``ray.put``; the corpus
+    side is a pure streaming scan (vectorized gram construction + hash-set
+    membership per batch) — no shuffle ever touches corpus data, which is
+    what makes this shape viable at 100 TB."""
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = ids % DECONTAM_MOD == 0
+        g = tx.word3_grams_frame(
+            ids[sel], t["text"].to_pandas()[sel].reset_index(drop=True)
+        )
+        # .tolist(): an EMPTY unique() comes back float64, which pyarrow
+        # refuses to cast to string
+        return pa.table(
+            {"gram": pa.array(g["gram"].unique().tolist(), type=pa.string())}
+        )
+
+    bench_df = (
+        _docs(sf_dir)
+        .map_batches(bench_grams, batch_format="pyarrow")
+        .to_pandas()
+    )
+    bench_ref = ray.put(set(bench_df["gram"]))
+    return _docs(sf_dir).map_batches(
+        _DecontamScore,
+        fn_constructor_args=(bench_ref,),
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=2,
+    )
+
+
+DECONTAM_SQL = (
+    "WITH w AS (SELECT doc_id,"
+    " list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws"
+    " FROM documents),"
+    " g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram"
+    "   FROM w, UNNEST(range(1, greatest(length(ws)-2, 0)+1)) AS t(i)),"
+    f" bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {DECONTAM_MOD} = 0),"
+    " stats AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,"
+    "   CAST(count(b.gram) AS BIGINT) AS n_shared"
+    "   FROM g LEFT JOIN bench b USING (gram)"
+    f"  WHERE g.doc_id % {DECONTAM_MOD} <> 0 GROUP BY g.doc_id)"
+    " SELECT d.doc_id, coalesce(s.n_grams, 0) AS n_grams,"
+    " coalesce(s.n_shared, 0) AS n_shared,"
+    f" coalesce(s.n_shared, 0) >= {DECONTAM_MIN_SHARED} AS contaminated"
+    " FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id"
+    f" WHERE d.doc_id % {DECONTAM_MOD} <> 0"
+)
+
+
+# --------------------------------------------------------------------------
+# TF-DF term ranking (two-phase broadcast)
+# --------------------------------------------------------------------------
+
+TFDF_TOP_K = 3
+
+
+class _TfDfRank:
+    def __init__(self, df_ref):
+        self.df_map = ray.get(df_ref)  # dict term -> global df
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import itertools
+
+        import pandas as pd
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        words = t["text"].to_pandas().str.split()
+        lens = words.str.len().fillna(0).astype(np.int64).to_numpy()
+        flat = list(itertools.chain.from_iterable(w for w in words if w))
+        g = pd.DataFrame({"doc_id": np.repeat(ids, lens), "term": flat})
+        tf = g.groupby(["doc_id", "term"]).size().reset_index(name="tf")
+        tf["df"] = tf["term"].map(self.df_map).astype(np.int64)
+        tf = tf.sort_values(
+            ["doc_id", "tf", "df", "term"],
+            ascending=[True, False, True, True],
+            kind="mergesort",
+        )
+        tf["rnk"] = tf.groupby("doc_id").cumcount() + 1
+        out = tf[tf["rnk"] <= TFDF_TOP_K].reset_index(drop=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy()),
+                "term": pa.array(out["term"], type=pa.string()),
+                "tf": pa.array(out["tf"].to_numpy().astype(np.int64)),
+                "df": pa.array(out["df"].to_numpy()),
+                "rnk": pa.array(out["rnk"].to_numpy().astype(np.int64)),
+            }
+        )
+
+
+def q_tfdf_top3(sf_dir: str):
+    """Per-document characteristic terms: top-K by (tf DESC, df ASC, term)
+    — the integer-exact twin of tf-idf ranking (idf is monotone-decreasing
+    in df, so ranking by df ascending breaks tf ties exactly as idf would,
+    with no floating-point logarithm to diverge from the SQL oracle).
+    Two-phase broadcast shape: phase 1 computes global document frequency
+    as a word-keyed partial+final aggregate (vocabulary-sized, never the
+    corpus); phase 2 broadcasts the df map via ray.put and streams the
+    corpus through a per-batch rank — the same DF-broadcast pattern a
+    100-TB tf-idf featurizer uses."""
+    from ray.data.aggregate import Sum
+
+    df_tbl = (
+        _docs(sf_dir)
+        .map_batches(tx.vocab_partial_batch, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    df_ref = ray.put(
+        dict(zip(df_tbl["word"], df_tbl["df"].astype(np.int64)))
+    )
+    return _docs(sf_dir).map_batches(
+        _TfDfRank,
+        fn_constructor_args=(df_ref,),
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=2,
+    )
+
+
+TFDF_SQL = (
+    "WITH w AS (SELECT doc_id,"
+    " unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))"
+    "   AS term FROM documents),"
+    " tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf"
+    "   FROM w GROUP BY 1, 2),"
+    " df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df"
+    "   FROM w GROUP BY 1),"
+    " r AS (SELECT doc_id, term, tf, df,"
+    "   CAST(row_number() OVER (PARTITION BY doc_id"
+    "     ORDER BY tf DESC, df ASC, term ASC) AS BIGINT) AS rnk"
+    "   FROM tf JOIN df USING (term))"
+    f" SELECT doc_id, term, tf, df, rnk FROM r WHERE rnk <= {TFDF_TOP_K}"
+)
+
+
+# --------------------------------------------------------------------------
+# semi-structured (JSON) extraction + rollup
+# --------------------------------------------------------------------------
+
+def q_props_extract(sf_dir: str):
+    """Semi-structured extraction: pull ``$.k`` out of the JSON ``props``
+    column with ONE compiled regex pass per batch (pandas str.extract — no
+    per-row json.loads), then a per-event_type partial+final rollup.  The
+    partial aggregate inside map_batches keeps the shuffle event_type-sized
+    regardless of corpus size.  Malformed rows raise loudly (astype) rather
+    than silently zero-filling."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def part(df: "pd.DataFrame") -> "pd.DataFrame":
+        k = df["props"].str.extract(r'"k":\s*(-?\d+)', expand=False).astype(
+            np.int64
+        )
+        g = pd.DataFrame({"event_type": df["event_type"], "k": k}).groupby(
+            "event_type"
+        )["k"]
+        return g.agg(n="size", sum_k="sum", min_k="min", max_k="max").reset_index()
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    return (
+        ds.map_batches(part, batch_format="pandas", batch_size=4096)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+    )
+
+
+PROPS_EXTRACT_SQL = (
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(sum(CAST(regexp_extract(props, '\"k\":\\s*(-?\\d+)', 1) AS BIGINT))"
+    "   AS BIGINT) AS sum_k,"
+    " CAST(min(CAST(regexp_extract(props, '\"k\":\\s*(-?\\d+)', 1) AS BIGINT))"
+    "   AS BIGINT) AS min_k,"
+    " CAST(max(CAST(regexp_extract(props, '\"k\":\\s*(-?\\d+)', 1) AS BIGINT))"
+    "   AS BIGINT) AS max_k"
+    " FROM events GROUP BY event_type"
+)
+
+
 DATA_QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "token_count_bpe": (q_token_count_bpe, TOKEN_COUNT_BPE_SQL),
@@ -1268,6 +1501,9 @@ DATA_QUERIES = {
     "media_resize": (q_media_resize, MEDIA_RESIZE_SQL),
     "fingerprint_md5": (q_fingerprint, FINGERPRINT_SQL),
     "fingerprint_rolling": (q_fingerprint_rolling, FINGERPRINT_ROLLING_SQL),
+    "decontam": (q_decontam, DECONTAM_SQL),
+    "tfdf_top3": (q_tfdf_top3, TFDF_SQL),
+    "props_extract": (q_props_extract, PROPS_EXTRACT_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "dedup_exact_keep": (q_dedup_exact_keep, DEDUP_EXACT_KEEP_SQL),
     "dedup_minhash": (q_dedup_minhash, DEDUP_MINHASH_SQL),
