@@ -64,8 +64,7 @@ def _headline(sf_dir: str, ncpus: int) -> dict:
     warm_out = f"/tmp/graft_bench/warmup{ncpus}"
     shutil.rmtree(warm_out, ignore_errors=True)
     rp.run_rollup_job(warm_seq, warm_out, bank="haar", n_tiers=4, n_buckets=8,
-                      resume=False, verify=False, batch_size=256,
-                      encoder_concurrency=(1, ncpus))
+                      resume=False, verify=False)
 
     # best-of-3 inside one session: this shared host shows minute-scale
     # background-load swings of 1.5-2x (measured 2026-08-17); the repeats
@@ -80,15 +79,12 @@ def _headline(sf_dir: str, ncpus: int) -> dict:
             out,
             bank="haar",
             n_tiers=10,
-            # 32 buckets measured ~30% faster than 64 at this scale: the
-            # hash-shuffle aggregator pool cost grows with partition count
-            # while 32 partitions already saturate 32 CPUs. At cluster
-            # scale n_buckets rises with nodes x cores (pipeline docstring).
-            n_buckets=32,
+            # library defaults: n_buckets=16 (finalize parallelism ~ CPUs,
+            # staged-slice count = tasks x buckets), batch_size adaptive
+            # from the input row count. At cluster scale n_buckets rises
+            # with nodes x cores (pipeline docstring).
             resume=False,
             verify=True,
-            batch_size=256,
-            encoder_concurrency=(max(1, ncpus // 2), ncpus),
         )
         job_times.append(time.perf_counter() - t0)
     t_job = min(job_times)

@@ -3,7 +3,7 @@
 Usable directly or via ray job submit (SURVEY.md §7.1.8):
 
     python jobs/run_rollup.py --input /tmp/graft_synth/sf0.1/sequences \
-        --out /tmp/rollup_out --bank haar --tiers 10 --buckets 32
+        --out /tmp/rollup_out --bank haar --tiers 10 --buckets 16
     ray job submit --working-dir . -- python jobs/run_rollup.py ...
 
 Owns its Ray session (guarded init — the driver-contract modules never init
@@ -27,10 +27,10 @@ def main() -> int:
     p.add_argument("--out", required=True, help="output root (manifest + data)")
     p.add_argument("--bank", default="haar", choices=["haar", "db4"])
     p.add_argument("--tiers", type=int, default=10)
-    p.add_argument("--buckets", type=int, default=32,
+    p.add_argument("--buckets", type=int, default=16,
                    help="hash partitions of doc_id (resume granularity); "
                    "size to ~nodes x cores at cluster scale")
-    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     p.add_argument("--no-resume", action="store_true")
@@ -68,7 +68,6 @@ def main() -> int:
         refresh=args.refresh,
         verify=not args.no_verify,
         batch_size=args.batch_size,
-        encoder_concurrency=(max(1, args.num_cpus // 2), args.num_cpus),
     )
     print(json.dumps(summary))
     ray.shutdown()

@@ -171,3 +171,51 @@ def test_metrics_and_lineage_written(seq_dir, tmp_path):
     lin = json.load(open(os.path.join(out, "lineage.json")))
     assert lin["config"]["bank"] == "haar"
     assert len(lin["input_files"]) >= 1
+
+
+def test_staged_write_retry_idempotent(tmp_path):
+    """A re-executed encode task must overwrite its own staged slices
+    (content-hash names), and BucketFinalize must dedupe duplicate metadata
+    rows — together, a task retry can never duplicate rows in the store."""
+    from wavelet_decomposition_ray.stages.encode import RollupEncode
+
+    stage = str(tmp_path / "staging")
+    out = str(tmp_path / "store")
+    rng = np.random.default_rng(5)
+    docs = [f"doc{i:03d}" for i in range(12)]
+    toks = [rng.integers(0, 100, 32).astype(np.int64) for _ in docs]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(docs),
+            "source": pa.array(["s"] * len(docs)),
+            "tokens": pa.array([t.tolist() for t in toks]),
+            "bucket": pa.array(
+                mf.bucket_of_ids(docs, 4), type=pa.int32()
+            ),
+        }
+    )
+    enc = RollupEncode(n_tiers=3, stage_dir=stage)
+    meta1 = enc(batch)
+    meta2 = RollupEncode(n_tiers=3, stage_dir=stage)(batch)  # "retried task"
+    assert meta1.to_pylist() == meta2.to_pylist()  # same names, overwritten
+    n_files = sum(len(fs) for _, _, fs in os.walk(stage))
+    assert n_files == meta1.num_rows  # no duplicate slices on disk
+
+    # finalize one bucket with DUPLICATED metadata rows
+    dup = pa.concat_tables([meta1, meta2])
+    b0 = dup.filter(pa.compute.equal(dup["bucket"], dup["bucket"][0]))
+    partials = mf.BucketFinalize(out, stage)(b0)
+    row = json.load(
+        open(
+            glob.glob(os.path.join(out, "manifest", "bucket-*.json"))[0]
+        )
+    )
+    n_docs_b0 = sum(
+        1 for d in docs if mf.bucket_of_ids([d], 4)[0] == b0["bucket"][0].as_py()
+    )
+    assert row["n_docs"] == n_docs_b0
+    assert row["n_rows"] == n_docs_b0 * 3  # 3 tiers per doc, no duplicates
+    # staged slices of the finalized bucket were cleaned up
+    assert not glob.glob(
+        os.path.join(stage, f"bucket={b0['bucket'][0].as_py():05d}", "*")
+    )

@@ -7,17 +7,22 @@ analog):
      -> map_batches(add_bucket + resume filter)          [S3/S4 cache skip]
      -> map_batches(gapfill)            stateless        [M1-M3]
      -> map_batches(DwtTransform)       stateless        [T1-T6 + invariant]
-     -> map_batches(TierRollup)         stateless        [A2 ladder, agg tree]
-     -> map_batches(GorillaEncoder)     ACTOR POOL       [ST1]
-     -> groupby(bucket).map_groups(PartitionWriter)      SHUFFLE + [S5/S6]
-         -> manifest + per-(source,tier) partials -> driver final fold [A1/A2]
+     -> map_batches(rollup_encode)      stateless tasks  [A2 + ST1], writes
+          per-bucket staged IPC slices in-task, emits metadata rows only
+     -> groupby(bucket).map_groups(BucketFinalize)       tiny metadata
+          exchange -> merge slices, sort, atomic file + manifest [S5/S6]
+         -> per-(source,tier) partials -> driver final fold [A1/A2]
 
 Consecutive map_batches are fused by the streaming executor, so the heavy
-columns (tokens, coeffs) never cross the object store between them; the one
-genuine all-to-all exchange is the hash-partition groupby on ``bucket``,
+columns (tokens, coeffs) never cross the object store between them — and
+neither does the encoded store: each task writes its own rows as staged
+per-bucket Arrow IPC slices (the no-shuffle layout of
+``write_parquet(partition_cols=...)``), so the only all-to-all is the
+O(tasks x buckets) metadata exchange forming each bucket's commit barrier,
 which doubles as the resume/checkpoint granularity. At cluster scale the
 same code runs with ``n_buckets`` sized to ~(nodes x cores); locally the
-default 32 keeps partitions around a few MB at bench scale.
+default 16 keeps finalize parallelism ~ CPUs and partitions ~10 MB at
+bench scale.
 
 No ``ray.init`` here — the caller owns the session (driver contract).
 """
@@ -109,16 +114,37 @@ def source_tier_aggregate(rollup_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+_ENCODER_CACHE: dict = {}
+
+
+def _make_rollup_encode_fn(n_tiers, fault_flag, stage_dir):
+    """Stateless-task wrapper around :class:`RollupEncode`: one encoder
+    instance cached per (config, worker process), so tasks run on Ray's
+    warm reusable workers instead of a cold-booted actor pool."""
+
+    def rollup_encode_batch(batch):
+        key = (n_tiers, fault_flag, stage_dir)
+        enc = _ENCODER_CACHE.get(key)
+        if enc is None:
+            enc = RollupEncode(
+                n_tiers=n_tiers, fault_flag=fault_flag, stage_dir=stage_dir
+            )
+            _ENCODER_CACHE[key] = enc
+        return enc(batch)
+
+    return rollup_encode_batch
+
+
 def run_rollup_job(
     input_path: str,
     out_dir: str,
     bank: str = "haar",
     n_tiers: int = 10,
-    n_buckets: int = 32,
+    n_buckets: int = 16,
     resume: bool = True,
     verify: bool = True,
-    batch_size: int = 256,
-    encoder_concurrency=(1, 8),
+    batch_size: int | None = None,  # None -> adaptive from input row count
+    encoder_concurrency=None,  # None -> (2, min(24, ncpu - 2)) at run time
     fault_flag: str | None = None,
     refresh: bool = False,
 ) -> dict:
@@ -138,49 +164,19 @@ def run_rollup_job(
     t0 = time.perf_counter()
     n_refreshed = 0
     if resume and refresh:
-        # runs on the DEFAULT shuffle config (tiny doc_id-only exchange),
-        # before the hash-shuffle overrides below
         stale = mf.stale_buckets(input_path, out_dir, n_buckets)
         if stale:
             mf.invalidate_buckets(out_dir, stale)
         n_refreshed = len(stale)
-    from ray.data import DataContext
-    from ray.data.context import ShuffleStrategy
-
-    # the bucket exchange is a pure hash partition — the hash shuffle is
-    # several times faster than the default sort-based shuffle for it and
-    # is also the strategy that scales to multi-node all-to-all; cap its
-    # aggregator actor pool to a fraction of the CPUs so it cannot starve
-    # the map/encode stages (resource deadlock at small CPU counts)
-    import ray as _ray
-
-    ctx = DataContext.get_current()
-    # save/restore: DataContext is process-global; leaking these settings
-    # into other pipelines' groupbys can starve THEIR shuffles
-    saved = (
-        ctx.shuffle_strategy,
-        ctx.max_hash_shuffle_aggregators,
-        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+    # NB: no DataContext shuffle overrides anymore.  The job's only groupby
+    # now exchanges one tiny (bucket, stage_file) metadata row per staged
+    # slice — the encoded store itself never crosses the object store (the
+    # round-2 hash-shuffle tuning existed to move ~150 MB/sf0.1 of blobs;
+    # the staged-write path removed that exchange entirely).
+    return _run_rollup_job_inner(
+        input_path, out_dir, bank, n_tiers, n_buckets, resume, verify,
+        batch_size, encoder_concurrency, t0, fault_flag, n_refreshed,
     )
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-    ctx.max_hash_shuffle_aggregators = max(2, ncpu // 4)
-    # aggregator actors reserve num_partitions x per-partition CPUs; cap the
-    # pool at ~25% of the cluster so the map/encode stages keep the rest
-    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = min(
-        0.0625, 0.25 * ncpu / max(n_buckets, 1)
-    )
-    try:
-        return _run_rollup_job_inner(
-            input_path, out_dir, bank, n_tiers, n_buckets, resume, verify,
-            batch_size, encoder_concurrency, t0, fault_flag, n_refreshed,
-        )
-    finally:
-        (
-            ctx.shuffle_strategy,
-            ctx.max_hash_shuffle_aggregators,
-            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
-        ) = saved
 
 
 def _run_rollup_job_inner(
@@ -205,6 +201,22 @@ def _run_rollup_job_inner(
             "n_buckets": n_buckets,
         }
 
+    if batch_size is None:
+        # adaptive task granularity: ~4 fused-chain tasks per CPU (enough
+        # waves to balance stragglers) but never tiny batches (per-task +
+        # per-staged-slice fixed costs dominate below ~256 rows) nor huge
+        # ones (load imbalance). Row count comes from parquet FOOTERS only.
+        import pyarrow.dataset as pads
+        import ray as _ray
+
+        n_in = pads.dataset(input_path).count_rows()
+        ncpu = (
+            int(_ray.cluster_resources().get("CPU", 8))
+            if _ray.is_initialized()
+            else 8
+        )
+        batch_size = int(min(1024, max(256, n_in // (4 * ncpu))))
+
     ds = sequences_dataset(input_path)
     # same batch_size as the heavy stages: when the executor fuses the map
     # chain, the FIRST stage's batching decides task granularity — a large
@@ -227,29 +239,50 @@ def _run_rollup_job_inner(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
-    # rollup + encode fused in one actor-pool stage: the tier stat streams go
-    # straight from reduceat arrays into the codec without ever being
-    # materialized as Arrow list columns (RollupEncode docstring)
+    # rollup + encode + staged write fused into the task chain: the tier
+    # stat streams go straight from reduceat arrays into the codec, and each
+    # task writes its own rows as per-bucket Arrow IPC slices under
+    # out_dir/staging — the encoded bytes NEVER enter the object store.
+    # Only (bucket, stage_file) metadata rows flow into the groupby, so the
+    # former ~storage-sized all-to-all is now an O(tasks x buckets) commit
+    # barrier (BucketFinalize docstring).
+    stage_dir = os.path.join(out_dir, "staging")
+    # stale slices from a crashed run are orphans: the retrying run re-stages
+    # everything it needs (content-hash names make rewrites idempotent), so
+    # clear staging up front rather than trusting leftovers
+    import shutil as _shutil
+
+    _shutil.rmtree(stage_dir, ignore_errors=True)
+    # STATELESS task stage, not an actor pool: RollupEncode holds no real
+    # per-process state (no model/index — just counters), so a pool buys
+    # nothing and costs plenty: pool actors are FRESH processes booted per
+    # execution (cold imports, seconds), a fixed pool reserves CPUs that
+    # starve the read/finalize stages, and an autoscaling pool ramps too
+    # slowly to fill a short job (measured 3.8 effective CPUs of 14 at 16
+    # cpus, sf0.4).  A per-worker-process instance cache keeps whatever the
+    # encoder wants warm; tasks schedule elastically on every CPU.  Worker
+    # death mid-task is retried by Ray core exactly as for pool actors
+    # (the fault-injection pytest covers it, byte-identical output).
+    # ``encoder_concurrency`` (when given) caps concurrent encode tasks —
+    # pool semantics kept for tests/CLI; None = let the scheduler pack.
     ds = ds.map_batches(
-        RollupEncode,
-        fn_constructor_kwargs={"n_tiers": n_tiers, "fault_flag": fault_flag},
+        _make_rollup_encode_fn(n_tiers, fault_flag, stage_dir),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=encoder_concurrency,
-        num_cpus=1,
-        # NB: deliberately NO max_restarts / max_task_retries here — Ray Data
-        # replaces dead pool actors and re-runs their in-flight bundles on
-        # its own (pytest kills an encoder mid-job and output stays
-        # byte-identical), while marking the actor restartable at the Ray
-        # core level disables actor-task submission pipelining and costs
-        # ~60-70% wall time (interleaved A/B at 16 cpus, sf0.4: 11.4-15.2 s
-        # plain vs 19.3-21.1 s with max_restarts=-1).
+        **(
+            {"concurrency": encoder_concurrency[1]
+             if isinstance(encoder_concurrency, tuple)
+             else encoder_concurrency}
+            if encoder_concurrency is not None
+            else {}
+        ),
     )
     partials_ds = ds.groupby("bucket", num_partitions=n_buckets).map_groups(
-        mf.PartitionWriter(out_dir), batch_format="pyarrow"
+        mf.BucketFinalize(out_dir, stage_dir), batch_format="pyarrow"
     )
     partials = partials_ds.to_pandas()  # tiny: buckets x sources x tiers
     stats = partials_ds.stats()
+    _shutil.rmtree(stage_dir, ignore_errors=True)
 
     # a hash bucket that owns no doc_ids produces no group: record it as an
     # explicitly-empty partition so resume knows the run covered it

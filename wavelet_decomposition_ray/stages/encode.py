@@ -128,7 +128,8 @@ class RollupEncode:
     Output rows and blob bytes are identical to TierRollup -> GorillaEncoder.
     """
 
-    def __init__(self, n_tiers: int = 10, fault_flag: str | None = None):
+    def __init__(self, n_tiers: int = 10, fault_flag: str | None = None,
+                 stage_dir: str | None = None):
         self.n_tiers = n_tiers
         self.points_encoded = 0
         self.bytes_out = 0
@@ -137,6 +138,48 @@ class RollupEncode:
         # Inert in production (None). The retry pytest proves the job
         # completes with byte-identical output anyway.
         self.fault_flag = fault_flag
+        # shuffle-free write path: when set, each task writes its own rows
+        # as per-bucket Arrow IPC slices under stage_dir and emits only
+        # (bucket, stage_file) metadata rows — the encoded bytes never
+        # enter the object store; BucketFinalize commits each bucket.
+        self.stage_dir = stage_dir
+
+    def _stage_batch(self, full: pa.Table) -> pa.Table:
+        """Write this batch's rows as per-bucket staged IPC slices; return
+        one metadata row per slice.  File names are content hashes of the
+        slice's doc ids, so a retried task overwrites its own slices
+        idempotently instead of duplicating rows."""
+        import hashlib
+        import os
+        import uuid
+
+        b = full["bucket"].to_numpy(zero_copy_only=False)
+        out_b: list[int] = []
+        out_f: list[str] = []
+        for k in np.unique(b):
+            sub = full.filter(pa.array(b == k))
+            sig = hashlib.md5()
+            for s in sub.column("doc_id").to_pylist():
+                sig.update(str(s).encode())
+                sig.update(b";")
+            rel_dir = f"bucket={int(k):05d}"
+            d = os.path.join(self.stage_dir, rel_dir)
+            os.makedirs(d, exist_ok=True)
+            name = f"part-{sig.hexdigest()[:20]}.arrow"
+            tmp = os.path.join(d, f".{name}.{uuid.uuid4().hex[:8]}.tmp")
+            with pa.OSFile(tmp, "wb") as fh, pa.ipc.new_file(
+                fh, sub.schema
+            ) as w:
+                w.write_table(sub)
+            os.replace(tmp, os.path.join(d, name))
+            out_b.append(int(k))
+            out_f.append(f"{rel_dir}/{name}")
+        return pa.table(
+            {
+                "bucket": pa.array(out_b, type=pa.int32()),
+                "stage_file": pa.array(out_f, type=pa.string()),
+            }
+        )
 
     def _maybe_inject_fault(self):
         import os
@@ -230,7 +273,10 @@ class RollupEncode:
             pieces.append(pa.table(cols))
             self.points_encoded += int(n_win.sum())
             self.bytes_out += int(nbytes.sum())
-        return pa.concat_tables(pieces)
+        full = pa.concat_tables(pieces)
+        if self.stage_dir is not None and "bucket" in full.column_names:
+            return self._stage_batch(full)
+        return full
 
 
 def decode_blocks_batch(batch: pa.Table) -> pa.Table:

@@ -261,82 +261,141 @@ class PartitionWriter:
     """``groupby("bucket").map_groups`` callable: write one bucket's encoded
     rollup rows atomically, record lineage + metrics, return the manifest row
     plus per-(source, tier) partial aggregates (the combiner half — the
-    driver's final fold over these tiny rows replaces a second shuffle)."""
+    driver's final fold over these tiny rows replaces a second shuffle).
+
+    This is the DATA-SHUFFLE writer shape (every encoded byte crosses the
+    object store to reach its bucket's writer).  The flagship job now uses
+    :class:`BucketFinalize` over task-staged files instead — same final
+    bytes, no data all-to-all — but this class remains the simple one-hop
+    writer for ad-hoc pipelines."""
 
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
         self.__name__ = "PartitionWriter"  # map_groups wants a named callable
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        t0 = time.perf_counter()
-        bucket = int(group["bucket"][0].as_py())
-        # tier-FIRST sort: clusters each retention tier into contiguous
-        # parquet row groups, so tier-scoped reads (the store's dominant
-        # query shape — coarse tiers for long ranges) prune at the row-group
-        # level via predicate pushdown instead of decoding every row. Still
-        # fully deterministic (resume rewrites stay byte-identical).
-        group = group.sort_by([("tier", "ascending"), ("doc_id", "ascending")])
-        group = group.drop_columns(["bucket"])
-        rel = f"data/bucket={bucket:05d}.parquet"
-        path = os.path.join(self.out_dir, rel)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + ".tmp"
-        pq.write_table(group, tmp, row_group_size=4096)
-        os.replace(tmp, path)
-        with open(path, "rb") as fh:
-            checksum = hashlib.md5(fh.read()).hexdigest()
+        return write_bucket_table(self.out_dir, group)
 
-        # per-(source, tier) partials for the driver-side final aggregate
-        import pandas as pd
 
-        pdf = pd.DataFrame(
-            {
-                "source": group["source"].to_pandas(),
-                "tier": group["tier"].to_pandas(),
-                "n_windows": group["n_windows"].to_pandas().astype("int64"),
-                "nbytes": group["nbytes"].to_pandas(),
-            }
-        )
-        partials = pdf.groupby(["source", "tier"], as_index=False).agg(
-            n_docs=("n_windows", "size"),
-            n_windows=("n_windows", "sum"),
-            nbytes=("nbytes", "sum"),
-        )
-        partials.insert(0, "bucket", bucket)
+def write_bucket_table(out_dir: str, group: pa.Table) -> pa.Table:
+    """Write ONE bucket's full rollup table as its final atomic partition
+    file + manifest row + persisted partials.  Deterministic: the bucket is
+    globally sorted (tier, doc_id) before writing, so the output bytes do
+    not depend on how the rows arrived (shuffle order or staged-file
+    layout) — resume and refresh rewrites stay byte-identical."""
+    t0 = time.perf_counter()
+    bucket = int(group["bucket"][0].as_py())
+    # tier-FIRST sort: clusters each retention tier into contiguous
+    # parquet row groups, so tier-scoped reads (the store's dominant
+    # query shape — coarse tiers for long ranges) prune at the row-group
+    # level via predicate pushdown instead of decoding every row. Still
+    # fully deterministic (resume rewrites stay byte-identical).
+    group = group.sort_by([("tier", "ascending"), ("doc_id", "ascending")])
+    group = group.drop_columns(["bucket"])
+    rel = f"data/bucket={bucket:05d}.parquet"
+    path = os.path.join(out_dir, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(group, tmp, row_group_size=4096)
+    os.replace(tmp, path)
+    with open(path, "rb") as fh:
+        checksum = hashlib.md5(fh.read()).hexdigest()
 
-        # persist this bucket's partials next to its manifest row so a
-        # RESUMED run can fold the per-(source,tier) sink across ALL buckets,
-        # not just the re-run ones (skipped buckets otherwise silently drop
-        # out of source_stats.parquet)
-        mdir = manifest_dir(self.out_dir)
-        os.makedirs(mdir, exist_ok=True)
-        ptmp = os.path.join(mdir, f".partials-{bucket:05d}.parquet.tmp")
-        pq.write_table(pa.Table.from_pandas(partials, preserve_index=False), ptmp)
-        os.replace(ptmp, os.path.join(mdir, f"partials-{bucket:05d}.parquet"))
+    # per-(source, tier) partials for the driver-side final aggregate
+    import pandas as pd
 
-        # order-independent input fingerprint of this bucket's doc set:
-        # (count, XOR of stable 64-bit doc-id hashes) — refresh compares it
-        # against the same summary recomputed from the CURRENT input to
-        # detect appended/removed docs in already-completed buckets
-        from ..functions.dedup import _stable_u64
-
-        ids = pa.compute.unique(group["doc_id"]).to_pylist()
-        hx = np.array([_stable_u64(s) for s in ids], dtype=np.uint64).view(
-            np.int64
-        )
-        row = {
-            "bucket": bucket,
-            "file": rel,
-            "n_rows": group.num_rows,
-            "n_docs": len(ids),
-            "doc_xor": int(np.bitwise_xor.reduce(hx)) if len(hx) else 0,
-            "n_windows": int(pdf["n_windows"].sum()),
-            "bytes_encoded": int(pdf["nbytes"].sum()),
-            "checksum": checksum,
-            "elapsed_s": round(time.perf_counter() - t0, 4),
+    pdf = pd.DataFrame(
+        {
+            "source": group["source"].to_pandas(),
+            "tier": group["tier"].to_pandas(),
+            "n_windows": group["n_windows"].to_pandas().astype("int64"),
+            "nbytes": group["nbytes"].to_pandas(),
         }
-        mtmp = os.path.join(mdir, f".bucket-{bucket:05d}.json.tmp")
-        with open(mtmp, "w") as fh:
-            json.dump(row, fh, sort_keys=True)
-        os.replace(mtmp, os.path.join(mdir, f"bucket-{bucket:05d}.json"))
-        return pa.Table.from_pandas(partials, preserve_index=False)
+    )
+    partials = pdf.groupby(["source", "tier"], as_index=False).agg(
+        n_docs=("n_windows", "size"),
+        n_windows=("n_windows", "sum"),
+        nbytes=("nbytes", "sum"),
+    )
+    partials.insert(0, "bucket", bucket)
+
+    # persist this bucket's partials next to its manifest row so a
+    # RESUMED run can fold the per-(source,tier) sink across ALL buckets,
+    # not just the re-run ones (skipped buckets otherwise silently drop
+    # out of source_stats.parquet)
+    mdir = manifest_dir(out_dir)
+    os.makedirs(mdir, exist_ok=True)
+    ptmp = os.path.join(mdir, f".partials-{bucket:05d}.parquet.tmp")
+    pq.write_table(pa.Table.from_pandas(partials, preserve_index=False), ptmp)
+    os.replace(ptmp, os.path.join(mdir, f"partials-{bucket:05d}.parquet"))
+
+    # order-independent input fingerprint of this bucket's doc set:
+    # (count, XOR of stable 64-bit doc-id hashes) — refresh compares it
+    # against the same summary recomputed from the CURRENT input to
+    # detect appended/removed docs in already-completed buckets
+    from ..functions.dedup import _stable_u64
+
+    ids = pa.compute.unique(group["doc_id"]).to_pylist()
+    hx = np.array([_stable_u64(s) for s in ids], dtype=np.uint64).view(
+        np.int64
+    )
+    row = {
+        "bucket": bucket,
+        "file": rel,
+        "n_rows": group.num_rows,
+        "n_docs": len(ids),
+        "doc_xor": int(np.bitwise_xor.reduce(hx)) if len(hx) else 0,
+        "n_windows": int(pdf["n_windows"].sum()),
+        "bytes_encoded": int(pdf["nbytes"].sum()),
+        "checksum": checksum,
+        "elapsed_s": round(time.perf_counter() - t0, 4),
+    }
+    mtmp = os.path.join(mdir, f".bucket-{bucket:05d}.json.tmp")
+    with open(mtmp, "w") as fh:
+        json.dump(row, fh, sort_keys=True)
+    os.replace(mtmp, os.path.join(mdir, f"bucket-{bucket:05d}.json"))
+    return pa.Table.from_pandas(partials, preserve_index=False)
+
+
+class BucketFinalize:
+    """``groupby("bucket").map_groups`` callable over STAGED-FILE METADATA
+    rows (bucket, stage_file): the commit barrier of the shuffle-free write
+    path.
+
+    The encode tasks already wrote every bucket's rows as per-(task, bucket)
+    Arrow IPC slices under ``staging/`` (see ``RollupEncode(stage_dir=...)``)
+    — the only thing that crosses the cluster here is one tiny metadata row
+    per staged file, so the groupby exchange is O(tasks x buckets) rows of
+    a few bytes instead of the full encoded store.  Each finalize task
+    reads its bucket's staged slices, globally sorts, and writes the exact
+    same final partition file the data-shuffle writer would (byte-identical
+    — :func:`write_bucket_table` sorts before writing), then deletes the
+    slices.
+
+    Retry-safe: staged file names are content hashes of the slice's doc
+    ids, so a re-executed encode task overwrites its own files instead of
+    duplicating rows; duplicate metadata rows dedupe on the file name here.
+    At 100-TB scale the staged-file count is tasks x occupied buckets —
+    size ``batch_size`` up and ``n_buckets`` to O(nodes) so slices stay
+    megabytes, and staging lives on the job's shared store (here: the
+    store's own output directory)."""
+
+    def __init__(self, out_dir: str, stage_dir: str):
+        self.out_dir = out_dir
+        self.stage_dir = stage_dir
+        self.__name__ = "BucketFinalize"
+
+    def __call__(self, meta: pa.Table) -> pa.Table:
+        files = sorted(set(meta["stage_file"].to_pylist()))
+        tables = []
+        for rel in files:
+            with pa.OSFile(os.path.join(self.stage_dir, rel), "rb") as fh:
+                tables.append(pa.ipc.open_file(fh).read_all())
+        group = pa.concat_tables(tables)
+        partials = write_bucket_table(self.out_dir, group)
+        for rel in files:
+            try:
+                os.remove(os.path.join(self.stage_dir, rel))
+            except OSError:
+                pass
+        return partials
