@@ -1488,6 +1488,222 @@ PROPS_EXTRACT_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# intra-document repetition (Gopher-style quality signal)
+# --------------------------------------------------------------------------
+
+def q_repetition_2gram(sf_dir: str):
+    """Per-document word-2-gram repetition: total grams, distinct grams and
+    the duplicate fraction ``1 - distinct/total`` — the Gopher-rule
+    repetition signal that flags template/boilerplate text.  Pure
+    streaming map_batches: one pandas split + shifted concat with
+    doc-boundary masking per batch (no per-row loop, no shuffle — each doc
+    is one row, so per-doc counts are batch-local).  Docs with < 2 words
+    have no grams and are excluded (matches the SQL's ``len(ws) >= 2``)."""
+
+    def rep(df):
+        import itertools
+
+        import pandas as pd
+
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        words = df["text"].str.split()
+        lens = words.str.len().fillna(0).astype(np.int64).to_numpy()
+        flat = pd.Series(
+            list(itertools.chain.from_iterable(w for w in words if w)),
+            dtype=object,
+        )
+        doc = np.repeat(ids, lens)
+        n = len(flat)
+        empty = pd.DataFrame(
+            {
+                "doc_id": np.empty(0, np.int64),
+                "n_grams": np.empty(0, np.int64),
+                "n_distinct": np.empty(0, np.int64),
+                "dup_frac": np.empty(0, np.float64),
+            }
+        )
+        if n < 2:
+            return empty
+        grams = flat.str.cat(flat.shift(-1), sep=" ")
+        ok = np.zeros(n, dtype=bool)
+        ok[:-1] = doc[:-1] == doc[1:]
+        g = pd.DataFrame({"doc": doc[ok], "gram": grams.to_numpy()[ok]})
+        if not len(g):
+            return empty
+        tot = g.groupby("doc").size()
+        dis = g.drop_duplicates().groupby("doc").size()
+        out = pd.DataFrame(
+            {
+                "doc_id": tot.index.to_numpy().astype(np.int64),
+                "n_grams": tot.to_numpy().astype(np.int64),
+                "n_distinct": dis.reindex(tot.index).to_numpy().astype(
+                    np.int64
+                ),
+            }
+        )
+        # identical IEEE double expression on the SQL side
+        out["dup_frac"] = 1.0 - out["n_distinct"].to_numpy().astype(
+            np.float64
+        ) / out["n_grams"].to_numpy().astype(np.float64)
+        return out
+
+    return _docs(sf_dir).map_batches(rep, batch_format="pandas")
+
+
+REPETITION_SQL = (
+    "WITH w AS (SELECT doc_id,"
+    " list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws"
+    " FROM documents),"
+    " g AS (SELECT doc_id,"
+    " list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) AS gs"
+    " FROM w WHERE len(ws) >= 2)"
+    " SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,"
+    " CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,"
+    " 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / CAST(len(gs) AS DOUBLE)"
+    "   AS dup_frac"
+    " FROM g"
+)
+
+
+# --------------------------------------------------------------------------
+# distributed exact quantiles over document metadata
+# --------------------------------------------------------------------------
+
+def q_quality_deciles(sf_dir: str):
+    """Per-source exact deciles (q=1..9) of document length ``n_chars`` —
+    the corpus-audit length distribution, via the engine's distributed
+    VALUE-HISTOGRAM quantile pattern (same shape as ``epn_quantiles``):
+    per-batch (source, n_chars) partial counts, one groupby over
+    DISTINCT-VALUE-sized partials (never corpus-sized), then the decile
+    rank walk over the tiny histogram.  The decile definition is the
+    q-th smallest value at rank ``ceil(q*n/10)`` — pinned identically in
+    the SQL's row_number construction."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+
+    def partial(df):
+        g = df.groupby(["source", "n_chars"], as_index=False).size()
+        g["pn"] = g.pop("size").astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["source", "n_chars"])
+        .aggregate(Sum("pn", alias_name="cnt"))
+        .to_pandas()  # tiny: distinct (source, value) pairs
+    )
+    out = []
+    for src, h in hist.groupby("source"):
+        h = h.sort_values("n_chars")
+        vals = h["n_chars"].to_numpy().astype(np.int64)
+        cum = np.cumsum(h["cnt"].to_numpy().astype(np.int64))
+        n = int(cum[-1])
+        for q in range(1, 10):
+            r = int(np.ceil(q * n / 10.0))  # same double expr as the SQL
+            out.append((src, q, int(vals[np.searchsorted(cum, r)])))
+    return pd.DataFrame(out, columns=["source", "decile", "n_chars"]).astype(
+        {"decile": np.int64, "n_chars": np.int64}
+    )
+
+
+QUALITY_DECILES_SQL = (
+    "WITH r AS (SELECT source, n_chars,"
+    " row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,"
+    " count(*) OVER (PARTITION BY source) AS n FROM documents)"
+    " SELECT source, q AS decile, n_chars FROM r"
+    " CROSS JOIN (SELECT unnest(range(1, 10)) AS q) qs"
+    " WHERE rn = CAST(ceil(q * n / 10.0) AS BIGINT)"
+)
+
+
+# --------------------------------------------------------------------------
+# vector quantization: nearest-centroid assignment (k-means partitioner)
+# --------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_SEED = 23
+_QSCALE = 1 << 20  # fixed-point grid; argmin is integer-exact on both sides
+
+
+def _kmeans_codebook() -> np.ndarray:
+    """Deterministic (k, 64) codebook quantized to the fixed-point grid.
+    Seeded-Gaussian codewords stand in for trained centroids (the trained
+    path is ``similarity.train_ivf`` — ann_ivf); this query isolates the
+    ASSIGNMENT step every Lloyd iteration / IVF build runs at corpus
+    scale."""
+    c = np.random.default_rng(KMEANS_SEED).standard_normal((KMEANS_K, 64))
+    return np.floor(c * _QSCALE + 0.5).astype(np.int64)
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Nearest-centroid cluster assignment over every embedding — the
+    shuffle-free partitioning step of distributed k-means / IVF builds.
+    The tiny codebook rides the task closure (ray.put for big codebooks);
+    per batch ONE int64 matmul scores all centroids.  Distances are
+    computed on a 2^-20 fixed-point grid so the argmin (ties -> lowest
+    cluster id) is integer-exact — no float summation-order divergence
+    against the SQL oracle."""
+    qc = _kmeans_codebook()
+    nrm = (qc * qc).sum(axis=1)
+
+    def assign(t: pa.Table) -> pa.Table:
+        m = sim.embedding_matrix(t).astype(np.float64)
+        qx = np.floor(m * float(_QSCALE) + 0.5).astype(np.int64)
+        score = nrm[None, :] - 2 * (qx @ qc.T)  # ||c||^2 - 2 x.c (+||x||^2)
+        cl = np.argmin(score, axis=1)  # first occurrence = lowest id on tie
+        best = score[np.arange(len(cl)), cl]
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster": pa.array(cl.astype(np.int64)),
+                "score": pa.array(best.astype(np.int64)),
+            }
+        )
+
+    return _emb(sf_dir).map_batches(assign, batch_format="pyarrow",
+                                    batch_size=1024)
+
+
+def _kmeans_sql() -> str:
+    """Oracle for q_kmeans_assign: quantized codewords + squared norms as
+    literal constants; the per-(vec, centroid) dot product is an exact
+    BIGINT sum, argmin tie-break pinned by ``ORDER BY score, j``."""
+    qc = _kmeans_codebook()
+    nrm = (qc * qc).sum(axis=1)
+    cvals = ", ".join(
+        f"({i + 1}, {j}, {int(qc[j, i])})"
+        for i in range(qc.shape[1])
+        for j in range(KMEANS_K)
+    )
+    nvals = ", ".join(f"({j}, {int(nrm[j])})" for j in range(KMEANS_K))
+    return (
+        "WITH e AS (SELECT vec_id,"
+        f" CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_QSCALE}.0 + 0.5)"
+        "   AS BIGINT) AS qv,"
+        " generate_subscripts(embedding, 1) AS i FROM embeddings),"
+        f" c(i, j, w) AS (SELECT * FROM (VALUES {cvals})),"
+        f" nm(j, nrm) AS (SELECT * FROM (VALUES {nvals})),"
+        " d AS (SELECT vec_id, c.j AS j, sum(e.qv * c.w) AS dot"
+        "   FROM e JOIN c ON c.i = e.i GROUP BY vec_id, c.j),"
+        " s AS (SELECT vec_id, d.j AS j, nm.nrm - 2 * dot AS score"
+        "   FROM d JOIN nm ON nm.j = d.j)"
+        " SELECT vec_id, CAST(j AS BIGINT) AS cluster,"
+        " CAST(score AS BIGINT) AS score FROM"
+        " (SELECT vec_id, j, score,"
+        "  row_number() OVER (PARTITION BY vec_id ORDER BY score, j) AS rn"
+        "  FROM s) WHERE rn = 1"
+    )
+
+
+KMEANS_ASSIGN_SQL = _kmeans_sql()
+
+
 DATA_QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "token_count_bpe": (q_token_count_bpe, TOKEN_COUNT_BPE_SQL),
@@ -1519,4 +1735,7 @@ DATA_QUERIES = {
     "top_docs_per_lang": (q_top_docs_per_lang, TOP_DOCS_SQL),
     "split_train_holdout": (q_split_train_holdout, SPLIT_SQL),
     "mixture_sample": (q_mixture_sample, MIXTURE_SQL),
+    "repetition_2gram": (q_repetition_2gram, REPETITION_SQL),
+    "quality_deciles": (q_quality_deciles, QUALITY_DECILES_SQL),
+    "kmeans_assign": (q_kmeans_assign, KMEANS_ASSIGN_SQL),
 }

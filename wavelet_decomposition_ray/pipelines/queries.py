@@ -2034,6 +2034,86 @@ DISTINCT_USERS_SQL = (
 )
 
 
+def q_retention_cohorts(sf_dir: str) -> "ray.data.Dataset":
+    """Cohort retention matrix: each user is cohorted by their FIRST active
+    day; for every (cohort_day, day_offset) count the users active that
+    many days after joining — the classic product-analytics /
+    corpus-freshness retention triangle.
+
+    Shape: per-batch dedup of packed (user, day) int keys shrinks the
+    exchange to unique pairs; a hash partition on user_id puts each user's
+    whole history in exactly one partition, so ONE numpy fold derives the
+    per-user first day (run starts of the sorted packed keys) and emits
+    per-(cohort, offset) partial counts; a tiny final groupby sums them.
+    No raw-event shuffle, no driver-side user map — user cardinality never
+    leaves the workers."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = ts_us // _DAY_US
+        if len(uid):
+            assert uid.min() >= 0 and uid.max() < (1 << (62 - _DAY_BITS)) and (
+                day.min() >= 0 and day.max() < (1 << _DAY_BITS)
+            ), "retention_cohorts key packing out of range"
+        key = np.unique(uid * (1 << _DAY_BITS) + day)
+        return pa.table(
+            {
+                "key": key,
+                "part": ((key >> _DAY_BITS) % N_EVENT_PARTS).astype(np.int32),
+            }
+        )
+
+    def fold(df):
+        import pandas as pd
+
+        key = np.unique(df["key"].to_numpy())  # uid-major, day ascending
+        uid = key >> _DAY_BITS
+        day = key & ((1 << _DAY_BITS) - 1)
+        n = len(key)
+        if n == 0:
+            return pd.DataFrame(
+                {"cohort_day": np.array([], dtype=np.int64),
+                 "day_offset": np.array([], dtype=np.int64),
+                 "pn": np.array([], dtype=np.int64)}
+            )
+        start = np.ones(n, dtype=bool)
+        start[1:] = uid[1:] != uid[:-1]
+        runs = np.diff(np.append(np.nonzero(start)[0], n))
+        cohort = np.repeat(day[start], runs)  # each user's first day
+        co = np.stack([cohort, day - cohort], axis=1)
+        uniq, cnt = np.unique(co, axis=0, return_counts=True)
+        return pd.DataFrame(
+            {"cohort_day": uniq[:, 0], "day_offset": uniq[:, 1],
+             "pn": cnt.astype(np.int64)}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("pn", alias_name="n_users"))
+    )
+
+
+RETENTION_SQL = (
+    f"WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day"
+    " FROM events),"
+    " f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id)"
+    " SELECT cohort_day, day - cohort_day AS day_offset,"
+    " CAST(count(*) AS BIGINT) AS n_users"
+    " FROM a JOIN f USING (user_id) GROUP BY cohort_day, day_offset"
+)
+
+
 # --------------------------------------------------------------------------
 # Per-sequence lag-1 autocorrelation statistics
 # --------------------------------------------------------------------------
@@ -2461,6 +2541,7 @@ CORE_QUERIES = {
     "events_zscore16": (q_events_zscore16, EVENTS_ZSCORE_SQL),
     "hourly_profile": (q_hourly_profile, HOURLY_PROFILE_SQL),
     "distinct_users_daily": (q_distinct_users_daily, DISTINCT_USERS_SQL),
+    "retention_cohorts": (q_retention_cohorts, RETENTION_SQL),
     "autocorr_lag1": (q_autocorr_lag1, AUTOCORR_SQL),
     "corpus_pack512": (q_corpus_pack512, PACK_SQL),
     "store_refresh": (q_store_refresh, SOURCE_STATS_SQL),

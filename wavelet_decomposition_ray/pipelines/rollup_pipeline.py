@@ -147,8 +147,15 @@ def run_rollup_job(
     encoder_concurrency=None,  # None -> (2, min(24, ncpu - 2)) at run time
     fault_flag: str | None = None,
     refresh: bool = False,
+    input_format: str = "parquet",
 ) -> dict:
     """Run the full job; resumable from per-bucket checkpoints.
+
+    ``input_format`` selects the ingest reader (``parquet`` | ``jsonl`` |
+    ``csv`` — see :mod:`..sources.ingest`); every format normalizes to the
+    canonical sequences schema before the first transform, so the store
+    bytes are identical whichever format carried the input.  The refresh
+    fingerprint pre-pass reads parquet footers and is parquet-only.
 
     ``refresh=True`` turns resume into a continuous-aggregate refresh: a
     cheap doc_id-only pre-pass fingerprints each bucket's doc set and any
@@ -163,6 +170,11 @@ def run_rollup_job(
     """
     t0 = time.perf_counter()
     n_refreshed = 0
+    if refresh and input_format != "parquet":
+        raise ValueError(
+            "refresh=True needs the parquet fingerprint pre-pass; "
+            f"got input_format={input_format!r}"
+        )
     if resume and refresh:
         stale = mf.stale_buckets(input_path, out_dir, n_buckets)
         if stale:
@@ -176,12 +188,14 @@ def run_rollup_job(
     return _run_rollup_job_inner(
         input_path, out_dir, bank, n_tiers, n_buckets, resume, verify,
         batch_size, encoder_concurrency, t0, fault_flag, n_refreshed,
+        input_format,
     )
 
 
 def _run_rollup_job_inner(
     input_path, out_dir, bank, n_tiers, n_buckets, resume, verify,
     batch_size, encoder_concurrency, t0, fault_flag=None, n_refreshed=0,
+    input_format="parquet",
 ):
     done = mf.completed_buckets(out_dir) if resume else frozenset()
     if len(done) >= n_buckets:
@@ -202,22 +216,32 @@ def _run_rollup_job_inner(
         }
 
     if batch_size is None:
-        # adaptive task granularity: ~4 fused-chain tasks per CPU (enough
-        # waves to balance stragglers) but never tiny batches (per-task +
-        # per-staged-slice fixed costs dominate below ~256 rows) nor huge
-        # ones (load imbalance). Row count comes from parquet FOOTERS only.
-        import pyarrow.dataset as pads
-        import ray as _ray
+        if input_format == "parquet":
+            # adaptive task granularity: ~4 fused-chain tasks per CPU
+            # (enough waves to balance stragglers) but never tiny batches
+            # (per-task + per-staged-slice fixed costs dominate below ~256
+            # rows) nor huge ones (load imbalance). Row count comes from
+            # parquet FOOTERS only.
+            import pyarrow.dataset as pads
+            import ray as _ray
 
-        n_in = pads.dataset(input_path).count_rows()
-        ncpu = (
-            int(_ray.cluster_resources().get("CPU", 8))
-            if _ray.is_initialized()
-            else 8
-        )
-        batch_size = int(min(1024, max(256, n_in // (4 * ncpu))))
+            n_in = pads.dataset(input_path).count_rows()
+            ncpu = (
+                int(_ray.cluster_resources().get("CPU", 8))
+                if _ray.is_initialized()
+                else 8
+            )
+            batch_size = int(min(1024, max(256, n_in // (4 * ncpu))))
+        else:
+            # line formats have no footer row count; a mid-band fixed size
+            batch_size = 512
 
-    ds = sequences_dataset(input_path)
+    if input_format == "parquet":
+        ds = sequences_dataset(input_path)
+    else:
+        from ..sources.ingest import read_sequences
+
+        ds = read_sequences(input_path, input_format)
     # same batch_size as the heavy stages: when the executor fuses the map
     # chain, the FIRST stage's batching decides task granularity — a large
     # value here would collapse the whole fused chain to a handful of tasks
