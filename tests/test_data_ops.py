@@ -473,3 +473,45 @@ def test_dedup_keep_on_duplicate_free_corpus(ray_session, tmp_path):
     pq.write_table(tbl, str(tmp_path / "documents.parquet"))
     out = dq.DATA_QUERIES["dedup_keep"][0](str(tmp_path)).to_pandas()
     assert len(out) == 40
+
+
+def test_hll_estimate_accuracy_and_merge():
+    """HLL registers built shard-by-shard and merged by max must equal the
+    single-pass registers, and the estimate must sit within the sketch's
+    error band (~1.6% at p=12; allow 5%) at a cardinality >> m."""
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    n = 60_000
+    u = np.array(
+        [dd._stable_u64(f"hll:{i}") for i in range(n)], dtype=np.uint64
+    )
+    idx = (u >> np.uint64(dq._HLL_WBITS)).astype(np.int64)
+    w = (u & np.uint64(dq._HLL_WMOD - 1)).astype(np.float64)
+    rho = np.full(n, dq._HLL_WBITS + 1, dtype=np.int64)
+    nz = w > 0
+    rho[nz] = (dq._HLL_WBITS + 1) - np.frexp(w[nz])[1]
+
+    whole = np.zeros(dq.HLL_M, dtype=np.int64)
+    np.maximum.at(whole, idx, rho)
+
+    merged = np.zeros(dq.HLL_M, dtype=np.int64)
+    for lo in range(0, n, 7_919):  # uneven shards
+        part = np.zeros(dq.HLL_M, dtype=np.int64)
+        sl = slice(lo, lo + 7_919)
+        np.maximum.at(part, idx[sl], rho[sl])
+        merged = np.maximum(merged, part)
+    assert np.array_equal(whole, merged)
+
+    hit = np.nonzero(whole)[0]
+    est = dq.hll_estimate(hit, whole[hit])
+    assert abs(est - n) / n < 0.05
+
+    # rho semantics: bit_length via frexp matches Python's int.bit_length
+    for v in (0, 1, 2, 3, (1 << 51) - 1, 1 << 51):
+        expect = dq._HLL_WBITS + 1 - v.bit_length() if v else dq._HLL_WBITS + 1
+        got = (
+            dq._HLL_WBITS + 1 - np.frexp(np.float64(v))[1]
+            if v
+            else dq._HLL_WBITS + 1
+        )
+        assert got == expect

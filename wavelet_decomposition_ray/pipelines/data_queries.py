@@ -1704,6 +1704,87 @@ def _kmeans_sql() -> str:
 KMEANS_ASSIGN_SQL = _kmeans_sql()
 
 
+# --------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch
+# --------------------------------------------------------------------------
+
+HLL_P = 12                     # 4096 registers, ~1.6% standard error
+HLL_M = 1 << HLL_P
+_HLL_WBITS = 64 - HLL_P        # 52: the rho field fits a float64 mantissa
+_HLL_WMOD = 1 << _HLL_WBITS
+
+
+def q_hll_users(sf_dir: str):
+    """HyperLogLog sketch of distinct event users — the mergeable
+    distinct-count sketch a 100-TB pipeline reaches for when the exact
+    three-level COUNT DISTINCT (``distinct_users_daily``) is too wide to
+    shuffle.  Each batch folds its users into a dense 4096-register partial
+    (max rho per register), so the exchange is O(batches x registers)
+    regardless of event volume, and sketches built on disjoint shards union
+    losslessly by register max — the property that lets a 256-node cluster
+    sketch per-shard and merge on one node.  The output is the register
+    table itself (integer-exact, hence SQL-oracle-checkable bit for bit);
+    the cardinality estimate is an O(m) driver-side formula over it
+    (``hll_estimate``).  Hash split: md5-u64, idx = top 12 bits, rho =
+    leading-zero count of the low 52 bits + 1."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = np.unique(t["user_id"].to_numpy(zero_copy_only=False))
+        u = np.array([dd._stable_u64(f"hll:{i}") for i in uid],
+                     dtype=np.uint64)
+        idx = (u >> np.uint64(_HLL_WBITS)).astype(np.int64)
+        w = (u & np.uint64(_HLL_WMOD - 1)).astype(np.float64)  # exact < 2^52
+        rho = np.full(len(u), _HLL_WBITS + 1, dtype=np.int64)
+        nz = w > 0
+        # bit_length(w) == frexp exponent (w < 2^53 so float64 is exact)
+        rho[nz] = (_HLL_WBITS + 1) - np.frexp(w[nz])[1]
+        regs = np.zeros(HLL_M, dtype=np.int64)
+        np.maximum.at(regs, idx, rho)
+        hit = np.nonzero(regs)[0]
+        return pa.table({"register": hit.astype(np.int64),
+                         "rho": regs[hit]})
+
+    from ray.data.aggregate import Max
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("register")
+        .aggregate(Max("rho", alias_name="rho"))
+    )
+
+
+def hll_estimate(registers: np.ndarray, rhos: np.ndarray) -> float:
+    """Standard HLL estimate (with the small-range linear-counting
+    correction) from a sparse (register, rho) table as ``q_hll_users``
+    returns it.  Driver-side O(m); kept out of the query so the oracle
+    compares exact integers, never floats."""
+    m = HLL_M
+    regs = np.zeros(m, dtype=np.int64)
+    regs[np.asarray(registers, dtype=np.int64)] = np.asarray(rhos)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+HLL_SQL = (
+    "WITH d AS (SELECT DISTINCT user_id FROM events),"
+    " h AS (SELECT md5('hll:' || CAST(user_id AS VARCHAR)) AS hx FROM d),"
+    f" u AS (SELECT {_md5_u64_sql('hx')} AS u FROM h),"
+    f" r AS (SELECT CAST(u // CAST({_HLL_WMOD} AS UBIGINT) AS BIGINT)"
+    "   AS register,"
+    f"  u % CAST({_HLL_WMOD} AS UBIGINT) AS w FROM u),"
+    f" rr AS (SELECT register, CASE WHEN w = 0 THEN {_HLL_WBITS + 1}"
+    f"  ELSE {_HLL_WBITS + 1} - length(bin(w)) END AS rho FROM r)"
+    " SELECT register, CAST(max(rho) AS BIGINT) AS rho FROM rr"
+    " GROUP BY register"
+)
+
+
 DATA_QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "token_count_bpe": (q_token_count_bpe, TOKEN_COUNT_BPE_SQL),
@@ -1738,4 +1819,5 @@ DATA_QUERIES = {
     "repetition_2gram": (q_repetition_2gram, REPETITION_SQL),
     "quality_deciles": (q_quality_deciles, QUALITY_DECILES_SQL),
     "kmeans_assign": (q_kmeans_assign, KMEANS_ASSIGN_SQL),
+    "hll_users": (q_hll_users, HLL_SQL),
 }
