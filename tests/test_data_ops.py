@@ -515,3 +515,45 @@ def test_hll_estimate_accuracy_and_merge():
             else dq._HLL_WBITS + 1
         )
         assert got == expect
+
+
+def test_cms_merge_and_point_query_bound():
+    """CMS partials built per-shard and summed must equal the single-pass
+    sketch, and min-over-rows point queries must upper-bound true counts
+    within the eN/w additive band."""
+    import pandas as pd
+
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    rng = np.random.default_rng(7)
+    # zipf-ish corpus of 2000 distinct words
+    words = [f"w{i}" for i in rng.zipf(1.3, size=20_000) if i < 2000]
+    uniq, n = np.unique(words, return_counts=True)
+
+    def sketch(u, c):
+        cms = np.zeros((dq.CMS_D, dq.CMS_W), dtype=np.int64)
+        for r in range(dq.CMS_D):
+            b = np.array(
+                [dd._stable_u64(f"cms{r}:{w}") % dq.CMS_W for w in u],
+                dtype=np.int64,
+            )
+            np.add.at(cms[r], b, c)
+        return cms
+
+    whole = sketch(uniq, n)
+    merged = sum(
+        sketch(uniq[lo : lo + 311], n[lo : lo + 311])
+        for lo in range(0, len(uniq), 311)
+    )
+    assert np.array_equal(whole, merged)
+
+    flat = whole.ravel()
+    cell = np.nonzero(flat)[0]
+    tbl = pd.DataFrame(
+        {"row": cell // dq.CMS_W, "bucket": cell % dq.CMS_W, "cnt": flat[cell]}
+    )
+    total = int(n.sum())
+    for w, true in zip(uniq[np.argsort(n)[-5:]], np.sort(n)[-5:]):
+        est = dq.cms_point_query(tbl, str(w))
+        assert est >= true
+        assert est <= true + 3 * total / dq.CMS_W

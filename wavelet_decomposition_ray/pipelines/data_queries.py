@@ -1771,6 +1771,84 @@ def hll_estimate(registers: np.ndarray, rhos: np.ndarray) -> float:
     return float(est)
 
 
+CMS_D = 4       # hash rows
+CMS_W = 1024    # buckets per row
+
+
+def q_cms_words(sf_dir: str):
+    """Count-Min sketch of corpus word frequencies — the bounded-memory
+    heavy-hitter structure that replaces ``vocab_top20``'s word-keyed
+    shuffle when the vocabulary itself is too large to exchange.  Each
+    batch folds its word counts into a dense d x w = 4 x 1024 integer
+    sketch (row r buckets by md5-u64 of "cms{r}:word"), partials emit only
+    nonzero cells, and one tiny cell-keyed sum merges them — sketches from
+    disjoint shards add losslessly, and a point query (min over the d row
+    cells) upper-bounds any word's true count.  Output is the exact cell
+    table, so the SQL twin pins every count bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts = tx.vocab_partial_batch(t)
+        words = counts["word"].to_pylist()
+        n = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cms = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        for r in range(CMS_D):
+            b = np.array(
+                [dd._stable_u64(f"cms{r}:{w}") % CMS_W for w in words],
+                dtype=np.int64,
+            )
+            np.add.at(cms[r], b, n)
+        flat = cms.ravel()
+        cell = np.nonzero(flat)[0]
+        return pa.table({"cell": cell.astype(np.int64), "n": flat[cell]})
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="cnt"))
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "row": (cell // CMS_W).astype(np.int64),
+                "bucket": (cell % CMS_W).astype(np.int64),
+                "cnt": t["cnt"],
+            }
+        )
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+def cms_point_query(cms_table, word: str) -> int:
+    """Point-query a materialized CMS cell table (pandas): the classic
+    min-over-rows estimate — an upper bound on the word's true count,
+    within eN/w additively with probability 1-(1/2)^d."""
+    est = []
+    for r in range(CMS_D):
+        b = dd._stable_u64(f"cms{r}:{word}") % CMS_W
+        hit = cms_table[(cms_table["row"] == r) & (cms_table["bucket"] == b)]
+        est.append(int(hit["cnt"].iloc[0]) if len(hit) else 0)
+    return min(est)
+
+
+CMS_SQL = (
+    "WITH w AS (SELECT"
+    " unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))"
+    "   AS word FROM documents),"
+    " c AS (SELECT word, count(*) AS n FROM w GROUP BY word),"
+    " r(rw) AS (VALUES (0), (1), (2), (3)),"
+    " h AS (SELECT r.rw AS rw,"
+    "  md5('cms' || r.rw || ':' || word) AS hx, n FROM c CROSS JOIN r),"
+    f" b AS (SELECT rw, CAST({_md5_u64_sql('hx')} % {CMS_W} AS BIGINT)"
+    "   AS bucket, n FROM h)"
+    " SELECT CAST(rw AS BIGINT) AS row, bucket,"
+    " CAST(sum(n) AS BIGINT) AS cnt FROM b GROUP BY rw, bucket"
+)
+
+
 HLL_SQL = (
     "WITH d AS (SELECT DISTINCT user_id FROM events),"
     " h AS (SELECT md5('hll:' || CAST(user_id AS VARCHAR)) AS hx FROM d),"
@@ -1820,4 +1898,5 @@ DATA_QUERIES = {
     "quality_deciles": (q_quality_deciles, QUALITY_DECILES_SQL),
     "kmeans_assign": (q_kmeans_assign, KMEANS_ASSIGN_SQL),
     "hll_users": (q_hll_users, HLL_SQL),
+    "cms_words": (q_cms_words, CMS_SQL),
 }
