@@ -557,3 +557,64 @@ def test_cms_merge_and_point_query_bound():
         est = dq.cms_point_query(tbl, str(w))
         assert est >= true
         assert est <= true + 3 * total / dq.CMS_W
+
+
+def test_funnel_stages_and_strict_ordering(ray_session, tmp_path):
+    """Synthetic event streams exercising every funnel stage and the
+    strict-ordering edges (click before view doesn't count; same-timestamp
+    click is not 'after' the view), cross-checked against FUNNEL_SQL."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, typ, minutes):
+        return {
+            "ts": t0 + dt.timedelta(minutes=minutes),
+            "user_id": uid,
+            "event_type": typ,
+        }
+
+    rows = [
+        ev(1, "click", 0),                      # no view -> stage 0
+        ev(2, "view", 0),                       # view only -> stage 1
+        ev(3, "view", 0), ev(3, "click", 5),    # -> stage 2
+        # click BEFORE view only -> stage 1
+        ev(4, "click", 0), ev(4, "view", 5),
+        # full ordered funnel -> stage 3
+        ev(5, "view", 0), ev(5, "click", 5), ev(5, "purchase", 10),
+        # purchase before the qualifying click -> stage 2
+        ev(6, "purchase", 0), ev(6, "view", 5), ev(6, "click", 10),
+        # click at the SAME timestamp as the first view: not after -> 1
+        ev(7, "view", 0), ev(7, "click", 0),
+    ]
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["event_id"] = np.arange(len(df), dtype=np.int64)
+    df["value"] = 1.0
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+
+    out = (
+        cq.q_funnel(str(tmp_path))
+        .to_pandas()
+        .sort_values("stage")
+        .reset_index(drop=True)
+    )
+    expect = pd.DataFrame(
+        {"stage": [0, 1, 2, 3], "n_users": [1, 3, 2, 1]}
+    )
+    pd.testing.assert_frame_equal(out.astype("int64"), expect)
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/events.parquet')"
+    )
+    oracle = (
+        con.sql(cq.FUNNEL_SQL).df().sort_values("stage").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out.astype("int64"), oracle.astype("int64"))

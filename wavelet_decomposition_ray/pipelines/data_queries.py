@@ -1771,6 +1771,93 @@ def hll_estimate(registers: np.ndarray, rhos: np.ndarray) -> float:
     return float(est)
 
 
+BOILER_DF = 4          # a 3-gram in >= this many docs is boilerplate
+BOILER_HOT_CAP = 2_000_000  # driver-collect guard for the hot-gram set
+
+
+def q_boilerplate(sf_dir: str):
+    """CCNet-style boilerplate detection: per document, how many of its
+    distinct word-3-grams occur in >= BOILER_DF documents corpus-wide —
+    the repeated-template signal (headers, footers, nav text) a web-corpus
+    cleaning pipeline scores before stripping.
+
+    Two phases, both scale-safe: (1) gram document-frequency via per-batch
+    distinct (doc, gram) partials (each doc is one row, so batch-distinct
+    is globally distinct) pre-aggregated into gram-count pairs before one
+    gram-keyed groupby — the only shuffle, fixed-width rows; (2) the hot
+    set (df >= threshold) is small by Zipf — guarded by BOILER_HOT_CAP —
+    collected once, broadcast via ``ray.put``, and the corpus rescans as a
+    pure streaming membership pass, the ``decontam`` shape."""
+    from ray.data.aggregate import Sum
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        g = tx.word3_grams_frame(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["text"].to_pandas(),
+        )
+        n = g.groupby("gram").size()
+        return pa.table(
+            {"gram": pa.array(n.index.tolist(), type=pa.string()),
+             "df": pa.array(n.to_numpy().astype(np.int64))}
+        )
+
+    hot_df = (
+        _docs(sf_dir)
+        .map_batches(gram_partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("df", alias_name="df"))
+        .filter(expr=f"df >= {BOILER_DF}")
+        .to_pandas()
+    )
+    if len(hot_df) > BOILER_HOT_CAP:
+        raise RuntimeError(
+            f"boilerplate hot-gram set {len(hot_df)} exceeds "
+            f"BOILER_HOT_CAP={BOILER_HOT_CAP}; raise BOILER_DF or shard "
+            "the membership set"
+        )
+    hot_ref = ray.put(set(hot_df["gram"]))
+
+    class Score:
+        def __init__(self):
+            self.hot = ray.get(hot_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            g = tx.word3_grams_frame(ids, t["text"].to_pandas())
+            g["boiler"] = g["gram"].isin(self.hot)
+            s = g.groupby("doc").agg(
+                n_grams=("gram", "size"), n_boiler=("boiler", "sum")
+            )
+            s = s.reindex(ids, fill_value=0)
+            return pa.table(
+                {"doc_id": ids,
+                 "n_grams": s["n_grams"].to_numpy().astype(np.int64),
+                 "n_boiler": s["n_boiler"].to_numpy().astype(np.int64)}
+            )
+
+    return _docs(sf_dir).map_batches(
+        Score, batch_format="pyarrow", batch_size=512, concurrency=2
+    )
+
+
+BOILER_SQL = (
+    "WITH w AS (SELECT doc_id,"
+    " list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws"
+    " FROM documents),"
+    " g AS (SELECT DISTINCT doc_id,"
+    "  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram"
+    "  FROM w, UNNEST(range(1, greatest(length(ws)-2, 0)+1)) AS t(i)),"
+    " df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),"
+    f" hot AS (SELECT gram FROM df WHERE df >= {BOILER_DF}),"
+    " s AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,"
+    "  CAST(count(h.gram) AS BIGINT) AS n_boiler"
+    "  FROM g LEFT JOIN hot h USING (gram) GROUP BY g.doc_id)"
+    " SELECT d.doc_id, coalesce(s.n_grams, 0) AS n_grams,"
+    " coalesce(s.n_boiler, 0) AS n_boiler"
+    " FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id"
+)
+
+
 CMS_D = 4       # hash rows
 CMS_W = 1024    # buckets per row
 
@@ -1899,4 +1986,5 @@ DATA_QUERIES = {
     "kmeans_assign": (q_kmeans_assign, KMEANS_ASSIGN_SQL),
     "hll_users": (q_hll_users, HLL_SQL),
     "cms_words": (q_cms_words, CMS_SQL),
+    "boilerplate_3gram": (q_boilerplate, BOILER_SQL),
 }

@@ -510,6 +510,82 @@ SESSIONIZE_SQL = (
 )
 
 
+def q_funnel(sf_dir: str) -> "ray.data.Dataset":
+    """Ordered funnel analysis (view -> click -> purchase): per user, the
+    deepest stage reached with strictly increasing timestamps — stage 1
+    needs a view, stage 2 a click after the FIRST view, stage 3 a purchase
+    after that first qualifying click; output is users per deepest stage.
+
+    Shape: the same coarse user-hash partitioning as ``sessionize`` (one
+    Ray group per partition, never per user); inside each partition the
+    stage ladder is three pandas merge+min passes — every user lives in
+    exactly one partition, so partition-local stages are globally exact and
+    only the 4-row stage counts meet in the final groupby.  This is the
+    sequence-pattern query (event-order-dependent) that a plain groupby
+    aggregate cannot express."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+    )
+
+    def fold(df):
+        import pandas as pd
+
+        df = df[["user_id", "ts", "event_type"]].copy()
+        df["ts_us"] = (
+            df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        t1 = (
+            df[df["event_type"] == "view"]
+            .groupby("user_id")["ts_us"].min().rename("t1")
+        )
+        m1 = df.merge(t1, on="user_id", how="left")
+        t2 = (
+            m1[(m1["event_type"] == "click") & (m1["ts_us"] > m1["t1"])]
+            .groupby("user_id")["ts_us"].min().rename("t2")
+        )
+        m2 = df.merge(t2, on="user_id", how="inner")
+        u3 = m2[
+            (m2["event_type"] == "purchase") & (m2["ts_us"] > m2["t2"])
+        ]["user_id"].unique()
+        stage = pd.Series(0, index=pd.Index(df["user_id"].unique()))
+        stage[t1.index] = 1
+        stage[t2.index] = 2
+        stage[u3] = 3
+        out = stage.value_counts().rename_axis("stage").reset_index(name="pn")
+        return out.astype({"stage": np.int64, "pn": np.int64})
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(_add_user_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("stage")
+        .aggregate(Sum("pn", alias_name="n_users"))
+    )
+
+
+FUNNEL_SQL = (
+    "WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events"
+    "  WHERE event_type = 'view' GROUP BY user_id),"
+    " c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e"
+    "  JOIN v ON v.user_id = e.user_id"
+    "  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1"
+    "  GROUP BY e.user_id),"
+    " p AS (SELECT DISTINCT e.user_id FROM events e"
+    "  JOIN c ON c.user_id = e.user_id"
+    "  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2),"
+    " s AS (SELECT u.user_id, CASE WHEN p.user_id IS NOT NULL THEN 3"
+    "  WHEN c.user_id IS NOT NULL THEN 2"
+    "  WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage"
+    "  FROM (SELECT DISTINCT user_id FROM events) u"
+    "  LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)"
+    "  LEFT JOIN p USING (user_id))"
+    " SELECT CAST(stage AS BIGINT) AS stage,"
+    " CAST(count(*) AS BIGINT) AS n_users FROM s GROUP BY stage"
+)
+
+
 def q_range_join(sf_dir: str) -> "ray.data.Dataset":
     """RANGE join (non-equi): each event joined to the per-day lineitem
     quantity aggregate over the +-3 calendar-day window around its
@@ -2515,6 +2591,7 @@ CORE_QUERIES = {
     "epn_quantiles": (q_epn_quantiles, EPN_SQL),
     "events_rollup_w4": (q_events_rollup, EVENTS_ROLLUP_SQL),
     "sessionize": (q_sessionize, SESSIONIZE_SQL),
+    "funnel_conversion": (q_funnel, FUNNEL_SQL),
     "gapfill_hourly": (q_gapfill_hourly, GAPFILL_SQL),
     "events_rate": (q_events_rate, EVENTS_RATE_SQL),
     "events_ewma8": (q_events_ewma8, EWMA8_SQL),
