@@ -2416,6 +2416,152 @@ def q_order_priority_revenue(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-06-01"
+
+
+def q_top_orders_q3(sf_dir: str):
+    """TPC-H Q3 analog — the three-table pipeline (customer |> orders |>
+    lineitem) with date-window filters and a top-K by revenue:
+
+    * **prune at the read**: both fact scans push their date predicate and
+      column list into ``read_parquet`` (row-group pruning, only 3-4
+      columns leave storage);
+    * **broadcast the selective dimension**: BUILDING-segment custkeys are
+      a small sorted array, ``ray.put`` once, probed by ``searchsorted``
+      inside every orders batch — no customer join shuffle;
+    * **co-partition the large join**: filtered orders and lineitem meet in
+      ONE tagged-union exchange on ``okey % N_JOIN_PARTS`` (the
+      ``order_priority_revenue`` shape); each order's group lives wholly in
+      one partition, so the per-order revenue aggregate AND a partition-
+      local top-10 are exact, and only <= 10 rows per partition reach the
+      driver's final top-10.
+
+    Revenue is integer 10^-4 dollars (cents x (100 - discount%)) so the
+    sum is order-independent and hash-exact; dates travel as '%Y-%m-%d'
+    strings on both engine and oracle sides."""
+    import pandas as pd
+    import pyarrow.compute as _pc
+
+    cutoff = np.datetime64(Q3_CUTOFF)
+    bld = (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment"],
+            filter=_pc.field("c_mktsegment") == Q3_SEGMENT,
+        )
+        .to_pandas()["c_custkey"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    bld.sort()
+    bld_ref = ray.put(bld)
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        keys = ray.get(bld_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.searchsorted(keys, ck)
+        i[i >= len(keys)] = 0
+        sel = keys[i] == ck if len(keys) else np.zeros(len(ck), dtype=bool)
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )[sel]
+        od = (
+            t["o_orderdate"]
+            .to_numpy(zero_copy_only=False)[sel]
+            .astype("datetime64[D]")
+            .astype(str)
+        )
+        return pa.table(
+            {
+                "part": pa.array((okey % N_JOIN_PARTS).astype(np.int32)),
+                "side": pa.array(np.ones(len(okey), dtype=np.int8)),
+                "okey": pa.array(okey),
+                "rev_u": pa.array(np.zeros(len(okey), dtype=np.int64)),
+                "odate": pa.array(od, type=pa.string()),
+            }
+        )
+
+    def tag_li(t: pa.Table) -> pa.Table:
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ep = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        dpct = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((okey % N_JOIN_PARTS).astype(np.int32)),
+                "side": pa.array(np.zeros(len(okey), dtype=np.int8)),
+                "okey": pa.array(okey),
+                "rev_u": pa.array(ep * (100 - dpct)),
+                "odate": pa.array([""] * len(okey), type=pa.string()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=_pc.field("o_orderdate") < cutoff.astype("datetime64[us]"),
+    ).map_batches(tag_orders, batch_format="pyarrow")
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=_pc.field("l_shipdate") > cutoff.astype("datetime64[us]"),
+    ).map_batches(tag_li, batch_format="pyarrow")
+
+    def fold(df):
+        l = df[df["side"] == 0][["okey", "rev_u"]]
+        o = df[df["side"] == 1][["okey", "odate"]]
+        if not len(l) or not len(o):
+            return pd.DataFrame(
+                {"l_orderkey": pd.Series([], dtype=np.int64),
+                 "odate": pd.Series([], dtype=object),
+                 "n_items": pd.Series([], dtype=np.int64),
+                 "revenue_u": pd.Series([], dtype=np.int64)}
+            )
+        m = l.merge(o, on="okey", how="inner")
+        g = m.groupby(["okey", "odate"], as_index=False).agg(
+            n_items=("rev_u", "size"), revenue_u=("rev_u", "sum")
+        )
+        g["n_items"] = g["n_items"].astype(np.int64)
+        g = g.rename(columns={"okey": "l_orderkey"})
+        return g.sort_values(
+            ["revenue_u", "l_orderkey"], ascending=[False, True]
+        ).head(10)
+
+    tops = (
+        li.union(orders)
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        tops.sort_values(["revenue_u", "l_orderkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+
+
+TOP_ORDERS_Q3_SQL = (
+    "WITH l AS (SELECT l_orderkey AS okey,"
+    " CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u"
+    f" FROM lineitem WHERE l_shipdate > TIMESTAMP '{Q3_CUTOFF}'),"
+    " o AS (SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate"
+    " FROM orders JOIN customer ON c_custkey = o_custkey"
+    f" WHERE c_mktsegment = '{Q3_SEGMENT}'"
+    f"  AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}')"
+    " SELECT okey AS l_orderkey, odate,"
+    " CAST(count(*) AS BIGINT) AS n_items,"
+    " CAST(sum(rev_u) AS BIGINT) AS revenue_u"
+    " FROM l JOIN o ON o.o_orderkey = l.okey"
+    " GROUP BY okey, odate"
+    " ORDER BY revenue_u DESC, l_orderkey LIMIT 10"
+)
+
+
 ORDER_PRIORITY_REVENUE_SQL = (
     "WITH l AS (SELECT l_orderkey AS okey, l_returnflag AS flag,"
     " CAST(round(l_extendedprice * 100) AS BIGINT)"
@@ -2626,4 +2772,5 @@ CORE_QUERIES = {
     "order_priority_revenue": (
         q_order_priority_revenue, ORDER_PRIORITY_REVENUE_SQL
     ),
+    "top_orders_q3": (q_top_orders_q3, TOP_ORDERS_Q3_SQL),
 }
