@@ -1771,6 +1771,75 @@ def hll_estimate(registers: np.ndarray, rhos: np.ndarray) -> float:
     return float(est)
 
 
+N_INDEX_PARTS = 32
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted-index construction (word -> sorted posting list + df) —
+    the search/retrieval index build step.  Per-batch DISTINCT (doc, word)
+    pairs (each doc is one row, so batch-distinct is globally distinct)
+    hash into N_INDEX_PARTS coarse partitions on md5-u64(word) — never one
+    Ray group per word — and each partition folds its whole vocabulary
+    slice with one pandas groupby: df = pair count, postings = doc ids
+    joined ascending.  The only shuffle is the distinct pair exchange; a
+    word's postings live wholly in one partition, so the fold is globally
+    exact with no second pass.  Postings travel as a comma-joined string
+    to keep the SQL oracle's hash comparison exact; at 100 TB they'd be an
+    Arrow list<int64> column written to partitioned parquet instead."""
+
+    def pairs(t: pa.Table) -> pa.Table:
+        import itertools
+
+        import pandas as pd
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        words = t["text"].to_pandas().str.split()
+        lens = words.str.len().fillna(0).astype(np.int64).to_numpy()
+        flat = list(itertools.chain.from_iterable(w for w in words if w))
+        g = pd.DataFrame(
+            {"doc": np.repeat(ids, lens), "word": flat}
+        ).drop_duplicates()
+        uniq = g["word"].unique()
+        part = {
+            w: dd._stable_u64(f"idx:{w}") % N_INDEX_PARTS for w in uniq
+        }
+        return pa.table(
+            {
+                "doc": pa.array(g["doc"].to_numpy()),
+                "word": pa.array(g["word"].to_numpy(), type=pa.string()),
+                "part": pa.array(
+                    g["word"].map(part).to_numpy().astype(np.int32)
+                ),
+            }
+        )
+
+    def fold(df):
+        df = df.sort_values(["word", "doc"])
+        out = df.groupby("word", as_index=False).agg(
+            df=("doc", "size"),
+            postings=("doc", lambda d: ",".join(map(str, d))),
+        )
+        out["df"] = out["df"].astype(np.int64)
+        return out
+
+    return (
+        _docs(sf_dir)
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+INVERTED_INDEX_SQL = (
+    "WITH w AS (SELECT DISTINCT doc_id,"
+    " unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))"
+    "   AS word FROM documents)"
+    " SELECT word, CAST(count(*) AS BIGINT) AS df,"
+    " string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings"
+    " FROM w GROUP BY word"
+)
+
+
 BOILER_DF = 4          # a 3-gram in >= this many docs is boilerplate
 BOILER_HOT_CAP = 2_000_000  # driver-collect guard for the hot-gram set
 
@@ -1987,4 +2056,5 @@ DATA_QUERIES = {
     "hll_users": (q_hll_users, HLL_SQL),
     "cms_words": (q_cms_words, CMS_SQL),
     "boilerplate_3gram": (q_boilerplate, BOILER_SQL),
+    "inverted_index": (q_inverted_index, INVERTED_INDEX_SQL),
 }
