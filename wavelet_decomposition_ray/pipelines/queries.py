@@ -2110,6 +2110,77 @@ DISTINCT_USERS_SQL = (
 )
 
 
+WAU_WINDOW = 7
+
+
+def q_wau7(sf_dir: str) -> "ray.data.Dataset":
+    """Trailing 7-day active users (WAU) per window-end day — COUNT
+    DISTINCT over a sliding window, which no plain groupby expresses
+    because one event makes its user active for SEVEN window-end days.
+
+    Same three-level shape as ``distinct_users_daily``: batch-distinct
+    packed (user, day) keys shrink the exchange, a user-hash partition
+    makes the fold exact, and inside the partition each key expands to its
+    7 covered window days by pure packed-key arithmetic (+0..+6 on the low
+    bits) followed by one unique — per-user interval math with no per-user
+    loop.  Only per-(window day) partial counts meet the final sum."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        u = t["ts"].to_numpy(zero_copy_only=False)
+        ts_us = u.astype("datetime64[us]").astype(np.int64)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = ts_us // _DAY_US
+        if len(uid):
+            assert uid.min() >= 0 and uid.max() < (1 << (62 - _DAY_BITS)) and (
+                day.min() >= 0
+                and day.max() + WAU_WINDOW < (1 << _DAY_BITS)
+            ), "wau_7d key packing out of range"
+        key = np.unique(uid * (1 << _DAY_BITS) + day)
+        return pa.table(
+            {
+                "key": key,
+                "part": ((key >> _DAY_BITS) % N_EVENT_PARTS).astype(np.int32),
+            }
+        )
+
+    def fold(df):
+        import pandas as pd
+
+        key = np.unique(df["key"].to_numpy())
+        # each active (user, day) covers window-end days day..day+6; the
+        # day index lives in the low bits, so the expansion is key + i
+        covered = np.unique(
+            (key[:, None] + np.arange(WAU_WINDOW, dtype=np.int64)).ravel()
+        )
+        wday, cnt = np.unique(
+            covered & ((1 << _DAY_BITS) - 1), return_counts=True
+        )
+        return pd.DataFrame({"wday": wday, "pn": cnt.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("wday")
+        .aggregate(Sum("pn", alias_name="n_users"))
+    )
+
+
+WAU7_SQL = (
+    "WITH p AS (SELECT DISTINCT user_id,"
+    f" epoch_us(ts) // {_DAY_US} AS day FROM events),"
+    " w AS (SELECT DISTINCT user_id, day + i AS wday"
+    f"  FROM p, UNNEST(range(0, {WAU_WINDOW})) AS t(i))"
+    " SELECT wday, CAST(count(*) AS BIGINT) AS n_users"
+    " FROM w GROUP BY wday"
+)
+
+
 def q_retention_cohorts(sf_dir: str) -> "ray.data.Dataset":
     """Cohort retention matrix: each user is cohorted by their FIRST active
     day; for every (cohort_day, day_offset) count the users active that
@@ -2764,6 +2835,7 @@ CORE_QUERIES = {
     "events_zscore16": (q_events_zscore16, EVENTS_ZSCORE_SQL),
     "hourly_profile": (q_hourly_profile, HOURLY_PROFILE_SQL),
     "distinct_users_daily": (q_distinct_users_daily, DISTINCT_USERS_SQL),
+    "wau_7d": (q_wau7, WAU7_SQL),
     "retention_cohorts": (q_retention_cohorts, RETENTION_SQL),
     "autocorr_lag1": (q_autocorr_lag1, AUTOCORR_SQL),
     "corpus_pack512": (q_corpus_pack512, PACK_SQL),
