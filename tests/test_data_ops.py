@@ -618,3 +618,21 @@ def test_funnel_stages_and_strict_ordering(ray_session, tmp_path):
         con.sql(cq.FUNNEL_SQL).df().sort_values("stage").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out.astype("int64"), oracle.astype("int64"))
+
+
+def test_trend_slope_recovers_known_line():
+    """The integer moments -> slope helper recovers an exact synthetic
+    line (y = 7x + 11) and is immune to the int64 overflow of n*sum_xy."""
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    x = np.arange(19_700, 19_730, dtype=np.int64)
+    y = 7 * x + 11
+    row = {
+        "n": len(x), "sum_x": x.sum(), "sum_y": y.sum(),
+        "sum_xy": (x * y).sum(), "sum_x2": (x * x).sum(),
+    }
+    assert dq.trend_slope(row) == 7.0
+    # degenerate: a single day -> zero denominator -> nan, not a crash
+    one = {"n": 3, "sum_x": 3 * 19700, "sum_y": 30,
+           "sum_xy": 10 * 3 * 19700, "sum_x2": 3 * 19700 * 19700}
+    assert np.isnan(dq.trend_slope(one))

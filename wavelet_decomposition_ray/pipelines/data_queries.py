@@ -1771,6 +1771,137 @@ def hll_estimate(registers: np.ndarray, rhos: np.ndarray) -> float:
     return float(est)
 
 
+GRAM_QSCALE = 1 << 20
+
+
+def q_embed_gram(sf_dir: str):
+    """Distributed Gram matrix of the embedding table (sum of v v^T) — the
+    covariance/PCA/whitening prep step of an embedding pipeline, and the
+    canonical distributed linear-algebra reduce: each batch contributes ONE
+    d x d integer matmul partial (n x 64 fixed-point matrix, M^T M), so
+    the exchange is O(batches x d^2) cells regardless of corpus size and
+    partials sum losslessly.  Fixed-point 2^20 quantization (the
+    ``kmeans_assign`` grid) keeps every cell integer-exact against the SQL
+    self-join twin; upper triangle only (the matrix is symmetric).  At
+    1e9+ vectors per shard the int64 cells would saturate — shard partials
+    and widen at the merge (documented bound: |qv| < 2^20, so int64 holds
+    ~2^23 vectors per cell)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = np.stack(t["embedding"].to_pandas().to_numpy())
+        q = np.floor(m.astype(np.float64) * GRAM_QSCALE + 0.5).astype(
+            np.int64
+        )
+        g = q.T @ q
+        iu, ju = np.triu_indices(g.shape[0])
+        return pa.table(
+            {
+                "i": (iu + 1).astype(np.int64),
+                "j": (ju + 1).astype(np.int64),
+                "s": g[iu, ju],
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("s", alias_name="s"))
+    )
+
+
+EMBED_GRAM_SQL = (
+    "WITH e AS (SELECT vec_id,"
+    f" CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {GRAM_QSCALE}.0"
+    "   + 0.5) AS BIGINT) AS qv,"
+    " generate_subscripts(embedding, 1) AS i FROM embeddings)"
+    " SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,"
+    " CAST(sum(a.qv * b.qv) AS BIGINT) AS s"
+    " FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i"
+    " GROUP BY a.i, b.i"
+)
+
+
+TREND_Y_SCALE = 100  # value -> integer cents
+
+
+def q_trend_by_type(sf_dir: str):
+    """Per-event-type linear trend (value vs day) via distributed
+    closed-form regression sums: each batch emits the five exact integer
+    moments (n, sum_x, sum_y, sum_xy, sum_x2) per type — the partial+final
+    combine that makes OLS a one-shuffle aggregate.  Output is the exact
+    integer moment table (hash-stable); the slope/intercept are one
+    driver-side division from it (``trend_slope``), never part of the
+    compared result."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ts_us = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        x = ts_us // 86_400_000_000  # day index
+        y = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * TREND_Y_SCALE
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": t["event_type"].to_pandas(),
+                    "n1": np.ones(len(x), dtype=np.int64),
+                    "sx": x, "sy": y, "sxy": x * y, "sx2": x * x,
+                }
+            )
+            .groupby("event_type", as_index=False)
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n1", alias_name="n"),
+            Sum("sx", alias_name="sum_x"),
+            Sum("sy", alias_name="sum_y"),
+            Sum("sxy", alias_name="sum_xy"),
+            Sum("sx2", alias_name="sum_x2"),
+        )
+    )
+
+
+def trend_slope(row) -> float:
+    """OLS slope from the exact integer moments (python ints — the n*sxy
+    products overflow int64 long before the moments themselves do)."""
+    n, sx, sy, sxy, sx2 = (
+        int(row["n"]), int(row["sum_x"]), int(row["sum_y"]),
+        int(row["sum_xy"]), int(row["sum_x2"]),
+    )
+    den = n * sx2 - sx * sx
+    return float(n * sxy - sx * sy) / float(den) if den else float("nan")
+
+
+TREND_SQL = (
+    "WITH e AS (SELECT event_type,"
+    f" epoch_us(ts) // {86_400_000_000} AS x,"
+    f" CAST(round(value * {TREND_Y_SCALE}) AS BIGINT) AS y FROM events)"
+    " SELECT event_type, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,"
+    " CAST(sum(x * y) AS BIGINT) AS sum_xy,"
+    " CAST(sum(x * x) AS BIGINT) AS sum_x2"
+    " FROM e GROUP BY event_type"
+)
+
+
 N_INDEX_PARTS = 32
 
 
@@ -2057,4 +2188,6 @@ DATA_QUERIES = {
     "cms_words": (q_cms_words, CMS_SQL),
     "boilerplate_3gram": (q_boilerplate, BOILER_SQL),
     "inverted_index": (q_inverted_index, INVERTED_INDEX_SQL),
+    "embed_gram": (q_embed_gram, EMBED_GRAM_SQL),
+    "trend_by_type": (q_trend_by_type, TREND_SQL),
 }
