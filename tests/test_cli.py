@@ -53,3 +53,46 @@ def test_cli_rejects_bad_bank():
     r = _run(["--input", "/x", "--out", "/tmp/never", "--bank", "nope"])
     assert r.returncode != 0
     assert "invalid choice" in r.stderr
+
+
+def test_materialize_query_lifecycle(ray_session, tmp_path):
+    """materialize_query writes partitioned output + _SUCCESS atomically,
+    skips completed targets, clears crashed-run orphans, and agrees with a
+    direct run of the query."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+    from wavelet_decomposition_ray.pipelines.materialize import (
+        is_complete,
+        materialize_query,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "views" / "hll")
+    # orphan from a "crashed" previous run must be cleared
+    orphan = str(tmp_path / "views" / "hll.tmp-99999")
+    import os
+
+    os.makedirs(orphan)
+    meta = materialize_query("hll_users", sf, out)
+    assert is_complete(out) and not os.path.isdir(orphan)
+
+    direct = dq.q_hll_users(sf).to_pandas()
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert files, "no parquet partitions written"
+    got = sum(pq.read_metadata(os.path.join(out, f)).num_rows for f in files)
+    assert got == meta["n_rows"] == len(direct)
+
+    # a rerun must skip (identical manifest, no rewrite): poison the dir
+    # mtimes by reading the manifest before and after
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        before = json.load(f)
+    again = materialize_query("hll_users", sf, out)
+    assert again == before
+
+    # jsonl format on a pandas-returning query (driver-side top-k finish)
+    out2 = str(tmp_path / "views" / "vocab")
+    meta2 = materialize_query("vocab_top20", sf, out2, fmt="jsonl")
+    assert meta2["n_rows"] > 0 and is_complete(out2)
