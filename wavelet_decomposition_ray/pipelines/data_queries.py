@@ -1771,6 +1771,142 @@ def hll_estimate(registers: np.ndarray, rhos: np.ndarray) -> float:
     return float(est)
 
 
+def q_corpus_clean(sf_dir: str):
+    """End-to-end training-corpus cleaning capstone — the composed
+    pipeline an LLM data team ships: quality filter -> exact-dedup
+    survivor keep -> decontamination against the benchmark slice ->
+    deterministic train split, emitting the surviving train manifest
+    (doc_id, n_chars, n_words).
+
+    Scale shape: the two corpus-wide side structures are each computed
+    distributed and broadcast once — the dedup survivor ids (distinct-
+    content-sized, via the content-hash min groupby) and the benchmark
+    gram set (eval-suite-sized) — then the corpus is filtered in ONE
+    streaming actor-pool pass that applies every predicate per batch; the
+    corpus itself is never shuffled.  Stage-order note: every predicate is
+    text- or id-deterministic, so computing the survivor sets corpus-wide
+    commutes with the quality filter (duplicate texts share verdicts) —
+    which is what lets the sides build independently and the filters fuse
+    into one scan."""
+    from ray.data.aggregate import Min
+
+    keep_ids = (
+        _docs(sf_dir)
+        .map_batches(dd.exact_hash_batch, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(Min("doc_id", alias_name="keep_id"))
+        .to_pandas()["keep_id"]
+        .to_numpy()
+    )
+    keep_ref = ray.put(np.sort(keep_ids.astype(np.int64)))
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = ids % DECONTAM_MOD == 0
+        g = tx.word3_grams_frame(
+            ids[sel], t["text"].to_pandas()[sel].reset_index(drop=True)
+        )
+        return pa.table(
+            {"gram": pa.array(g["gram"].unique().tolist(), type=pa.string())}
+        )
+
+    bench_df = (
+        _docs(sf_dir)
+        .map_batches(bench_grams, batch_format="pyarrow")
+        .to_pandas()
+    )
+    bench_ref = ray.put(set(bench_df["gram"]))
+
+    lo, hi = QUALITY_WL_RANGE
+
+    class CleanFilter:
+        def __init__(self):
+            self.keep = ray.get(keep_ref)
+            self.bench = ray.get(bench_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            # cheap id-level predicates first: corpus side, train split,
+            # dedup survivor membership
+            m = ids % DECONTAM_MOD != 0
+            b = np.array(
+                [dd._stable_u64(f"split:{i}") % 1000 for i in ids],
+                dtype=np.int64,
+            )
+            m &= b >= HOLDOUT_PERMILLE
+            k = self.keep
+            if len(k):
+                idx = np.minimum(np.searchsorted(k, ids), len(k) - 1)
+                m &= k[idx] == ids
+            else:
+                m &= False
+            t = t.filter(pa.array(m))
+            if t.num_rows == 0:
+                return pa.table(
+                    {"doc_id": pa.array([], type=pa.int64()),
+                     "n_chars": pa.array([], type=pa.int64()),
+                     "n_words": pa.array([], type=pa.int64())}
+                )
+            scored = tx.quality_batch(t)
+            nw = scored["n_words"].to_numpy(zero_copy_only=False)
+            wl = scored["avg_word_len"].to_numpy(zero_copy_only=False)
+            ttr = scored["type_token_ratio"].to_numpy(zero_copy_only=False)
+            qm = (
+                (nw >= QUALITY_MIN_WORDS) & (wl >= lo) & (wl <= hi)
+                & (ttr >= QUALITY_MIN_TTR)
+            )
+            ids2 = t["doc_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )[qm]
+            texts2 = (
+                t["text"].to_pandas()[qm].reset_index(drop=True)
+            )
+            g = tx.word3_grams_frame(ids2, texts2)
+            shared = (
+                g[g["gram"].isin(self.bench)].groupby("doc").size()
+                .reindex(ids2).fillna(0).to_numpy().astype(np.int64)
+            )
+            dm = shared < DECONTAM_MIN_SHARED
+            nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )[qm]
+            return pa.table(
+                {"doc_id": ids2[dm], "n_chars": nc[dm],
+                 "n_words": nw[qm][dm].astype(np.int64)}
+            )
+
+    return _docs(sf_dir, columns=("doc_id", "text", "n_chars")).map_batches(
+        CleanFilter, batch_format="pyarrow", batch_size=512, concurrency=2
+    )
+
+
+CORPUS_CLEAN_SQL = (
+    f"WITH q AS ({QUALITY_FILTER_SQL}),"
+    " k AS (SELECT doc_id FROM documents QUALIFY"
+    "  row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),"
+    " wd AS (SELECT doc_id,"
+    "  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws"
+    "  FROM documents),"
+    " g AS (SELECT DISTINCT doc_id,"
+    "  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram"
+    "  FROM wd, UNNEST(range(1, greatest(length(ws)-2, 0)+1)) AS t(i)),"
+    f" bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {DECONTAM_MOD}"
+    "   = 0),"
+    " shared AS (SELECT g.doc_id, CAST(count(b.gram) AS BIGINT) AS n_shared"
+    "  FROM g LEFT JOIN bench b USING (gram) GROUP BY g.doc_id),"
+    " hsh AS (SELECT doc_id,"
+    "  md5('split:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),"
+    f" u AS (SELECT doc_id, {_md5_u64_sql('h')} % 1000 AS b FROM hsh)"
+    " SELECT d.doc_id, d.n_chars, q.n_words"
+    " FROM documents d"
+    " JOIN q USING (doc_id) JOIN k USING (doc_id) JOIN u USING (doc_id)"
+    " LEFT JOIN shared s ON s.doc_id = d.doc_id"
+    f" WHERE d.doc_id % {DECONTAM_MOD} <> 0"
+    f" AND coalesce(s.n_shared, 0) < {DECONTAM_MIN_SHARED}"
+    f" AND u.b >= {HOLDOUT_PERMILLE}"
+)
+
+
 GRAM_QSCALE = 1 << 20
 
 
@@ -2190,4 +2326,5 @@ DATA_QUERIES = {
     "inverted_index": (q_inverted_index, INVERTED_INDEX_SQL),
     "embed_gram": (q_embed_gram, EMBED_GRAM_SQL),
     "trend_by_type": (q_trend_by_type, TREND_SQL),
+    "corpus_clean": (q_corpus_clean, CORPUS_CLEAN_SQL),
 }
