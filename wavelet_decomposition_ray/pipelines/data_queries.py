@@ -1771,6 +1771,75 @@ def hll_estimate(registers: np.ndarray, rhos: np.ndarray) -> float:
     return float(est)
 
 
+COOC_TOP_K = 20
+
+
+def q_cooc_pairs(sf_dir: str):
+    """Word co-occurrence statistics: the top-K unordered word pairs by
+    document co-occurrence count (the PMI/embedding-training co-occurrence
+    table, truncated to its head).  Per batch the distinct doc-word pairs
+    self-merge per doc (w1 < w2) and pre-aggregate to (w1, w2, partial
+    count) — the exchange is vocabulary-pair-bounded, never corpus-sized —
+    then one pair-keyed groupby sums partials, local top-K supersets per
+    block feed a bounded driver finish (the ``vocab_top20`` shape).
+    Tie-break (n desc, w1, w2) makes the cut deterministic."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import itertools
+
+        import pandas as pd
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        words = t["text"].to_pandas().str.split()
+        lens = words.str.len().fillna(0).astype(np.int64).to_numpy()
+        flat = list(itertools.chain.from_iterable(w for w in words if w))
+        g = pd.DataFrame(
+            {"doc": np.repeat(ids, lens), "word": flat}
+        ).drop_duplicates()
+        m = g.merge(g, on="doc", suffixes=("1", "2"))
+        m = m[m["word1"] < m["word2"]]
+        c = m.groupby(["word1", "word2"], as_index=False).size()
+        return pa.table(
+            {
+                "w1": pa.array(c["word1"].to_numpy(), type=pa.string()),
+                "w2": pa.array(c["word2"].to_numpy(), type=pa.string()),
+                "pn": pa.array(c["size"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+    def local_top(df):
+        return df.sort_values(
+            ["n", "w1", "w2"], ascending=[False, True, True]
+        ).head(COOC_TOP_K)
+
+    top = agg.map_batches(
+        local_top, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    return (
+        top.sort_values(["n", "w1", "w2"], ascending=[False, True, True])
+        .head(COOC_TOP_K)
+        .reset_index(drop=True)
+    )
+
+
+COOC_SQL = (
+    "WITH w AS (SELECT DISTINCT doc_id,"
+    " unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))"
+    "   AS word FROM documents)"
+    " SELECT a.word AS w1, b.word AS w2, CAST(count(*) AS BIGINT) AS n"
+    " FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.word < b.word"
+    f" GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT {COOC_TOP_K}"
+)
+
+
 def q_corpus_clean(sf_dir: str):
     """End-to-end training-corpus cleaning capstone — the composed
     pipeline an LLM data team ships: quality filter -> exact-dedup
@@ -2327,4 +2396,5 @@ DATA_QUERIES = {
     "embed_gram": (q_embed_gram, EMBED_GRAM_SQL),
     "trend_by_type": (q_trend_by_type, TREND_SQL),
     "corpus_clean": (q_corpus_clean, CORPUS_CLEAN_SQL),
+    "cooc_pairs": (q_cooc_pairs, COOC_SQL),
 }
