@@ -1771,6 +1771,92 @@ def hll_estimate(registers: np.ndarray, rhos: np.ndarray) -> float:
     return float(est)
 
 
+def q_length_rank(sf_dir: str):
+    """Distributed window function: ``rank() OVER (PARTITION BY source
+    ORDER BY n_chars)`` for every document — without sorting or shuffling
+    the corpus.  Phase 1 aggregates per-(source, n_chars) value counts
+    (distinct-value-sized, the ``quality_deciles`` histogram pattern) and
+    broadcasts each source's sorted values + exclusive cumulative counts;
+    phase 2 streams the corpus and emits rank = 1 + count(strictly
+    smaller) via one ``searchsorted`` per batch per source.  This is how a
+    rank/percent_rank/ntile family works at 100 TB: the histogram is the
+    only exchanged state, and it scales with DISTINCT values, not rows."""
+    from ray.data.aggregate import Sum
+
+    def vc(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = (
+            pd.DataFrame(
+                {
+                    "source": t["source"].to_pandas(),
+                    "v": t["n_chars"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                }
+            )
+            .groupby(["source", "v"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"].to_numpy(), type=pa.string()),
+                "v": pa.array(g["v"].to_numpy()),
+                "pn": pa.array(g["size"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    hist = (
+        _docs(sf_dir, columns=("source", "n_chars"))
+        .map_batches(vc, batch_format="pyarrow")
+        .groupby(["source", "v"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()
+        .sort_values(["source", "v"])
+    )
+    side = {}
+    for src, grp in hist.groupby("source"):
+        vals = grp["v"].to_numpy()
+        cnt = grp["n"].to_numpy()
+        below = np.concatenate(([0], np.cumsum(cnt)[:-1]))  # exclusive
+        side[src] = (vals, below.astype(np.int64))
+    side_ref = ray.put(side)
+
+    class Rank:
+        def __init__(self):
+            self.side = ray.get(side_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            src = t["source"].to_pandas()
+            v = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+            rank = np.empty(len(v), dtype=np.int64)
+            groups = pd.Series(np.arange(len(v))).groupby(src).groups
+            for s, idx in groups.items():
+                vals, below = self.side[s]
+                ii = np.asarray(idx, dtype=np.int64)
+                rank[ii] = below[np.searchsorted(vals, v[ii])] + 1
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "source": t["source"],
+                    "n_chars": t["n_chars"],
+                    "rank": pa.array(rank),
+                }
+            )
+
+    return _docs(sf_dir, columns=("doc_id", "source", "n_chars")).map_batches(
+        Rank, batch_format="pyarrow", batch_size=1024, concurrency=2
+    )
+
+
+LENGTH_RANK_SQL = (
+    "SELECT doc_id, source, n_chars,"
+    " CAST(rank() OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT)"
+    "  AS rank FROM documents"
+)
+
+
 COOC_TOP_K = 20
 
 
@@ -2397,4 +2483,5 @@ DATA_QUERIES = {
     "trend_by_type": (q_trend_by_type, TREND_SQL),
     "corpus_clean": (q_corpus_clean, CORPUS_CLEAN_SQL),
     "cooc_pairs": (q_cooc_pairs, COOC_SQL),
+    "length_rank": (q_length_rank, LENGTH_RANK_SQL),
 }
