@@ -219,3 +219,34 @@ def test_staged_write_retry_idempotent(tmp_path):
     assert not glob.glob(
         os.path.join(stage, f"bucket={b0['bucket'][0].as_py():05d}", "*")
     )
+
+
+def test_many_buckets_with_actor_death_and_resume(seq_dir, tmp_path):
+    """The multi-node regime in miniature (VERDICT r2 stretch): n_buckets
+    (64) >> CPUs (4), an encoder worker hard-killed mid-job, then a rerun
+    over the finished store. The faulted run must be byte-identical to a
+    clean 64-bucket run, and the rerun must short-circuit (nothing
+    pending) while leaving every byte untouched."""
+    clean = str(tmp_path / "clean64")
+    rp.run_rollup_job(seq_dir, clean, bank="haar", n_tiers=8, n_buckets=64,
+                      batch_size=64, verify=False)
+
+    flag = str(tmp_path / "kill64")
+    open(flag, "w").close()
+    out = str(tmp_path / "faulted64")
+    summary = rp.run_rollup_job(
+        seq_dir, out, bank="haar", n_tiers=8, n_buckets=64, batch_size=64,
+        verify=False, encoder_concurrency=(2, 4), fault_flag=flag,
+    )
+    assert os.path.exists(flag + ".claimed"), "fault was never injected"
+    assert summary["buckets_written"] == 64
+    assert _file_hashes(out) == _file_hashes(clean)
+
+    before = _file_hashes(out)
+    summary2 = rp.run_rollup_job(
+        seq_dir, out, bank="haar", n_tiers=8, n_buckets=64, batch_size=64,
+        verify=False,
+    )
+    assert summary2["buckets_written"] == 0
+    assert summary2["buckets_skipped"] == 64
+    assert _file_hashes(out) == before
