@@ -211,3 +211,41 @@ def test_langid_packed_scorer_matches_literal_counts():
         best = max(range(len(langs)), key=lambda j: (scores[j], -j))
         assert got.loc[i, "pred_lang"] == langs[best], t
         assert got.loc[i, "lang_score"] == scores[best], t
+
+
+def test_cusum_segmented_cummin_matches_scalar():
+    """The offset-trick segmented cusum must equal the scalar recurrence
+    s_k = max(0, s_{k-1} + d_k) on random multi-doc batches, including
+    all-negative and all-positive drift docs."""
+    import numpy as np
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    rng = np.random.default_rng(11)
+    lens = [1, 2, 8, 64, 257]
+    tokens = [
+        rng.integers(0, 7303, size=n).astype(np.int32) for n in lens
+    ] + [np.zeros(16, np.int32), np.full(16, 7302, np.int32)]
+    vals = np.concatenate(tokens).astype(np.int64)
+    off = np.concatenate(([0], np.cumsum([len(x) for x in tokens])))
+    n_docs = len(tokens)
+    BIG = np.int64(1) << 40
+    n = np.diff(off)
+    seg = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+    d = vals - cq.CUSUM_K
+    g = np.cumsum(d)
+    base = np.concatenate(([0], g[off[1:-1] - 1]))
+    p = g - base[seg]
+    q = p - seg * BIG
+    run = np.minimum(np.minimum.accumulate(q) + seg * BIG, 0)
+    s = p - run
+
+    # scalar reference
+    for i, x in enumerate(tokens):
+        sk = 0
+        ref = []
+        for v in x.astype(np.int64):
+            sk = max(0, sk + int(v) - cq.CUSUM_K)
+            ref.append(sk)
+        got = s[off[i]:off[i + 1]]
+        assert np.array_equal(got, np.array(ref, dtype=np.int64)), i

@@ -2302,6 +2302,73 @@ def q_autocorr_lag1(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
 
 
+CUSUM_K = 2800      # drift allowance (slightly above the token mean)
+CUSUM_H = 100_000   # decision threshold
+
+
+def q_cusum_flags(sf_dir: str) -> "ray.data.Dataset":
+    """Per-sequence CUSUM change-point detection: the one-sided cusum
+    s_k = max(0, s_{k-1} + (x_k - K)) rewritten as prefix-sum minus
+    running minimum (s_k = P_k - min(0, min_{j<=k} P_j)) so the whole
+    batch vectorizes — INCLUDING the per-doc reset, via the segmented-
+    cummin offset trick: subtracting seg_id * 2^40 from each doc's prefix
+    sums makes a single global ``np.minimum.accumulate`` equal the
+    within-doc running min (earlier docs sit 2^40 higher, so they can
+    never win a later doc's minimum).  No per-row loop, exact integers.
+    Emits per doc the flag count (positions with s > H) and max s."""
+    ds = _seq_ds(sf_dir)
+    BIG = np.int64(1) << 40
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        if n_docs == 0 or len(v) == 0:
+            return pa.table(
+                {"doc_id": t["doc_id"],
+                 "n_flags": pa.array([], type=pa.int64()),
+                 "max_s": pa.array([], type=pa.int64())}
+            )
+        n = np.diff(off)
+        seg = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+        d = v - CUSUM_K
+        g = np.cumsum(d)
+        base = np.concatenate(([0], g[off[1:-1] - 1]))  # prefix before doc
+        p = g - base[seg]                                # per-doc prefix sums
+        assert np.abs(p).max() < BIG // 2, "cusum prefix overflows the trick"
+        q = p - seg * BIG
+        # seed each doc's running min with 0 (s_0 = 0): clip the cummin of
+        # the offset stream at the doc's own zero level
+        run = np.minimum.accumulate(q) + seg * BIG
+        run = np.minimum(run, 0)
+        s = p - run
+        flags = (s > CUSUM_H).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_flags": np.add.reduceat(flags, off[:-1]),
+                "max_s": np.maximum.reduceat(s, off[:-1]),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+
+CUSUM_SQL = (
+    f"{_FLAT_CTE},"
+    f" p AS (SELECT doc_id, pos, sum(tok - {CUSUM_K}) OVER"
+    "  (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS pk"
+    "  FROM flat),"
+    " m AS (SELECT doc_id, pk, least(min(pk) OVER"
+    "  (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING), 0)"
+    "   AS mn FROM p)"
+    " SELECT doc_id,"
+    f" CAST(sum(CASE WHEN pk - mn > {CUSUM_H} THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS n_flags,"
+    " CAST(max(pk - mn) AS BIGINT) AS max_s FROM m GROUP BY doc_id"
+)
+
+
 AUTOCORR_SQL = (
     f"{_FLAT_CTE},"
     " l AS (SELECT doc_id, tok,"
@@ -2838,6 +2905,7 @@ CORE_QUERIES = {
     "wau_7d": (q_wau7, WAU7_SQL),
     "retention_cohorts": (q_retention_cohorts, RETENTION_SQL),
     "autocorr_lag1": (q_autocorr_lag1, AUTOCORR_SQL),
+    "cusum_flags": (q_cusum_flags, CUSUM_SQL),
     "corpus_pack512": (q_corpus_pack512, PACK_SQL),
     "store_refresh": (q_store_refresh, SOURCE_STATS_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_BY_NATION_SQL),
