@@ -121,3 +121,55 @@ def test_legacy_manifest_rows_count_as_stale(corpus):
     r = _run(sub, store, refresh=True)
     assert r["buckets_refreshed"] == 1
     assert _checksums(store) == before  # deterministic rewrite
+
+
+def test_validate_store_detects_corruption(ray_session, tmp_path):
+    """The store fsck passes on a fresh store, then catches every
+    corruption class: flipped bytes (checksum), a deleted partials
+    sidecar, and a missing data file."""
+    import json
+    import os
+    import shutil
+
+    from wavelet_decomposition_ray.pipelines import rollup_pipeline as rp
+    from wavelet_decomposition_ray.state import manifest as mf
+    from wavelet_decomposition_ray.state.validate import validate_store
+    from wavelet_decomposition_ray import synth
+
+    seq = synth.ensure_sequences("/root/testdata/sf0.001")
+    out = str(tmp_path / "store")
+    rp.run_rollup_job(seq, out, bank="haar", n_tiers=6, n_buckets=4,
+                      batch_size=64, verify=False)
+
+    ok = validate_store(out)
+    assert ok["ok"], ok["errors"]
+    assert ok["buckets"] == 4
+
+    rows = [r for r in mf.read_manifest(out) if r.get("file")]
+    victim = os.path.join(out, rows[0]["file"])
+
+    # 1) bit-rot: flip one byte mid-file
+    orig = open(victim, "rb").read()
+    bad = bytearray(orig)
+    bad[len(bad) // 2] ^= 0xFF
+    open(victim, "wb").write(bytes(bad))
+    res = validate_store(out, distributed=False)
+    assert not res["ok"] and any("checksum" in e for e in res["errors"])
+    open(victim, "wb").write(orig)
+
+    # 2) missing partials sidecar
+    pfile = os.path.join(mf.manifest_dir(out),
+                         f"partials-{rows[0]['bucket']:05d}.parquet")
+    moved = pfile + ".bak"
+    shutil.move(pfile, moved)
+    res = validate_store(out, distributed=False)
+    assert not res["ok"] and any("partials" in e for e in res["errors"])
+    shutil.move(moved, pfile)
+
+    # 3) missing data file
+    shutil.move(victim, victim + ".bak")
+    res = validate_store(out, distributed=False)
+    assert not res["ok"] and any("missing" in e for e in res["errors"])
+    shutil.move(victim + ".bak", victim)
+
+    assert validate_store(out, distributed=False)["ok"]
