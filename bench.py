@@ -103,6 +103,27 @@ def _headline(sf_dir: str, ncpus: int) -> dict:
         dec_times.append(time.perf_counter() - t1)
     t_decode = min(dec_times)
 
+    # data-pipeline legs over the driver testdata tables at the same sf:
+    # the corpus-cleaning capstone (docs) and the three-table Q3 join
+    # (600k-row lineitem at sf0.1) — best-of-2, warm session
+    data_legs = {}
+    try:
+        from wavelet_decomposition_ray.pipelines import data_queries as dq
+        from wavelet_decomposition_ray.pipelines import queries as cq
+
+        for name, fn in (("corpus_clean", dq.q_corpus_clean),
+                         ("top_orders_q3", cq.q_top_orders_q3)):
+            ts = []
+            for rep in range(2):
+                t2 = time.perf_counter()
+                res = fn(sf_dir)
+                if hasattr(res, "count"):
+                    res.count()
+                ts.append(time.perf_counter() - t2)
+            data_legs[name] = round(min(ts), 3)
+    except Exception as e:  # data tables absent in exotic setups
+        data_legs["error"] = str(e)
+
     ray.shutdown()
 
     return {
@@ -112,6 +133,7 @@ def _headline(sf_dir: str, ncpus: int) -> dict:
         "queries": {
             "rollup_job": round(t_job, 3),
             "decode_scan": round(t_decode, 3),
+            **data_legs,
         },
         "job_runs": [round(x, 3) for x in job_times],
         "decode_runs": [round(x, 3) for x in dec_times],
