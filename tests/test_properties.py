@@ -249,3 +249,40 @@ def test_cusum_segmented_cummin_matches_scalar():
             ref.append(sk)
         got = s[off[i]:off[i + 1]]
         assert np.array_equal(got, np.array(ref, dtype=np.int64)), i
+
+
+def test_m4_selection_matches_bruteforce():
+    """M4 per-bucket first/last/min/max selection (with smallest-pos tie
+    breaks) must match a scalar reference on random and degenerate docs."""
+    import numpy as np
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    rng = np.random.default_rng(5)
+    docs = [rng.integers(0, 7303, size=n).astype(np.int64)
+            for n in (1, 2, 63, 64, 65, 500)]
+    docs.append(np.full(100, 7, dtype=np.int64))  # all-equal: tie storm
+
+    B = cq.M4_BUCKETS
+    for v in docs:
+        n = len(v)
+        bucket = np.arange(n) * B // n
+        expect = set()
+        for bk in np.unique(bucket):
+            idx = np.flatnonzero(bucket == bk)
+            expect.add(idx[0])
+            expect.add(idx[-1])
+            expect.add(idx[np.argmin(v[idx])])   # argmin = first of ties
+            expect.add(idx[np.argmax(v[idx])])
+        # vectorized path, single-doc batch
+        pos = np.arange(n, dtype=np.int64)
+        pmask = (1 << cq._M4_POSBITS) - 1
+        key = bucket
+        starts = np.flatnonzero(np.diff(key, prepend=key[0] - 1))
+        ends = np.concatenate((starts[1:], [n])) - 1
+        kmin = v * (1 << cq._M4_POSBITS) + pos
+        kmax = v * (1 << cq._M4_POSBITS) + (pmask - pos)
+        got = set(pos[starts]) | set(pos[ends])
+        got |= set(np.minimum.reduceat(kmin, starts) & pmask)
+        got |= set(pmask - (np.maximum.reduceat(kmax, starts) & pmask))
+        assert got == expect, n

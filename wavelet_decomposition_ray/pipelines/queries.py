@@ -2302,6 +2302,91 @@ def q_autocorr_lag1(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
 
 
+M4_BUCKETS = 64
+_M4_POSBITS = 20  # pos < 2^20 (n_tok <= 65536); tok * 2^20 fits int64
+
+
+def q_m4_downsample(sf_dir: str) -> "ray.data.Dataset":
+    """M4 visualization downsampling (Jugel et al., VLDB 2014): per
+    sequence and per pixel-column bucket keep the FIRST, LAST, MIN and MAX
+    points — the downsampler that renders a line chart pixel-exactly from
+    4 x width points instead of the raw series.
+
+    Fully vectorized across the batch: bucket ids are pure arithmetic on
+    per-doc positions (pos * B // n), segment boundaries come from the
+    (doc, bucket) change mask, and the four extremes per segment are
+    ``reduceat``s — argmin/argmax WITH deterministic smallest-pos
+    tie-breaks by packing (tok << 20 | pos) for min and
+    (tok << 20 | ~pos) for max into one int64 key each.  Emits the
+    distinct selected points (doc_id, pos, tok)."""
+    ds = _seq_ds(sf_dir)
+
+    def m4(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        if n_docs == 0 or len(v) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=t["doc_id"].type),
+                 "pos": pa.array([], type=pa.int64()),
+                 "tok": pa.array([], type=pa.int64())}
+            )
+        n = np.diff(off)
+        assert n.max() < (1 << _M4_POSBITS) and v.min() >= 0, "M4 packing"
+        seg_doc = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+        pos = np.arange(len(v), dtype=np.int64) - np.repeat(off[:-1], n)
+        bucket = pos * M4_BUCKETS // np.repeat(n, n)
+        # contiguous (doc, bucket) segments over the already-ordered stream
+        key = seg_doc * (M4_BUCKETS + 1) + bucket
+        starts = np.flatnonzero(np.diff(key, prepend=key[0] - 1))
+        pmask = (1 << _M4_POSBITS) - 1
+        kmin = v * (1 << _M4_POSBITS) + pos
+        kmax = v * (1 << _M4_POSBITS) + (pmask - pos)
+        sel_first = pos[starts]
+        ends = np.concatenate((starts[1:], [len(v)])) - 1
+        sel_last = pos[ends]
+        sel_min = np.minimum.reduceat(kmin, starts) & pmask
+        sel_max = pmask - (np.maximum.reduceat(kmax, starts) & pmask)
+        segdoc = seg_doc[starts]
+        all_doc = np.concatenate([segdoc] * 4)
+        all_pos = np.concatenate([sel_first, sel_last, sel_min, sel_max])
+        # distinct (doc, pos)
+        u = np.unique(all_doc * (1 << _M4_POSBITS) + all_pos)
+        udoc = u >> _M4_POSBITS
+        upos = u & pmask
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=object)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[udoc], type=t["doc_id"].type),
+                "pos": upos,
+                "tok": v[off[:-1][udoc] + upos],
+            }
+        )
+
+    return ds.map_batches(m4, batch_format="pyarrow", batch_size=256)
+
+
+M4_SQL = (
+    "WITH flat AS (SELECT doc_id, n_tok, unnest(tokens) AS tok,"
+    " generate_subscripts(tokens, 1) - 1 AS pos"
+    f" FROM read_parquet('{SYNTH_GLOB_001}')),"
+    f" b AS (SELECT doc_id, pos, tok, pos * {M4_BUCKETS} // n_tok AS bk"
+    "  FROM flat),"
+    " sel AS ("
+    "  SELECT doc_id, min(pos) AS pos FROM b GROUP BY doc_id, bk"
+    "  UNION SELECT doc_id, max(pos) FROM b GROUP BY doc_id, bk"
+    "  UNION SELECT doc_id, pos FROM ("
+    "   SELECT doc_id, pos, row_number() OVER (PARTITION BY doc_id, bk"
+    "    ORDER BY tok, pos) AS rn FROM b) WHERE rn = 1"
+    "  UNION SELECT doc_id, pos FROM ("
+    "   SELECT doc_id, pos, row_number() OVER (PARTITION BY doc_id, bk"
+    "    ORDER BY tok DESC, pos) AS rn FROM b) WHERE rn = 1)"
+    " SELECT b.doc_id, b.pos, CAST(b.tok AS BIGINT) AS tok"
+    " FROM b JOIN (SELECT DISTINCT doc_id, pos FROM sel) s"
+    "  ON s.doc_id = b.doc_id AND s.pos = b.pos"
+)
+
+
 CUSUM_K = 2800      # drift allowance (slightly above the token mean)
 CUSUM_H = 100_000   # decision threshold
 
@@ -2906,6 +2991,7 @@ CORE_QUERIES = {
     "retention_cohorts": (q_retention_cohorts, RETENTION_SQL),
     "autocorr_lag1": (q_autocorr_lag1, AUTOCORR_SQL),
     "cusum_flags": (q_cusum_flags, CUSUM_SQL),
+    "m4_downsample": (q_m4_downsample, M4_SQL),
     "corpus_pack512": (q_corpus_pack512, PACK_SQL),
     "store_refresh": (q_store_refresh, SOURCE_STATS_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_BY_NATION_SQL),
