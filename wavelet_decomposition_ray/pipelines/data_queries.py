@@ -1771,6 +1771,119 @@ def hll_estimate(registers: np.ndarray, rhos: np.ndarray) -> float:
     return float(est)
 
 
+BLOOM_M = 1 << 20   # bits (128 KiB packed — broadcastable at any scale)
+BLOOM_K = 4         # hash functions
+
+
+def q_bloom_prescreen(sf_dir: str):
+    """Bloom-filter decontamination pre-screen: the 100-TB first pass that
+    replaces broadcasting the full benchmark GRAM SET (unbounded) with a
+    fixed 128 KiB bit array — every node holds the filter, docs whose
+    grams never hit it skip the exact check entirely, and false positives
+    only cost a second look.  The filter is deterministic (4 salted
+    md5-u64 bit positions per gram), so the per-doc pass counts — true
+    overlaps PLUS the bloom's false positives — are bit-reproducible and
+    the SQL twin pins them exactly (it rebuilds the same bit set and
+    demands all 4 bits per gram).  Emits (doc_id, n_grams, n_pass) for
+    corpus-side docs; n_pass >= the exact n_shared of ``decontam`` by
+    construction."""
+
+    def bench_bits(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = ids % DECONTAM_MOD == 0
+        g = tx.word3_grams_frame(
+            ids[sel], t["text"].to_pandas()[sel].reset_index(drop=True)
+        )
+        grams = g["gram"].unique()
+        bits = np.array(
+            [
+                dd._stable_u64(f"bloom{r}:{w}") % BLOOM_M
+                for w in grams
+                for r in range(BLOOM_K)
+            ],
+            dtype=np.int64,
+        )
+        return pa.table({"bit": np.unique(bits) if len(bits) else
+                         np.array([], dtype=np.int64)})
+
+    bit_rows = (
+        _docs(sf_dir)
+        .map_batches(bench_bits, batch_format="pyarrow")
+        .to_pandas()["bit"]
+        .to_numpy()
+    )
+    filt = np.zeros(BLOOM_M, dtype=bool)
+    filt[bit_rows] = True
+    filt_ref = ray.put(filt)
+
+    class Screen:
+        def __init__(self):
+            self.filt = ray.get(filt_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = ids % DECONTAM_MOD != 0
+            ids_k = ids[keep]
+            g = tx.word3_grams_frame(
+                ids_k, t["text"].to_pandas()[keep].reset_index(drop=True)
+            )
+            grams = g["gram"].unique()
+            ok = {
+                w: all(
+                    self.filt[dd._stable_u64(f"bloom{r}:{w}") % BLOOM_M]
+                    for r in range(BLOOM_K)
+                )
+                for w in grams
+            }
+            g["hit"] = g["gram"].map(ok)
+            agg = g.groupby("doc").agg(
+                n_grams=("gram", "size"), n_pass=("hit", "sum")
+            ).reindex(ids_k, fill_value=0)
+            return pa.table(
+                {
+                    "doc_id": ids_k,
+                    "n_grams": agg["n_grams"].to_numpy().astype(np.int64),
+                    "n_pass": agg["n_pass"].to_numpy().astype(np.int64),
+                }
+            )
+
+    return _docs(sf_dir).map_batches(
+        Screen, batch_format="pyarrow", batch_size=512, concurrency=2
+    )
+
+
+BLOOM_SQL = (
+    "WITH wd AS (SELECT doc_id,"
+    " list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws"
+    " FROM documents),"
+    " g AS (SELECT DISTINCT doc_id,"
+    "  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram"
+    "  FROM wd, UNNEST(range(1, greatest(length(ws)-2, 0)+1)) AS t(i)),"
+    " r(rw) AS (SELECT * FROM (VALUES (0), (1), (2), (3))),"
+    " bbit AS (SELECT DISTINCT"
+    f"  {_md5_u64_sql('hx')} % {BLOOM_M} AS bit FROM"
+    "  (SELECT md5('bloom' || r.rw || ':' || gram) AS hx"
+    f"   FROM (SELECT DISTINCT gram FROM g WHERE doc_id % {DECONTAM_MOD}"
+    "     = 0) bg CROSS JOIN r)),"
+    " cand AS (SELECT doc_id, gram, rw,"
+    f"  {_md5_u64_sql('hx')} % {BLOOM_M} AS bit FROM"
+    "  (SELECT doc_id, gram, r.rw AS rw,"
+    "    md5('bloom' || r.rw || ':' || gram) AS hx"
+    f"   FROM g CROSS JOIN r WHERE doc_id % {DECONTAM_MOD} <> 0) q),"
+    " hits AS (SELECT doc_id, gram,"
+    f"  CASE WHEN count(b.bit) = {BLOOM_K} THEN 1 ELSE 0 END AS hit"
+    "  FROM cand LEFT JOIN bbit b USING (bit) GROUP BY doc_id, gram),"
+    " per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,"
+    "  CAST(sum(hit) AS BIGINT) AS n_pass FROM hits GROUP BY doc_id)"
+    " SELECT d.doc_id, coalesce(p.n_grams, 0) AS n_grams,"
+    " coalesce(p.n_pass, 0) AS n_pass"
+    " FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id"
+    f" WHERE d.doc_id % {DECONTAM_MOD} <> 0"
+)
+
+
 def q_length_rank(sf_dir: str):
     """Distributed window function: ``rank() OVER (PARTITION BY source
     ORDER BY n_chars)`` for every document — without sorting or shuffling
@@ -2484,4 +2597,5 @@ DATA_QUERIES = {
     "corpus_clean": (q_corpus_clean, CORPUS_CLEAN_SQL),
     "cooc_pairs": (q_cooc_pairs, COOC_SQL),
     "length_rank": (q_length_rank, LENGTH_RANK_SQL),
+    "bloom_prescreen": (q_bloom_prescreen, BLOOM_SQL),
 }
