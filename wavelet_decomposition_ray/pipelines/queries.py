@@ -2110,6 +2110,64 @@ DISTINCT_USERS_SQL = (
 )
 
 
+def q_event_transitions(sf_dir: str) -> "ray.data.Dataset":
+    """Markov transition counts over per-user event streams: for every
+    (previous event_type -> event_type) pair, how many consecutive-event
+    transitions occur — the behavioral bigram table funnels and anomaly
+    models start from.  Coarse user-hash partitions again: inside each
+    partition one (user, ts, event_id) sort, a shifted equality mask for
+    user boundaries, and a pandas pair count; only the |types|^2-bounded
+    partial counts cross the final exchange."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def fold(df):
+        import pandas as pd
+
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        et = df["event_type"].to_numpy()
+        n = len(df)
+        if n < 2:
+            return pd.DataFrame(
+                {"prev_type": pd.Series([], dtype=object),
+                 "event_type": pd.Series([], dtype=object),
+                 "pn": pd.Series([], dtype=np.int64)}
+            )
+        same = uid[1:] == uid[:-1]
+        g = (
+            pd.DataFrame(
+                {"prev_type": et[:-1][same], "event_type": et[1:][same]}
+            )
+            .groupby(["prev_type", "event_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "pn"})
+        )
+        g["pn"] = g["pn"].astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(_add_user_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby(["prev_type", "event_type"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+
+EVENT_TRANSITIONS_SQL = (
+    "WITH e AS (SELECT user_id, event_type,"
+    " lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    "  AS prev_type FROM events)"
+    " SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n"
+    " FROM e WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type"
+)
+
+
 WAU_WINDOW = 7
 
 
@@ -2988,6 +3046,7 @@ CORE_QUERIES = {
     "hourly_profile": (q_hourly_profile, HOURLY_PROFILE_SQL),
     "distinct_users_daily": (q_distinct_users_daily, DISTINCT_USERS_SQL),
     "wau_7d": (q_wau7, WAU7_SQL),
+    "event_transitions": (q_event_transitions, EVENT_TRANSITIONS_SQL),
     "retention_cohorts": (q_retention_cohorts, RETENTION_SQL),
     "autocorr_lag1": (q_autocorr_lag1, AUTOCORR_SQL),
     "cusum_flags": (q_cusum_flags, CUSUM_SQL),
