@@ -286,3 +286,59 @@ def test_m4_selection_matches_bruteforce():
         got |= set(np.minimum.reduceat(kmin, starts) & pmask)
         got |= set(pmask - (np.maximum.reduceat(kmax, starts) & pmask))
         assert got == expect, n
+
+
+def test_lttb_vectorized_matches_scalar():
+    """The across-docs-vectorized LTTB selection must equal the scalar
+    reference recurrence (floor-map bucketing, smallest-pos tie break) on
+    random docs, constant docs, and the n <= T pass-through."""
+    import numpy as np
+    import pyarrow as pa
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    T = cq.LTTB_T
+
+    def ref(y):
+        n = len(y)
+        y = [int(x) for x in y]
+        if n <= T:
+            return list(range(n))
+        def s(k):
+            return -((-k * (n - 2)) // (T - 2)) + 1
+        sel = [0]
+        a = (0, y[0])
+        for k in range(T - 2):
+            lo, hi = s(k), s(k + 1)
+            if k < T - 3:
+                ns, ne = s(k + 1), s(k + 2)
+                c, sx, sy = ne - ns, sum(range(ns, ne)), sum(y[ns:ne])
+            else:
+                c, sx, sy = 1, n - 1, y[n - 1]
+            best = None
+            for p in range(lo, hi):
+                a2 = abs((a[0] * c - sx) * (y[p] - a[1])
+                         - (a[0] - p) * (a[1] * c - sy))
+                if best is None or a2 > best[0]:
+                    best = (a2, p)
+            sel.append(best[1])
+            a = (best[1], y[best[1]])
+        sel.append(n - 1)
+        return sel
+
+    rng = np.random.default_rng(17)
+    docs = [rng.integers(0, 7303, size=int(n)).astype(np.int64)
+            for n in (8, 31, 32, 33, 100, 1000)]
+    docs.append(np.full(200, 5, dtype=np.int64))  # constant: all ties
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(docs))]),
+            "tokens": pa.array([d.tolist() for d in docs],
+                               type=pa.list_(pa.int32())),
+        }
+    )
+    out = cq._lttb_batch(t)
+    df = out.to_pandas()
+    for i, d in enumerate(docs):
+        got = sorted(df[df["doc_id"] == f"d{i}"]["pos"].tolist())
+        assert got == sorted(ref(d)), (i, len(d))

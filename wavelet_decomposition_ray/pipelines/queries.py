@@ -2360,6 +2360,155 @@ def q_autocorr_lag1(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
 
 
+LTTB_T = 32  # output points per sequence (2 anchors + 30 middle buckets)
+
+
+def q_lttb_downsample(sf_dir: str) -> "ray.data.Dataset":
+    """LTTB downsampling (Steinarsson's Largest-Triangle-Three-Buckets):
+    per sequence keep T=32 points — the endpoints plus, per middle bucket,
+    the point forming the largest triangle with the PREVIOUSLY selected
+    point and the NEXT bucket's centroid.  Bucketing is the floor map
+    bk(p) = (p-1)(T-2)//(n-2); areas are exact integers (the triangle
+    area x 2 x next-bucket count clears every division), ties break to the
+    smallest position, and sequences with n <= T pass through whole.
+
+    The selection is sequential in the BUCKET dimension only (30 steps);
+    each step vectorizes across every document in the batch: ragged
+    candidate ranges come from repeat/arange index arithmetic, per-doc
+    prefix sums give next-bucket centroids O(1), and the argmax-with-tie
+    is a maximum.reduceat + masked minimum.reduceat pair — no per-doc or
+    per-point Python.  SQL twin: a recursive CTE whose step picks the
+    bucket argmax via a correlated NOT EXISTS (aggregates are illegal in
+    recursive terms)."""
+    return _seq_ds(sf_dir).map_batches(
+        _lttb_batch, batch_format="pyarrow", batch_size=256
+    )
+
+
+def _lttb_batch(t: pa.Table, T: int = LTTB_T) -> pa.Table:
+    vals, off = list_to_numpy(t["tokens"])
+    v = vals.astype(np.int64)
+    ids = np.asarray(t["doc_id"].to_pylist(), dtype=object)
+    n_all = np.diff(off)
+    out_doc, out_pos, out_tok = [], [], []
+
+    small = n_all <= T
+    if small.any():
+        sm = np.flatnonzero(small)
+        cnt = n_all[sm]
+        out_doc.append(np.repeat(ids[sm], cnt))
+        rag = np.arange(cnt.sum()) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        out_pos.append(rag)
+        out_tok.append(v[np.repeat(off[:-1][sm], cnt) + rag])
+
+    big = np.flatnonzero(~small)
+    if len(big):
+        n = n_all[big]
+        base = off[:-1][big]
+        ps = np.concatenate(([0], np.cumsum(v)))
+
+        def bstart(k):  # first position of middle bucket k (ceil + 1)
+            return -((-k * (n - 2)) // (T - 2)) + 1
+
+        a_pos = np.zeros(len(big), dtype=np.int64)
+        a_tok = v[base]
+        sel_pos = [np.zeros(len(big), dtype=np.int64)]
+        for k in range(T - 2):
+            s, e = bstart(k), bstart(k + 1)
+            if k < T - 3:
+                ns, ne = e, bstart(k + 2)
+                c = ne - ns
+                sx = (ns + ne - 1) * (ne - ns) // 2
+                sy = ps[base + ne] - ps[base + ns]
+            else:
+                c = np.ones(len(big), dtype=np.int64)
+                sx = n - 1
+                sy = v[base + n - 1]
+            lens = e - s
+            starts = np.cumsum(lens) - lens
+            rag = np.arange(lens.sum()) - np.repeat(starts, lens)
+            relpos = np.repeat(s, lens) + rag
+            cand = v[np.repeat(base, lens) + relpos]
+            a1 = np.repeat(a_pos * c - sx, lens)
+            a2 = np.repeat(a_tok * c - sy, lens)
+            area2 = np.abs(
+                a1 * (cand - np.repeat(a_tok, lens))
+                - (np.repeat(a_pos, lens) - relpos) * a2
+            )
+            mx = np.maximum.reduceat(area2, starts)
+            ismax = area2 == np.repeat(mx, lens)
+            masked = np.where(ismax, relpos, np.int64(1) << 40)
+            a_pos = np.minimum.reduceat(masked, starts)
+            a_tok = v[base + a_pos]
+            sel_pos.append(a_pos)
+        sel_pos.append(n - 1)
+        allpos = np.stack(sel_pos, axis=1).ravel()  # doc-major order
+        out_doc.append(np.repeat(ids[big], T))
+        out_pos.append(allpos)
+        out_tok.append(v[np.repeat(base, T) + allpos])
+
+    if not out_doc:
+        return pa.table(
+            {"doc_id": pa.array([], type=t["doc_id"].type),
+             "pos": pa.array([], type=pa.int64()),
+             "tok": pa.array([], type=pa.int64())}
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(out_doc),
+                               type=t["doc_id"].type),
+            "pos": np.concatenate(out_pos),
+            "tok": np.concatenate(out_tok),
+        }
+    )
+
+
+def _lttb_area2(cand_pos: str, cand_tok: str) -> str:
+    return (
+        f"abs((r.sel_pos*x.c - x.sx)*({cand_tok} - r.sel_tok)"
+        f" - (r.sel_pos - {cand_pos})*(r.sel_tok*x.c - x.sy))"
+    )
+
+
+LTTB_SQL = (
+    "WITH RECURSIVE"
+    " f AS (SELECT doc_id, n_tok, unnest(tokens) AS tok,"
+    "  generate_subscripts(tokens, 1) - 1 AS pos"
+    f"  FROM read_parquet('{SYNTH_GLOB_001}')),"
+    f" mid AS (SELECT doc_id, pos, tok,"
+    f"  CAST((pos-1)*{LTTB_T - 2} // (n_tok-2) AS BIGINT) AS bk"
+    f"  FROM f WHERE pos >= 1 AND pos <= n_tok - 2 AND n_tok > {LTTB_T}),"
+    " cent AS (SELECT doc_id, bk, CAST(sum(pos) AS BIGINT) AS sx,"
+    "  CAST(sum(tok) AS BIGINT) AS sy, CAST(count(*) AS BIGINT) AS c"
+    "  FROM mid GROUP BY doc_id, bk),"
+    " lastp AS (SELECT doc_id, n_tok - 1 AS pos,"
+    "  max(CASE WHEN pos = n_tok - 1 THEN tok END) AS tok"
+    f"  FROM f WHERE n_tok > {LTTB_T} GROUP BY doc_id, n_tok),"
+    " nxt AS (SELECT m.doc_id, m.bk, coalesce(c2.sx, l.pos) AS sx,"
+    "  coalesce(c2.sy, l.tok) AS sy, coalesce(c2.c, 1) AS c"
+    "  FROM (SELECT DISTINCT doc_id, bk FROM mid) m"
+    "  LEFT JOIN cent c2 ON c2.doc_id = m.doc_id AND c2.bk = m.bk + 1"
+    "  JOIN lastp l ON l.doc_id = m.doc_id),"
+    " rec(doc_id, bk, sel_pos, sel_tok) AS ("
+    "  SELECT doc_id, CAST(-1 AS BIGINT), CAST(0 AS BIGINT),"
+    "   CAST(max(CASE WHEN pos = 0 THEN tok END) AS BIGINT)"
+    f"  FROM f WHERE n_tok > {LTTB_T} GROUP BY doc_id"
+    "  UNION ALL"
+    "  SELECT r.doc_id, r.bk + 1, pick.pos, pick.tok FROM rec r"
+    "  JOIN nxt x ON x.doc_id = r.doc_id AND x.bk = r.bk + 1,"
+    "  LATERAL (SELECT m2.pos, m2.tok FROM mid m2"
+    "   WHERE m2.doc_id = r.doc_id AND m2.bk = r.bk + 1"
+    f"   ORDER BY {_lttb_area2('m2.pos', 'm2.tok')} DESC, m2.pos"
+    "   LIMIT 1) pick)"
+    " SELECT doc_id, sel_pos AS pos, sel_tok AS tok FROM rec"
+    " UNION ALL SELECT doc_id, pos, CAST(tok AS BIGINT) FROM lastp"
+    " UNION ALL SELECT doc_id, pos, CAST(tok AS BIGINT) FROM f"
+    f" WHERE n_tok <= {LTTB_T}"
+)
+
+
 M4_BUCKETS = 64
 _M4_POSBITS = 20  # pos < 2^20 (n_tok <= 65536); tok * 2^20 fits int64
 
@@ -3051,6 +3200,7 @@ CORE_QUERIES = {
     "autocorr_lag1": (q_autocorr_lag1, AUTOCORR_SQL),
     "cusum_flags": (q_cusum_flags, CUSUM_SQL),
     "m4_downsample": (q_m4_downsample, M4_SQL),
+    "lttb_downsample": (q_lttb_downsample, LTTB_SQL),
     "corpus_pack512": (q_corpus_pack512, PACK_SQL),
     "store_refresh": (q_store_refresh, SOURCE_STATS_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_BY_NATION_SQL),
