@@ -1771,6 +1771,101 @@ def hll_estimate(registers: np.ndarray, rhos: np.ndarray) -> float:
     return float(est)
 
 
+def q_rollup_cube(sf_dir: str):
+    """GROUP BY ROLLUP(source, lang) — the grouping-sets surface: per
+    (source, lang) stats plus per-source margins plus the grand total in
+    one result.  The distributed part is ONE finest-grain partial+final
+    aggregate (|sources| x |langs| rows); the coarser grouping sets are
+    pure arithmetic over that tiny table on the driver — margins never
+    rescan the corpus, which is exactly how a cube materializes at scale.
+    NULL grouping keys surface as 'ALL' on both sides (hash-stable)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    fine = (
+        _docs(sf_dir, columns=("source", "lang", "n_chars"))
+        .groupby(["source", "lang"])
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_chars", alias_name="chars"))
+        .to_pandas()
+    )
+    per_src = fine.groupby("source", as_index=False)[["n_docs", "chars"]].sum()
+    per_src["lang"] = "ALL"
+    total = pd.DataFrame(
+        {"source": ["ALL"], "lang": ["ALL"],
+         "n_docs": [fine["n_docs"].sum()], "chars": [fine["chars"].sum()]}
+    )
+    out = pd.concat([fine, per_src, total], ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["chars"] = out["chars"].astype("int64")
+    return out[["source", "lang", "n_docs", "chars"]]
+
+
+ROLLUP_CUBE_SQL = (
+    "SELECT coalesce(source, 'ALL') AS source,"
+    " coalesce(lang, 'ALL') AS lang,"
+    " CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(sum(n_chars) AS BIGINT) AS chars"
+    " FROM documents GROUP BY ROLLUP(source, lang)"
+)
+
+
+def q_median2_by_source(sf_dir: str):
+    """Exact interpolated median (doubled, so it stays an integer) of doc
+    length per source — the PERCENTILE_CONT twin of the deciles query:
+    the distributed piece is the distinct-value histogram (value-counts
+    partial+final, never row-sized); the driver walks each source's
+    cumulative counts to the two middle order statistics and emits
+    v_low + v_high as BIGINT, which equals 2 x median exactly."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def vc(t: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {"source": t["source"].to_pandas(),
+                 "v": t["n_chars"].to_numpy(zero_copy_only=False)
+                 .astype(np.int64)}
+            )
+            .groupby(["source", "v"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {"source": pa.array(g["source"].to_numpy(), type=pa.string()),
+             "v": pa.array(g["v"].to_numpy()),
+             "pn": pa.array(g["size"].to_numpy().astype(np.int64))}
+        )
+
+    hist = (
+        _docs(sf_dir, columns=("source", "n_chars"))
+        .map_batches(vc, batch_format="pyarrow")
+        .groupby(["source", "v"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()
+        .sort_values(["source", "v"])
+    )
+    rows = []
+    for src, grp in hist.groupby("source"):
+        vals = grp["v"].to_numpy()
+        cum = np.cumsum(grp["n"].to_numpy())
+        total = int(cum[-1])
+        lo_rank, hi_rank = (total + 1) // 2, total // 2 + 1
+        v_lo = vals[np.searchsorted(cum, lo_rank)]
+        v_hi = vals[np.searchsorted(cum, hi_rank)]
+        rows.append((src, int(v_lo + v_hi)))
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=["source", "med2"])
+
+
+MEDIAN2_SQL = (
+    "SELECT source, CAST(2 * median(n_chars) AS BIGINT) AS med2"
+    " FROM documents GROUP BY source"
+)
+
+
 BLOOM_M = 1 << 20   # bits (128 KiB packed — broadcastable at any scale)
 BLOOM_K = 4         # hash functions
 
@@ -2598,4 +2693,6 @@ DATA_QUERIES = {
     "cooc_pairs": (q_cooc_pairs, COOC_SQL),
     "length_rank": (q_length_rank, LENGTH_RANK_SQL),
     "bloom_prescreen": (q_bloom_prescreen, BLOOM_SQL),
+    "rollup_cube": (q_rollup_cube, ROLLUP_CUBE_SQL),
+    "median2_by_source": (q_median2_by_source, MEDIAN2_SQL),
 }

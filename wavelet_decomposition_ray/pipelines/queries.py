@@ -2110,6 +2110,55 @@ DISTINCT_USERS_SQL = (
 )
 
 
+def q_last_event_per_user(sf_dir: str) -> "ray.data.Dataset":
+    """Latest-event snapshot per user (the argmax-by-time aggregate Ray
+    Data has no primitive for): per user, the value and type of their
+    most recent event, tie-broken by event_id.  Per-batch pre-reduction
+    keeps one candidate row per (user, batch) — the exchange is
+    user-cardinality-sized — and the user-hash partition fold picks the
+    global winner exactly because each user lives in one partition."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def local_last(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.drop_duplicates("user_id", keep="last"), preserve_index=False
+        )
+
+    def fold(df):
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        out = df.drop_duplicates("user_id", keep="last").copy()
+        out["last_us"] = (
+            out["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        out["last_cents"] = np.rint(
+            out["value"].to_numpy() * 100
+        ).astype(np.int64)
+        return out[["user_id", "event_type", "last_us", "last_cents"]]
+
+    return (
+        ds.map_batches(local_last, batch_format="pyarrow")
+        .map_batches(_add_user_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+LAST_EVENT_SQL = (
+    "SELECT user_id, event_type, epoch_us(ts) AS last_us,"
+    " CAST(round(value * 100) AS BIGINT) AS last_cents"
+    " FROM events QUALIFY"
+    " row_number() OVER (PARTITION BY user_id ORDER BY ts DESC,"
+    "  event_id DESC) = 1"
+)
+
+
 def q_event_transitions(sf_dir: str) -> "ray.data.Dataset":
     """Markov transition counts over per-user event streams: for every
     (previous event_type -> event_type) pair, how many consecutive-event
@@ -3196,6 +3245,7 @@ CORE_QUERIES = {
     "distinct_users_daily": (q_distinct_users_daily, DISTINCT_USERS_SQL),
     "wau_7d": (q_wau7, WAU7_SQL),
     "event_transitions": (q_event_transitions, EVENT_TRANSITIONS_SQL),
+    "last_event_per_user": (q_last_event_per_user, LAST_EVENT_SQL),
     "retention_cohorts": (q_retention_cohorts, RETENTION_SQL),
     "autocorr_lag1": (q_autocorr_lag1, AUTOCORR_SQL),
     "cusum_flags": (q_cusum_flags, CUSUM_SQL),
