@@ -2110,6 +2110,56 @@ DISTINCT_USERS_SQL = (
 )
 
 
+def q_missing_hours(sf_dir: str) -> "ray.data.Dataset":
+    """Data-gap detection: per calendar day, how many of the 24 hours saw
+    ZERO events, plus the hour-presence bitmask — the completeness audit a
+    time-series ingest runs before trusting a day's rollups.  Per-batch
+    distinct packed (day, hour) keys collapse the stream to a <= days x 24
+    domain before the only exchange; the bitmask is a sum of distinct
+    powers of two (== OR), integer-exact on both sides."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ts_us = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        day = ts_us // _DAY_US
+        hour = (ts_us // 3_600_000_000) % 24
+        key = np.unique(day * 32 + hour)
+        return pa.table({"key": key, "one": np.ones(len(key), np.int64)})
+
+    from ray.data.aggregate import Max
+
+    distinct = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Max("one", alias_name="one"))
+    )
+
+    # the distinct table is <= days x 24 rows — finish on the driver (a
+    # per-block finish could split one day's hours across block borders)
+    import pandas as pd
+
+    df = distinct.to_pandas()
+    day = df["key"].to_numpy() // 32
+    hour = df["key"].to_numpy() % 32
+    g = pd.DataFrame({"day": day, "bit": np.int64(1) << hour}).groupby(
+        "day", as_index=False
+    ).agg(n_hours=("bit", "size"), hour_mask=("bit", "sum"))
+    g["n_missing"] = (24 - g["n_hours"]).astype(np.int64)
+    g["hour_mask"] = g["hour_mask"].astype(np.int64)
+    return g[["day", "n_missing", "hour_mask"]]
+
+
+MISSING_HOURS_SQL = (
+    f"WITH h AS (SELECT DISTINCT epoch_us(ts) // {_DAY_US} AS day,"
+    " CAST(date_part('hour', ts) AS BIGINT) AS hr FROM events)"
+    " SELECT day, CAST(24 - count(*) AS BIGINT) AS n_missing,"
+    " CAST(sum(1 << hr) AS BIGINT) AS hour_mask FROM h GROUP BY day"
+)
+
+
 def q_last_event_per_user(sf_dir: str) -> "ray.data.Dataset":
     """Latest-event snapshot per user (the argmax-by-time aggregate Ray
     Data has no primitive for): per user, the value and type of their
@@ -3246,6 +3296,7 @@ CORE_QUERIES = {
     "wau_7d": (q_wau7, WAU7_SQL),
     "event_transitions": (q_event_transitions, EVENT_TRANSITIONS_SQL),
     "last_event_per_user": (q_last_event_per_user, LAST_EVENT_SQL),
+    "missing_hours": (q_missing_hours, MISSING_HOURS_SQL),
     "retention_cohorts": (q_retention_cohorts, RETENTION_SQL),
     "autocorr_lag1": (q_autocorr_lag1, AUTOCORR_SQL),
     "cusum_flags": (q_cusum_flags, CUSUM_SQL),
