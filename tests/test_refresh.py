@@ -173,3 +173,33 @@ def test_validate_store_detects_corruption(ray_session, tmp_path):
     shutil.move(victim + ".bak", victim)
 
     assert validate_store(out, distributed=False)["ok"]
+
+
+def test_read_store_api(ray_session, tmp_path):
+    """sources.store.read_store: decoded rows equal the hand-rolled
+    read+decode, tier/source predicates prune correctly, decode=False
+    returns raw encoded rows."""
+    from wavelet_decomposition_ray import synth
+    from wavelet_decomposition_ray.pipelines import rollup_pipeline as rp
+    from wavelet_decomposition_ray.sources.store import read_store
+
+    seq = synth.ensure_sequences("/root/testdata/sf0.001")
+    out = str(tmp_path / "store")
+    rp.run_rollup_job(seq, out, bank="haar", n_tiers=6, n_buckets=4,
+                      batch_size=64, verify=False)
+
+    full = read_store(out).to_pandas()
+    assert set(full["tier"].unique()) == set(range(1, 7))
+    assert {"mins", "maxs", "sums", "counts"} <= set(full.columns)
+
+    t3 = read_store(out, tiers=[3]).to_pandas()
+    assert (t3["tier"] == 3).all()
+    assert len(t3) == (full["tier"] == 3).sum()
+
+    src = sorted(full["source"].unique())[0]
+    sub = read_store(out, tiers=[2, 3], sources=[src]).to_pandas()
+    assert set(sub["tier"].unique()) <= {2, 3}
+    assert (sub["source"] == src).all()
+
+    raw = read_store(out, decode=False).to_pandas()
+    assert "blob" in raw.columns and len(raw) == len(full)
