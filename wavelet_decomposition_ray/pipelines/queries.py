@@ -1860,15 +1860,10 @@ def q_store_stats(sf_dir: str) -> "ray.data.Dataset":
     aggregate. Must equal the same SQL oracle as ``source_stats`` computed
     from raw tokens — the full write->read->query lifecycle of the store
     (reference entry point 3, SURVEY.md §3.3)."""
-    import os
-
-    from ..stages.encode import decode_blocks_batch
+    from ..sources.store import read_store
 
     out = _ensure_store(sf_dir)
-    decoded = ray.data.read_parquet(os.path.join(out, "data")).map_batches(
-        decode_blocks_batch, batch_format="pyarrow", batch_size=2048
-    )
-    agg = rp.source_tier_aggregate(decoded)
+    agg = rp.source_tier_aggregate(read_store(out))
     return agg.map_batches(
         lambda t: t.set_column(
             t.column_names.index("tier"), "tier", pc.cast(t["tier"], pa.int8())
@@ -1886,16 +1881,10 @@ def q_store_tier(sf_dir: str) -> "ray.data.Dataset":
     parquet read (only matching row groups leave storage) and decoding only
     those rows' blobs; everything else is identical to ``store_stats``.
     Oracle = the raw-token aggregate restricted to the same tier."""
-    import os
-
-    from ..stages.encode import decode_blocks_batch
+    from ..sources.store import read_store
 
     out = _ensure_store(sf_dir)
-    decoded = ray.data.read_parquet(
-        os.path.join(out, "data"),
-        filter=(pc.field("tier") == STORE_TIER),
-    ).map_batches(decode_blocks_batch, batch_format="pyarrow", batch_size=2048)
-    agg = rp.source_tier_aggregate(decoded)
+    agg = rp.source_tier_aggregate(read_store(out, tiers=[STORE_TIER]))
     return agg.map_batches(
         lambda t: t.set_column(
             t.column_names.index("tier"), "tier", pc.cast(t["tier"], pa.int8())
