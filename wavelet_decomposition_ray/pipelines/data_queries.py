@@ -38,6 +38,7 @@ def _emb(sf_dir: str) -> "ray.data.Dataset":
 # --------------------------------------------------------------------------
 
 def q_token_count(sf_dir: str):
+    """Whitespace token count per document — the cheapest corpus size signal, one pandas string kernel per batch."""
     return _docs(sf_dir).map_batches(tx.token_count_batch, batch_format="pyarrow")
 
 
@@ -50,6 +51,7 @@ TOKEN_COUNT_SQL = (
 
 
 def q_text_quality(sf_dir: str):
+    """Quality signals per document (word count, mean word length, type-token ratio) — the filtering features, rounded so the SQL twin is bit-identical."""
     return _docs(sf_dir).map_batches(tx.quality_batch, batch_format="pyarrow")
 
 
@@ -102,6 +104,7 @@ QUALITY_FILTER_SQL = (
 
 
 def q_lang_id(sf_dir: str):
+    """Language ID per document via the packed-trigram profile scorer (one searchsorted pass per batch; deterministic argmax with tie-break)."""
     return _docs(sf_dir).map_batches(
         tx.LangId, batch_format="pyarrow", batch_size=256, concurrency=2
     )
@@ -217,6 +220,7 @@ DOC_CHUNKS_SQL = (
 
 
 def q_fingerprint(sf_dir: str):
+    """Content fingerprint per document: md5 hex of the text (exact-dedup key)."""
     ds = _docs(sf_dir).map_batches(tx.fingerprint_batch, batch_format="pyarrow")
     return ds.map_batches(lambda t: t.select(["doc_id", "md5"]),
                           batch_format="pyarrow")
@@ -226,6 +230,7 @@ FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS md5 FROM documents"
 
 
 def q_fingerprint_rolling(sf_dir: str):
+    """Rolling polynomial (Rabin-Karp, mod 2^61-1) fingerprint per document — vectorized chunked-Horner with cached power tables."""
     return _docs(sf_dir).map_batches(tx.fingerprint_batch, batch_format="pyarrow")
 
 
@@ -254,6 +259,7 @@ FINGERPRINT_ROLLING_SQL = (
 # --------------------------------------------------------------------------
 
 def q_dedup_exact(sf_dir: str):
+    """Exact duplicate groups: content-hash every document and keep groups with >1 member (hash-partition + count, fixed-width exchange)."""
     from ray.data.aggregate import Count, Min
 
     ds = _docs(sf_dir).map_batches(dd.exact_hash_batch, batch_format="pyarrow")
@@ -1012,6 +1018,7 @@ EMBED_DEDUP_SQL = (
 # --------------------------------------------------------------------------
 
 def q_multimodal_features(sf_dir: str):
+    """Multimodal payload features (byte size, checksum words, declared kind) over binary columns — the real Ray plumbing around the declared decode stub."""
     ds = _docs(sf_dir).map_batches(mm.text_to_payload_batch, batch_format="pyarrow")
     feats = ds.map_batches(mm.MediaFeatures(), batch_format="pyarrow",
                            batch_size=256)

@@ -76,6 +76,7 @@ def _rollup_sql(tier: int) -> str:
 # --------------------------------------------------------------------------
 
 def q_source_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-(source, tier) window aggregates straight from raw tokens — the reference's stacked-signal report (A1) as one partial+final groupby."""
     rolled = rp.rollup_dataset(_seq_ds(sf_dir), bank="haar", n_tiers=10,
                                verify=False, batch_size=256)
     agg = rp.source_tier_aggregate(rolled)
@@ -167,6 +168,7 @@ SOURCE_STATS_T15_SQL = _source_stats_sql(15)
 
 
 def q_haar_l1(sf_dir: str) -> "ray.data.Dataset":
+    """Level-1 Haar pair sums/differences per sequence (unnormalized, integer-exact) — the first rung of the wavelet cascade, SQL-checkable bit for bit."""
     def haar_l1_batch(t: pa.Table) -> pa.Table:
         vals, off = list_to_numpy(t["tokens"])
         lens = np.diff(off)
@@ -222,6 +224,7 @@ ROUNDTRIP_SQL = (
 # --------------------------------------------------------------------------
 
 def q_aggtree_ok(sf_dir: str) -> "ray.data.Dataset":
+    """All-true invariant: the tier-tree aggregates folded bottom-up equal the flat per-tier rollups recomputed from raw tokens (continuous-aggregate correctness)."""
     def check(t: pa.Table) -> pa.Table:
         vals, off = list_to_numpy(t["tokens"])
         v64 = vals.astype(np.int64)
@@ -280,6 +283,7 @@ AGGTREE_SQL = (
 # --------------------------------------------------------------------------
 
 def q_codec_ok(sf_dir: str) -> "ray.data.Dataset":
+    """All-true invariant: Gorilla/DoD encode -> decode round-trips every rollup stream byte-exactly (the codec identity the store relies on)."""
     ds = _seq_ds(sf_dir).map_batches(TierRollup(10), batch_format="pyarrow",
                                      batch_size=256)
 
@@ -908,6 +912,7 @@ EWMA8_SQL = (
 # --------------------------------------------------------------------------
 
 def q_daily_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """Calendar-day event rollup (count + integer-cent sum per day) — the classic partial+final time bucket aggregate."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_shipdate", "l_quantity"]
     )
