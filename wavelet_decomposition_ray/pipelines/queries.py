@@ -2104,6 +2104,57 @@ DISTINCT_USERS_SQL = (
 )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(sf_dir: str) -> "ray.data.Dataset":
+    """PIVOT/reshape surface: the per-day event-type count matrix (one
+    column per type) — long-to-wide with a FIXED, declared column set, the
+    only shape that scales (a data-dependent pivot would need a schema
+    negotiation pass).  Per batch: one pandas crosstab partial reindexed
+    to the declared columns; a day-keyed sum merges partials."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ts_us = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        ct = pd.crosstab(
+            pd.Series(ts_us // _DAY_US, name="day"),
+            pd.Series(t["event_type"].to_pandas(), name="et"),
+        ).reindex(columns=list(EVENT_TYPES), fill_value=0)
+        ct.columns = [f"n_{c}" for c in ct.columns]
+        return pa.Table.from_pandas(
+            ct.astype(np.int64).reset_index(), preserve_index=False
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(
+            *[Sum(f"n_{c}", alias_name=f"n_{c}") for c in EVENT_TYPES]
+        )
+    )
+
+
+EVENTS_PIVOT_SQL = (
+    f"SELECT epoch_us(ts) // {86_400_000_000} AS day,"
+    + ",".join(
+        f" CAST(sum(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{c}"
+        for c in EVENT_TYPES
+    )
+    + " FROM events GROUP BY day"
+)
+
+
 def q_missing_hours(sf_dir: str) -> "ray.data.Dataset":
     """Data-gap detection: per calendar day, how many of the 24 hours saw
     ZERO events, plus the hour-presence bitmask — the completeness audit a
@@ -3291,6 +3342,7 @@ CORE_QUERIES = {
     "event_transitions": (q_event_transitions, EVENT_TRANSITIONS_SQL),
     "last_event_per_user": (q_last_event_per_user, LAST_EVENT_SQL),
     "missing_hours": (q_missing_hours, MISSING_HOURS_SQL),
+    "events_pivot": (q_events_pivot, EVENTS_PIVOT_SQL),
     "retention_cohorts": (q_retention_cohorts, RETENTION_SQL),
     "autocorr_lag1": (q_autocorr_lag1, AUTOCORR_SQL),
     "cusum_flags": (q_cusum_flags, CUSUM_SQL),
