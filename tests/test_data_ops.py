@@ -636,3 +636,52 @@ def test_trend_slope_recovers_known_line():
     one = {"n": 3, "sum_x": 3 * 19700, "sum_y": 30,
            "sum_xy": 10 * 3 * 19700, "sum_x2": 3 * 19700 * 19700}
     assert np.isnan(dq.trend_slope(one))
+
+
+def test_skewjoin_hot_path_matches_plain_join(ray_session, tmp_path, monkeypatch):
+    """With a planted viral key (60% of fact rows) and the hot threshold
+    forced low, the skew-aware join must route the hot key through the
+    broadcast path and still produce exactly the plain co-partition
+    join's aggregates."""
+    import pandas as pd
+    import pyarrow.parquet as pq2
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    rng = np.random.default_rng(23)
+    n = 5_000
+    hot_key = 7
+    okey = np.where(rng.random(n) < 0.6, hot_key,
+                    rng.integers(100, 400, size=n))
+    li = pd.DataFrame(
+        {
+            "l_orderkey": okey.astype(np.int64),
+            "l_extendedprice": rng.integers(100, 10_000, n) / 100.0,
+            "l_discount": rng.integers(0, 10, n) / 100.0,
+            "l_returnflag": rng.choice(["A", "N", "R"], n),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(0, 400, dtype=np.int64),
+            "o_orderpriority": rng.choice(
+                ["1-URGENT", "3-MEDIUM", "5-LOW"], 400
+            ),
+        }
+    )
+    li.to_parquet(tmp_path / "lineitem.parquet", index=False)
+    orders.to_parquet(tmp_path / "orders.parquet", index=False)
+
+    monkeypatch.setattr(cq, "SKEW_SAMPLE_EVERY", 4)
+    monkeypatch.setattr(cq, "SKEW_HOT_SAMPLED", 100)  # only the viral key
+
+    skew = (
+        cq.q_order_priority_skewjoin(str(tmp_path)).to_pandas()
+        .sort_values(["priority", "flag"]).reset_index(drop=True)
+    )
+    plain = (
+        cq.q_order_priority_revenue(str(tmp_path)).to_pandas()
+        .sort_values(["priority", "flag"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(skew, plain)
+    assert skew["n_items"].sum() == n  # every fact row accounted for

@@ -3136,6 +3136,176 @@ TOP_ORDERS_Q3_SQL = (
 )
 
 
+SKEW_SAMPLE_EVERY = 64     # sample 1/64 of fact rows for hot-key detection
+SKEW_HOT_SAMPLED = 200     # sampled-count threshold -> treat key as hot
+
+
+def q_order_priority_skewjoin(sf_dir: str) -> "ray.data.Dataset":
+    """The skew-aware variant of ``order_priority_revenue`` — same join,
+    same answer, different routing: a cheap sampled pre-pass finds HOT
+    join keys (a viral order at 100 TB would melt its co-partition), the
+    small side's hot rows are fetched with a pushed-down filter and
+    broadcast, and the fact stream splits per batch — hot rows join
+    map-side against the broadcast dict (no shuffle), cold rows take the
+    tagged-union co-partition path.  Hot-key detection only affects
+    ROUTING, never the answer, so sampling nondeterminism is harmless and
+    the oracle is the plain join's SQL.  With no real skew the hot set is
+    empty and this degrades to the plain co-partition join."""
+    import pandas as pd
+
+    li_path = f"{sf_dir}/lineitem.parquet"
+
+    # --- sampled hot-key detection (1/SAMPLE_EVERY of rows, local counts
+    # summed on the driver over a key-sized frame) ---
+    def sample_counts(t: pa.Table) -> pa.Table:
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )[::SKEW_SAMPLE_EVERY]
+        u, c = np.unique(okey, return_counts=True)
+        return pa.table({"okey": u, "c": c.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    sampled = (
+        ray.data.read_parquet(li_path, columns=["l_orderkey"])
+        .map_batches(sample_counts, batch_format="pyarrow")
+        .groupby("okey")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    hot = np.sort(
+        sampled.loc[sampled["c"] >= SKEW_HOT_SAMPLED, "okey"]
+        .to_numpy().astype(np.int64)
+    )
+
+    # --- broadcast the small side's hot rows (pushed-down filter) ---
+    if len(hot):
+        hot_orders = (
+            ray.data.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_orderkey", "o_orderpriority"],
+                filter=pc.field("o_orderkey").isin([int(k) for k in hot]),
+            )
+            .to_pandas()
+            .sort_values("o_orderkey")
+        )
+        hot_keys = hot_orders["o_orderkey"].to_numpy().astype(np.int64)
+        hot_prio = hot_orders["o_orderpriority"].to_numpy()
+    else:
+        hot_keys = np.array([], dtype=np.int64)
+        hot_prio = np.array([], dtype=object)
+    hot_ref = ray.put((hot_keys, hot_prio))
+
+    def li_split(t: pa.Table) -> pa.Table:
+        """Hot rows -> map-side partial aggregates (side=2, pre-joined);
+        cold rows -> tagged union (side=0) for the co-partition fold."""
+        keys, prio = ray.get(hot_ref)
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ep = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        dpct = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        rev = ep * (100 - dpct)
+        flag = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        if len(keys):
+            i = np.minimum(np.searchsorted(keys, okey), len(keys) - 1)
+            is_hot = keys[i] == okey
+        else:
+            is_hot = np.zeros(len(okey), dtype=bool)
+        parts = []
+        if is_hot.any():
+            g = (
+                pd.DataFrame(
+                    {"priority": prio[i[is_hot]], "flag": flag[is_hot],
+                     "rev_u": rev[is_hot]}
+                )
+                .groupby(["priority", "flag"], as_index=False)
+                .agg(pn=("rev_u", "size"), prev=("rev_u", "sum"))
+            )
+            parts.append(pa.table(
+                {"part": pa.array(np.full(len(g), -1, np.int32)),
+                 "side": pa.array(np.full(len(g), 2, np.int8)),
+                 "okey": pa.array(np.zeros(len(g), np.int64)),
+                 "rev_u": pa.array(g["prev"].to_numpy().astype(np.int64)),
+                 "pn": pa.array(g["pn"].to_numpy().astype(np.int64)),
+                 "flag": pa.array(g["flag"].to_numpy(), type=pa.string()),
+                 "priority": pa.array(g["priority"].to_numpy(),
+                                      type=pa.string())}
+            ))
+        cold = ~is_hot
+        parts.append(pa.table(
+            {"part": pa.array((okey[cold] % N_JOIN_PARTS).astype(np.int32)),
+             "side": pa.array(np.zeros(int(cold.sum()), np.int8)),
+             "okey": pa.array(okey[cold]),
+             "rev_u": pa.array(rev[cold]),
+             "pn": pa.array(np.ones(int(cold.sum()), np.int64)),
+             "flag": pa.array(flag[cold], type=pa.string()),
+             "priority": pa.array([""] * int(cold.sum()), type=pa.string())}
+        ))
+        return pa.concat_tables(parts)
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"part": pa.array((okey % N_JOIN_PARTS).astype(np.int32)),
+             "side": pa.array(np.ones(len(okey), np.int8)),
+             "okey": pa.array(okey),
+             "rev_u": pa.array(np.zeros(len(okey), np.int64)),
+             "pn": pa.array(np.zeros(len(okey), np.int64)),
+             "flag": pa.array([""] * len(okey), type=pa.string()),
+             "priority": t["o_orderpriority"]}
+        )
+
+    li = ray.data.read_parquet(
+        li_path,
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"],
+    ).map_batches(li_split, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(tag_orders, batch_format="pyarrow")
+
+    def fold(df):
+        pre = df[df["side"] == 2][["priority", "flag", "pn", "rev_u"]]
+        pre = pre.rename(columns={"rev_u": "prev"})
+        l = df[df["side"] == 0][["okey", "rev_u", "flag"]]
+        o = df[df["side"] == 1][["okey", "priority"]]
+        outs = [pre]
+        if len(l) and len(o):
+            m = l.merge(o, on="okey", how="inner")
+            g = m.groupby(["priority", "flag"], as_index=False).agg(
+                pn=("rev_u", "size"), prev=("rev_u", "sum")
+            )
+            g["pn"] = g["pn"].astype(np.int64)
+            outs.append(g)
+        out = pd.concat(outs, ignore_index=True)
+        if not len(out):
+            return pd.DataFrame(
+                {"priority": pd.Series([], dtype=object),
+                 "flag": pd.Series([], dtype=object),
+                 "pn": pd.Series([], dtype=np.int64),
+                 "prev": pd.Series([], dtype=np.int64)}
+            )
+        return out[["priority", "flag", "pn", "prev"]]
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        li.union(orders)
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby(["priority", "flag"])
+        .aggregate(
+            _Sum("pn", alias_name="n_items"),
+            _Sum("prev", alias_name="revenue_u"),
+        )
+    )
+
+
 ORDER_PRIORITY_REVENUE_SQL = (
     "WITH l AS (SELECT l_orderkey AS okey, l_returnflag AS flag,"
     " CAST(round(l_extendedprice * 100) AS BIGINT)"
@@ -3355,4 +3525,7 @@ CORE_QUERIES = {
         q_order_priority_revenue, ORDER_PRIORITY_REVENUE_SQL
     ),
     "top_orders_q3": (q_top_orders_q3, TOP_ORDERS_Q3_SQL),
+    "order_priority_skewjoin": (
+        q_order_priority_skewjoin, ORDER_PRIORITY_REVENUE_SQL
+    ),
 }
