@@ -3136,6 +3136,66 @@ TOP_ORDERS_Q3_SQL = (
 )
 
 
+def q_orders_no_lineitem(sf_dir: str) -> "ray.data.Dataset":
+    """ANTI-join: orders with no lineitem rows (the referential-integrity
+    audit).  The fact side collapses to its DISTINCT join keys first —
+    per-batch unique then one key-only groupby, fixed-width rows — and the
+    distinct-key set broadcasts once; the orders stream filters NOT-member
+    with a searchsorted per batch.  At 10^12 facts the broadcast becomes a
+    Bloom filter (``bloom_prescreen``'s structure) plus an exact recheck
+    of the survivors — same shape, probabilistic first pass."""
+    from ray.data.aggregate import Max
+
+    keys = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {"k": np.unique(
+                    t["l_orderkey"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+                 "one": np.ones(
+                     len(np.unique(t["l_orderkey"])), dtype=np.int8
+                 )}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("k")
+        .aggregate(Max("one", alias_name="one"))
+        .to_pandas()["k"]
+        .to_numpy()
+    )
+    keys.sort()
+    keys_ref = ray.put(keys)
+
+    def anti(t: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(k):
+            i = np.minimum(np.searchsorted(k, ok), len(k) - 1)
+            member = k[i] == ok
+        else:
+            member = np.zeros(len(ok), dtype=bool)
+        return pa.table(
+            {"o_orderkey": pa.array(ok[~member]),
+             "o_orderpriority": t["o_orderpriority"].filter(
+                 pa.array(~member))}
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(anti, batch_format="pyarrow")
+
+
+ORDERS_NO_LINEITEM_SQL = (
+    "SELECT o_orderkey, o_orderpriority FROM orders o"
+    " WHERE NOT EXISTS (SELECT 1 FROM lineitem l"
+    "  WHERE l.l_orderkey = o.o_orderkey)"
+)
+
+
 SKEW_SAMPLE_EVERY = 64     # sample 1/64 of fact rows for hot-key detection
 SKEW_HOT_SAMPLED = 200     # sampled-count threshold -> treat key as hot
 
@@ -3528,4 +3588,5 @@ CORE_QUERIES = {
     "order_priority_skewjoin": (
         q_order_priority_skewjoin, ORDER_PRIORITY_REVENUE_SQL
     ),
+    "orders_no_lineitem": (q_orders_no_lineitem, ORDERS_NO_LINEITEM_SQL),
 }
