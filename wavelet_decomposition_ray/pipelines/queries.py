@@ -3136,6 +3136,155 @@ TOP_ORDERS_Q3_SQL = (
 )
 
 
+Q9_PART_WORD = "red"
+
+
+def q_profit_by_nation_year(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q9 analog — the four-table pipeline (part |> supplier+nation
+    |> lineitem |> orders) with a selective dimension filter and a
+    two-key rollup: revenue of '%red%' parts per supplier nation per
+    order year.
+
+    Join planning by side size: the filtered part keys (a sorted int
+    array) and the supplier->nation map BROADCAST once and are probed
+    map-side inside the lineitem scan (two searchsorteds — no dimension
+    shuffle); lineitem x orders is the genuine large x large edge and
+    takes ONE tagged-union co-partition exchange on okey (the Q3 shape)
+    with the nation string riding the fact rows.  Revenue is integer
+    1e-4 dollars; years come from the same epoch arithmetic on both
+    sides."""
+    import pandas as pd
+
+    pdf = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).to_pandas()
+    red = (
+        pdf.loc[pdf["p_name"].str.contains(Q9_PART_WORD), "p_partkey"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    red.sort()
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas().sort_values("s_suppkey")
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas().sort_values("n_nationkey")
+    side = ray.put(
+        (red,
+         sup["s_suppkey"].to_numpy().astype(np.int64),
+         sup["s_nationkey"].to_numpy().astype(np.int64),
+         nat["n_nationkey"].to_numpy().astype(np.int64),
+         nat["n_name"].to_numpy())
+    )
+
+    def tag_li(t: pa.Table) -> pa.Table:
+        redk, sk, snat, nk, nname = ray.get(side)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.minimum(np.searchsorted(redk, pk), max(len(redk) - 1, 0))
+        sel = (redk[i] == pk) if len(redk) else np.zeros(len(pk), bool)
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )[sel]
+        suk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )[sel]
+        ep = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[sel] * 100
+        ).astype(np.int64)
+        dp = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False)[sel] * 100
+        ).astype(np.int64)
+        j = np.searchsorted(sk, suk)
+        assert len(sk) and (sk[np.minimum(j, len(sk) - 1)] == suk).all(), (
+            "lineitem.l_suppkey violates supplier FK"
+        )
+        nidx = np.searchsorted(nk, snat[j])
+        return pa.table(
+            {
+                "part": pa.array((okey % N_JOIN_PARTS).astype(np.int32)),
+                "side": pa.array(np.zeros(len(okey), np.int8)),
+                "okey": pa.array(okey),
+                "rev_u": pa.array(ep * (100 - dp)),
+                "nation": pa.array(nname[nidx], type=pa.string()),
+                "o_year": pa.array(np.zeros(len(okey), np.int64)),
+            }
+        )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        yr = (
+            t["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        )
+        return pa.table(
+            {
+                "part": pa.array((okey % N_JOIN_PARTS).astype(np.int32)),
+                "side": pa.array(np.ones(len(okey), np.int8)),
+                "okey": pa.array(okey),
+                "rev_u": pa.array(np.zeros(len(okey), np.int64)),
+                "nation": pa.array([""] * len(okey), type=pa.string()),
+                "o_year": pa.array(yr),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(tag_li, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(tag_orders, batch_format="pyarrow")
+
+    def fold(df):
+        l = df[df["side"] == 0][["okey", "rev_u", "nation"]]
+        o = df[df["side"] == 1][["okey", "o_year"]]
+        if not len(l) or not len(o):
+            return pd.DataFrame(
+                {"nation": pd.Series([], dtype=object),
+                 "o_year": pd.Series([], dtype=np.int64),
+                 "pn": pd.Series([], dtype=np.int64),
+                 "prev": pd.Series([], dtype=np.int64)}
+            )
+        m = l.merge(o, on="okey", how="inner")
+        g = m.groupby(["nation", "o_year"], as_index=False).agg(
+            pn=("rev_u", "size"), prev=("rev_u", "sum")
+        )
+        g["pn"] = g["pn"].astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Sum
+
+    return (
+        li.union(orders)
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby(["nation", "o_year"])
+        .aggregate(
+            Sum("pn", alias_name="n_items"),
+            Sum("prev", alias_name="revenue_u"),
+        )
+    )
+
+
+PROFIT_Q9_SQL = (
+    "SELECT n.n_name AS nation,"
+    " CAST(date_part('year', o.o_orderdate) AS BIGINT) AS o_year,"
+    " CAST(count(*) AS BIGINT) AS n_items,"
+    " CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)"
+    "  * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)"
+    "  AS revenue_u"
+    " FROM lineitem l"
+    " JOIN part p ON p.p_partkey = l.l_partkey"
+    " JOIN supplier s ON s.s_suppkey = l.l_suppkey"
+    " JOIN nation n ON n.n_nationkey = s.s_nationkey"
+    " JOIN orders o ON o.o_orderkey = l.l_orderkey"
+    f" WHERE p.p_name LIKE '%{Q9_PART_WORD}%'"
+    " GROUP BY nation, o_year"
+)
+
+
 def q_orders_no_lineitem(sf_dir: str) -> "ray.data.Dataset":
     """ANTI-join: orders with no lineitem rows (the referential-integrity
     audit).  The fact side collapses to its DISTINCT join keys first —
@@ -3589,4 +3738,5 @@ CORE_QUERIES = {
         q_order_priority_skewjoin, ORDER_PRIORITY_REVENUE_SQL
     ),
     "orders_no_lineitem": (q_orders_no_lineitem, ORDERS_NO_LINEITEM_SQL),
+    "profit_by_nation_year": (q_profit_by_nation_year, PROFIT_Q9_SQL),
 }
