@@ -2902,6 +2902,78 @@ REVENUE_BY_NATION_SQL = (
 )
 
 
+def q_revenue_by_region(sf_dir: str) -> "ray.data.Dataset":
+    """``revenue_by_nation`` extended one dimension hop (customer ->
+    nation -> REGION): the snowflake-chain broadcast join — all three
+    dimension tables are collected once, composed into a single
+    custkey -> region lookup on the driver, ``ray.put`` once, and probed
+    with one searchsorted inside every orders batch.  Chain composition
+    on the driver is the point: N dimension hops still cost the fact
+    stream exactly one probe."""
+    import pandas as pd
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    reg = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    chain = (
+        cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+        .sort_values("c_custkey")
+    )
+    side = ray.put(
+        (chain["c_custkey"].to_numpy().astype(np.int64),
+         chain["r_name"].to_numpy())
+    )
+
+    def probe(t: pa.Table) -> pa.Table:
+        keys, rname = ray.get(side)
+        ok = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        i = np.searchsorted(keys, ok)
+        assert (i < len(keys)).all() and (keys[i] == ok).all(), (
+            "orders.o_custkey violates customer FK"
+        )
+        g = (
+            pd.DataFrame({"r_name": rname[i], "cents": cents})
+            .groupby("r_name", as_index=False)
+            .agg(pn=("cents", "size"), pcents=("cents", "sum"))
+        )
+        g["pn"] = g["pn"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(probe, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(
+            Sum("pn", alias_name="n_orders"),
+            Sum("pcents", alias_name="revenue_cents"),
+        )
+    )
+
+
+REVENUE_BY_REGION_SQL = (
+    "WITH o AS (SELECT o_custkey,"
+    " CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)"
+    " SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_orders,"
+    " CAST(sum(cents) AS BIGINT) AS revenue_cents"
+    " FROM o JOIN customer c ON o.o_custkey = c.c_custkey"
+    " JOIN nation n ON c.c_nationkey = n.n_nationkey"
+    " JOIN region r ON n.n_regionkey = r.r_regionkey"
+    " GROUP BY r.r_name"
+)
+
+
 N_JOIN_PARTS = 32
 
 
@@ -3739,4 +3811,5 @@ CORE_QUERIES = {
     ),
     "orders_no_lineitem": (q_orders_no_lineitem, ORDERS_NO_LINEITEM_SQL),
     "profit_by_nation_year": (q_profit_by_nation_year, PROFIT_Q9_SQL),
+    "revenue_by_region": (q_revenue_by_region, REVENUE_BY_REGION_SQL),
 }
