@@ -203,3 +203,42 @@ def test_read_store_api(ray_session, tmp_path):
 
     raw = read_store(out, decode=False).to_pandas()
     assert "blob" in raw.columns and len(raw) == len(full)
+
+
+def test_compact_store_byte_identical_to_fresh_build(ray_session, tmp_path):
+    """Compacting a 16-bucket store to 4 buckets must produce byte-for-
+    byte the files a from-scratch 4-bucket build writes, pass fsck, and
+    answer source_stats identically; a rerun skips everything."""
+    import hashlib
+    import os
+
+    from wavelet_decomposition_ray import synth
+    from wavelet_decomposition_ray.pipelines import rollup_pipeline as rp
+    from wavelet_decomposition_ray.state.compact import compact_store
+    from wavelet_decomposition_ray.state.validate import validate_store
+
+    seq = synth.ensure_sequences("/root/testdata/sf0.001")
+    many = str(tmp_path / "many")
+    rp.run_rollup_job(seq, many, bank="haar", n_tiers=6, n_buckets=16,
+                      batch_size=64, verify=False)
+    fresh = str(tmp_path / "fresh4")
+    rp.run_rollup_job(seq, fresh, bank="haar", n_tiers=6, n_buckets=4,
+                      batch_size=64, verify=False)
+
+    dst = str(tmp_path / "compacted")
+    s1 = compact_store(many, dst, n_buckets=4)
+    assert s1["buckets_written"] == 4
+
+    def hashes(root):
+        out = {}
+        d = os.path.join(root, "data")
+        for f in sorted(os.listdir(d)):
+            with open(os.path.join(d, f), "rb") as fh:
+                out[f] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    assert hashes(dst) == hashes(fresh)
+    assert validate_store(dst, distributed=False)["ok"]
+
+    s2 = compact_store(many, dst, n_buckets=4)
+    assert s2 == {"buckets_written": 0, "buckets_skipped": 4}
