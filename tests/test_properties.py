@@ -342,3 +342,67 @@ def test_lttb_vectorized_matches_scalar():
     for i, d in enumerate(docs):
         got = sorted(df[df["doc_id"] == f"d{i}"]["pos"].tolist())
         assert got == sorted(ref(d)), (i, len(d))
+
+
+_docs_st = st.lists(
+    st.lists(st.integers(0, 7302), min_size=1, max_size=40),
+    min_size=1, max_size=8,
+)
+
+
+@given(_docs_st)
+@settings(max_examples=60, deadline=None)
+def test_cusum_offset_trick_hypothesis(docs):
+    """Segmented-cummin CUSUM == scalar recurrence on arbitrary ragged
+    batches (hypothesis)."""
+    import numpy as np
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    vals = np.array([v for d in docs for v in d], dtype=np.int64)
+    off = np.concatenate(([0], np.cumsum([len(d) for d in docs])))
+    n_docs = len(docs)
+    BIG = np.int64(1) << 40
+    seg = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(off))
+    d = vals - cq.CUSUM_K
+    g = np.cumsum(d)
+    base = np.concatenate(([0], g[off[1:-1] - 1]))
+    p = g - base[seg]
+    run = np.minimum(np.minimum.accumulate(p - seg * BIG) + seg * BIG, 0)
+    s = p - run
+
+    i = 0
+    for doc in docs:
+        sk = 0
+        for v in doc:
+            sk = max(0, sk + v - cq.CUSUM_K)
+            assert s[i] == sk
+            i += 1
+
+
+@given(_docs_st)
+@settings(max_examples=60, deadline=None)
+def test_m4_packed_extremes_hypothesis(docs):
+    """M4 packed-key reduceat argmin/argmax with smallest-pos ties ==
+    per-bucket scalar scan on arbitrary ragged batches (hypothesis)."""
+    import numpy as np
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    B = cq.M4_BUCKETS
+    pmask = (1 << cq._M4_POSBITS) - 1
+    for doc in docs:
+        v = np.array(doc, dtype=np.int64)
+        n = len(v)
+        pos = np.arange(n, dtype=np.int64)
+        bucket = pos * B // n
+        starts = np.flatnonzero(np.diff(bucket, prepend=bucket[0] - 1))
+        kmin = v * (1 << cq._M4_POSBITS) + pos
+        kmax = v * (1 << cq._M4_POSBITS) + (pmask - pos)
+        got_min = np.minimum.reduceat(kmin, starts) & pmask
+        got_max = pmask - (np.maximum.reduceat(kmax, starts) & pmask)
+        for bi, s0 in enumerate(starts):
+            e0 = starts[bi + 1] if bi + 1 < len(starts) else n
+            seg = v[s0:e0]
+            assert got_min[bi] == s0 + int(np.argmin(seg))
+            assert got_max[bi] == s0 + int(np.argmax(seg))
