@@ -2104,6 +2104,83 @@ DISTINCT_USERS_SQL = (
 )
 
 
+CORR_X, CORR_Y = "view", "purchase"
+
+
+def q_type_corr(sf_dir: str):
+    """Cross-series correlation (do purchases track views?): the exact
+    integer Pearson moments between the two types' day-aligned daily
+    counts — every day with any event contributes, missing types count 0.
+    The distributed work is the daily count aggregate (per-batch partials,
+    one day-keyed sum); the moment fold runs on the driver over the
+    <= #days rows, and the float r is one division away
+    (``pearson_from_moments``) — never part of the compared result."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        day = ts_us // _DAY_US
+        g = pd.DataFrame(
+            {"day": day,
+             "x": (et == CORR_X).astype(np.int64),
+             "y": (et == CORR_Y).astype(np.int64)}
+        ).groupby("day", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("x", alias_name="x"), Sum("y", alias_name="y"))
+        .to_pandas()
+    )
+    x = daily["x"].to_numpy().astype(object)  # python ints: no overflow
+    y = daily["y"].to_numpy().astype(object)
+    return pd.DataFrame(
+        {
+            "n": [np.int64(len(daily))],
+            "sx": [np.int64(sum(x))], "sy": [np.int64(sum(y))],
+            "sxy": [np.int64(sum(a * b for a, b in zip(x, y)))],
+            "sx2": [np.int64(sum(a * a for a in x))],
+            "sy2": [np.int64(sum(b * b for b in y))],
+        }
+    )
+
+
+def pearson_from_moments(row) -> float:
+    """r from the exact integer moments (python-int arithmetic)."""
+    import math
+
+    n, sx, sy = int(row["n"]), int(row["sx"]), int(row["sy"])
+    sxy, sx2, sy2 = int(row["sxy"]), int(row["sx2"]), int(row["sy2"])
+    num = n * sxy - sx * sy
+    den2 = (n * sx2 - sx * sx) * (n * sy2 - sy * sy)
+    return num / math.sqrt(den2) if den2 > 0 else float("nan")
+
+
+TYPE_CORR_SQL = (
+    f"WITH d AS (SELECT epoch_us(ts) // {_DAY_US} AS day,"
+    f" CAST(sum(CASE WHEN event_type = '{CORR_X}' THEN 1 ELSE 0 END)"
+    "  AS BIGINT) AS x,"
+    f" CAST(sum(CASE WHEN event_type = '{CORR_Y}' THEN 1 ELSE 0 END)"
+    "  AS BIGINT) AS y FROM events GROUP BY day)"
+    " SELECT CAST(count(*) AS BIGINT) AS n,"
+    " CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,"
+    " CAST(sum(x * y) AS BIGINT) AS sxy,"
+    " CAST(sum(x * x) AS BIGINT) AS sx2,"
+    " CAST(sum(y * y) AS BIGINT) AS sy2 FROM d"
+)
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -3794,6 +3871,7 @@ CORE_QUERIES = {
     "last_event_per_user": (q_last_event_per_user, LAST_EVENT_SQL),
     "missing_hours": (q_missing_hours, MISSING_HOURS_SQL),
     "events_pivot": (q_events_pivot, EVENTS_PIVOT_SQL),
+    "type_corr": (q_type_corr, TYPE_CORR_SQL),
     "retention_cohorts": (q_retention_cohorts, RETENTION_SQL),
     "autocorr_lag1": (q_autocorr_lag1, AUTOCORR_SQL),
     "cusum_flags": (q_cusum_flags, CUSUM_SQL),
