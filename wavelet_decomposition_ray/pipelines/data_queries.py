@@ -1762,6 +1762,84 @@ def q_hll_users(sf_dir: str):
     )
 
 
+def q_hll_by_type(sf_dir: str):
+    """GROUPED HyperLogLog: one sketch per event_type (distinct users per
+    type) — the per-group sketch table a dashboard keeps hot.  Same dense
+    per-batch partials as ``hll_users`` but cells key on (type, register),
+    so one groupby merges every group's sketch at once and the exchange
+    stays O(batches x groups x registers-hit).  Register table is
+    bit-exact against the SQL twin; per-type estimates come from
+    ``hll_estimate`` over each group's slice."""
+    from ray.data.aggregate import Max
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {"et": t["event_type"].to_pandas(),
+             "uid": t["user_id"].to_numpy(zero_copy_only=False)
+             .astype(np.int64)}
+        ).drop_duplicates()
+        out_et, out_reg, out_rho = [], [], []
+        for et, grp in df.groupby("et"):
+            u = np.array(
+                [dd._stable_u64(f"hll:{i}") for i in grp["uid"]],
+                dtype=np.uint64,
+            )
+            idx = (u >> np.uint64(_HLL_WBITS)).astype(np.int64)
+            w = (u & np.uint64(_HLL_WMOD - 1)).astype(np.float64)
+            rho = np.full(len(u), _HLL_WBITS + 1, dtype=np.int64)
+            nz = w > 0
+            rho[nz] = (_HLL_WBITS + 1) - np.frexp(w[nz])[1]
+            regs = np.zeros(HLL_M, dtype=np.int64)
+            np.maximum.at(regs, idx, rho)
+            hit = np.nonzero(regs)[0]
+            out_et.append(np.full(len(hit), et, dtype=object))
+            out_reg.append(hit.astype(np.int64))
+            out_rho.append(regs[hit])
+        if not out_et:
+            return pa.table(
+                {"event_type": pa.array([], type=pa.string()),
+                 "register": pa.array([], type=pa.int64()),
+                 "rho": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    np.concatenate(out_et), type=pa.string()
+                ),
+                "register": np.concatenate(out_reg),
+                "rho": np.concatenate(out_rho),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "register"])
+        .aggregate(Max("rho", alias_name="rho"))
+    )
+
+
+HLL_BY_TYPE_SQL = (
+    "WITH d AS (SELECT DISTINCT event_type, user_id FROM events),"
+    " h AS (SELECT event_type,"
+    "  md5('hll:' || CAST(user_id AS VARCHAR)) AS hx FROM d),"
+    f" u AS (SELECT event_type, {_md5_u64_sql('hx')} AS u FROM h),"
+    f" r AS (SELECT event_type, CAST(u // CAST({_HLL_WMOD} AS UBIGINT)"
+    "   AS BIGINT) AS register,"
+    f"  u % CAST({_HLL_WMOD} AS UBIGINT) AS w FROM u),"
+    f" rr AS (SELECT event_type, register, CASE WHEN w = 0"
+    f"  THEN {_HLL_WBITS + 1} ELSE {_HLL_WBITS + 1} - length(bin(w)) END"
+    "   AS rho FROM r)"
+    " SELECT event_type, register, CAST(max(rho) AS BIGINT) AS rho"
+    " FROM rr GROUP BY event_type, register"
+)
+
+
 def hll_estimate(registers: np.ndarray, rhos: np.ndarray) -> float:
     """Standard HLL estimate (with the small-range linear-counting
     correction) from a sparse (register, rho) table as ``q_hll_users``
@@ -2691,6 +2769,7 @@ DATA_QUERIES = {
     "quality_deciles": (q_quality_deciles, QUALITY_DECILES_SQL),
     "kmeans_assign": (q_kmeans_assign, KMEANS_ASSIGN_SQL),
     "hll_users": (q_hll_users, HLL_SQL),
+    "hll_by_type": (q_hll_by_type, HLL_BY_TYPE_SQL),
     "cms_words": (q_cms_words, CMS_SQL),
     "boilerplate_3gram": (q_boilerplate, BOILER_SQL),
     "inverted_index": (q_inverted_index, INVERTED_INDEX_SQL),
