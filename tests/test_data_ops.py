@@ -685,3 +685,73 @@ def test_skewjoin_hot_path_matches_plain_join(ray_session, tmp_path, monkeypatch
     )
     pd.testing.assert_frame_equal(skew, plain)
     assert skew["n_items"].sum() == n  # every fact row accounted for
+
+
+def test_dropped_set_filter_equals_keep_set_filter(ray_session, tmp_path):
+    """VERDICT r4: dedup_exact_keep broadcasts the DROPPED duplicate ids
+    (<< corpus) instead of the survivor set (corpus-sized at 10^12 docs).
+    On a synthetic corpus with planted duplicate mass, the dropped-set
+    filter must equal the survivor-set (min-per-content) filter, and the
+    dropped side must be exactly the duplicate surplus."""
+    import pandas as pd
+
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    # ~1/3 of rows share one of 50 template texts -> heavy duplicate mass
+    templates = [f"template spam body number {k} repeated" for k in range(50)]
+    texts = [
+        templates[rng.integers(0, 50)]
+        if rng.random() < 0.34
+        else f"unique document {i} with its own words {rng.integers(1e9)}"
+        for i in range(n)
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": texts,
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    dropped = dq._dropped_dup_ids(str(tmp_path))
+    # oracle: all ids minus per-text min
+    keep_truth = df.loc[
+        df["doc_id"] == df.groupby("text")["doc_id"].transform("min"), "doc_id"
+    ].to_numpy()
+    drop_truth = np.setdiff1d(df["doc_id"].to_numpy(), keep_truth)
+    assert np.array_equal(dropped, np.sort(drop_truth))
+    assert len(dropped) < n  # duplicates-only, strictly smaller than corpus
+
+    got = (
+        dq.q_dedup_exact_keep(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(got["doc_id"].to_numpy(), np.sort(keep_truth))
+
+
+def test_salted_bucket_matches_duckdb_twin():
+    """The vectorized splitmix64 sampling hash must be bit-identical to its
+    HUGEINT SQL twin over a range that exercises sign/overflow edges."""
+    import duckdb
+
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    ids = np.concatenate(
+        [np.arange(0, 2000, dtype=np.int64),
+         np.array([2**31, 2**40, 2**62, 2**63 - 1], dtype=np.int64)]
+    )
+    for salt in (dd.SPLIT_SALT, dd.MIX_SALT):
+        want = dd.salted_bucket(ids, salt)
+        con = duckdb.connect()
+        con.register("documents_src", __import__("pandas").DataFrame({"doc_id": ids}))
+        sql = dq._splitmix_bucket_sql(salt).replace("documents", "documents_src")
+        got = con.sql(
+            f"SELECT b FROM {sql} ORDER BY doc_id"
+        ).df()["b"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        assert np.array_equal(got, want[order])

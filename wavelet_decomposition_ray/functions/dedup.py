@@ -24,6 +24,35 @@ def _stable_u64(s: str) -> int:
     return struct.unpack("<Q", hashlib.md5(s.encode()).digest()[:8])[0]
 
 
+# splitmix64 finalizer constants (public domain, Steele et al. / Vigna)
+SPLITMIX_C1 = 0x9E3779B97F4A7C15
+SPLITMIX_C2 = 0xBF58476D1CE4E5B9
+SPLITMIX_C3 = 0x94D049BB133111EB
+# per-use salts so each sampling decision is decorrelated from the others;
+# derived once from the old string-salt convention (two md5 calls at import)
+SPLIT_SALT = _stable_u64("split:")
+MIX_SALT = _stable_u64("mix:")
+
+
+def salted_split_u64(ids: np.ndarray, salt: int) -> np.ndarray:
+    """Vectorized deterministic per-id hash: splitmix64(doc_id XOR salt).
+
+    This is the content-addressed sampling hash (train/holdout split,
+    mixture sampling, corpus_clean): one integer mix over the whole ids
+    array instead of a per-row Python md5 loop (VERDICT r3 #3), with a
+    bit-exact HUGEINT SQL twin (data_queries._splitmix_bucket_sql)."""
+    z = ids.astype(np.uint64) ^ np.uint64(salt)
+    z = z + np.uint64(SPLITMIX_C1)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(SPLITMIX_C2)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(SPLITMIX_C3)
+    return z ^ (z >> np.uint64(31))
+
+
+def salted_bucket(ids: np.ndarray, salt: int, mod: int = 1000) -> np.ndarray:
+    """Per-mille (or mod-``mod``) sampling bucket from the salted hash."""
+    return (salted_split_u64(ids, salt) % np.uint64(mod)).astype(np.int64)
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -38,6 +67,36 @@ def exact_hash_batch(batch: pa.Table) -> pa.Table:
 def keep_first_group(group) -> "object":
     """map_groups fn: keep the row with the smallest doc_id per hash."""
     return group.nsmallest(1, "doc_id")
+
+
+def exact_hash_part_batch(batch: pa.Table, n_parts: int) -> pa.Table:
+    """(doc_id, text) -> (doc_id, content_hash, part): md5 hex plus a
+    coarse partition id from the digest's first two bytes — computed in the
+    same per-row loop, so the partition key costs nothing extra. Feeds the
+    coarse-partition non-survivor fold (``_dropped_dup_ids``)."""
+    texts = batch["text"].to_pylist()
+    digests = [hashlib.md5(t.encode()).digest() for t in texts]
+    part = np.array(
+        [int.from_bytes(d[:2], "little") % n_parts for d in digests],
+        dtype=np.int32,
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "content_hash": pa.array([d.hex() for d in digests],
+                                     type=pa.string()),
+            "part": pa.array(part),
+        }
+    )
+
+
+def non_survivor_fold(df):
+    """map_groups fn over a coarse hash partition: emit the doc_ids that are
+    NOT the per-content_hash minimum — the dropped duplicates. Output is
+    duplicates-only (<< corpus), the broadcast-safe complement of the
+    survivor set (VERDICT r3 #2)."""
+    m = df.groupby("content_hash")["doc_id"].transform("min")
+    return df.loc[df["doc_id"] != m, ["doc_id"]]
 
 
 # --------------------------------------------------------------------------
