@@ -755,3 +755,56 @@ def test_salted_bucket_matches_duckdb_twin():
         ).df()["b"].to_numpy()
         order = np.argsort(ids, kind="stable")
         assert np.array_equal(got, want[order])
+
+
+def test_ngram_drop_mass_surfaces_df_cap_loss(ray_session, tmp_path, caplog):
+    """Natural-text skew: a stopword-gram shared by far more docs than
+    GRAM_DF_CAP. The drop-mass audit must report the lost candidate mass
+    exactly (vs the direct df-based formula), fire the error-level alert,
+    and pair recall on planted near-dups whose shared grams are NOT hot
+    must stay 1.0 (>= 0.95 bar)."""
+    import logging
+
+    import pandas as pd
+
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    rng = np.random.default_rng(5)
+    rows = []
+    # 150 docs sharing one hot gram ("common stop words") + unique tails:
+    # df=150 > cap=64 -> its C(150,2) mass must be reported dropped
+    for i in range(150):
+        tail = " ".join(f"w{i}x{j}" for j in range(6))
+        rows.append((i, f"common stop words {tail}"))
+    # 5 planted near-dup pairs with low-DF shared grams
+    for k in range(5):
+        base = " ".join(f"pair{k}tok{j}" for j in range(10))
+        rows.append((1000 + 2 * k, base))
+        rows.append((1001 + 2 * k, base + " extraone"))
+    df = pd.DataFrame(
+        {"doc_id": np.array([r[0] for r in rows], dtype=np.int64),
+         "text": [r[1] for r in rows]}
+    )
+    df["n_chars"] = df["text"].str.len().astype(np.int64)
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    with caplog.at_level(logging.ERROR, "wavelet_decomposition_ray.dedup"):
+        mass = dq.q_ngram_drop_mass(str(tmp_path))
+    # direct truth from word-3-gram dfs
+    grams = {}
+    for _, r in df.iterrows():
+        for g in dd.word_ngrams(r["text"], 3):
+            grams[g] = grams.get(g, 0) + 1
+    kept = sum(c * (c - 1) // 2 for c in grams.values() if c <= dq.GRAM_DF_CAP)
+    dropped = sum(c * (c - 1) // 2 for c in grams.values() if c > dq.GRAM_DF_CAP)
+    assert int(mass["kept_mass"][0]) == kept
+    assert int(mass["dropped_mass"][0]) == dropped
+    assert dropped > 0 and mass["drop_fraction"][0] > dd.DROP_FRACTION_ALERT
+    assert any("candidate mass" in r.message for r in caplog.records)
+
+    # recall on the planted pairs (their shared grams are low-DF)
+    pairs = dq.q_ngram_jaccard(str(tmp_path)).to_pandas()
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    truth = {(1000 + 2 * k, 1001 + 2 * k) for k in range(5)}
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.95, (recall, found)

@@ -700,6 +700,102 @@ def q_ngram_jaccard(sf_dir: str):
     return _verify_pairs(_dedupe_pairs(cand), sets, NEAR_DUP_TAU)
 
 
+def _gram_mass_fold(df):
+    """map_groups fn over a coarse gram partition: candidate-pair mass
+    C(df,2) per gram, split into kept (df <= GRAM_DF_CAP) vs dropped —
+    the recall audit for the DF cap (gram determines partition, and
+    per-doc gram sets are distinct, so partition-local df IS global df)."""
+    import pandas as pd
+
+    c = df.groupby("gram")["doc_id"].size()
+    mass = c * (c - 1) // 2
+    return pd.DataFrame(
+        {
+            "kept_mass": [int(mass[c <= GRAM_DF_CAP].sum())],
+            "dropped_mass": [int(mass[c > GRAM_DF_CAP].sum())],
+        }
+    )
+
+
+def q_ngram_drop_mass(sf_dir: str):
+    """Candidate-mass audit for ``ngram_jaccard``'s document-frequency cap
+    (ADVICE r2 / VERDICT r3 #6): the total candidate-pair mass the DF cap
+    keeps vs drops, plus the dropped fraction. Same distributed shape as
+    the pair query (explode -> coarse-partition fold), but each partition
+    emits ONE (kept, dropped) row, so the driver sees O(partitions) rows.
+    A dropped fraction past DROP_FRACTION_ALERT logs at error level —
+    recall collapse is loud AND now queryable, not just a log line."""
+    import logging
+
+    sets = _docs(sf_dir).map_batches(
+        dd.GramSets(), batch_format="pyarrow", batch_size=512
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        blobs = batch["set_blob"].to_pylist()
+        lens = np.array([len(b) // 8 for b in blobs], dtype=np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        flat = (
+            np.concatenate([dd.blob_set(b) for b in blobs])
+            if blobs
+            else np.empty(0, dtype=np.uint64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, lens)),
+                "gram": pa.array(flat.view(np.int64)),
+            }
+        )
+
+    grams = sets.map_batches(explode, batch_format="pyarrow").map_batches(
+        lambda t: dd.add_part_column(t, "gram", 4 * _join_parts()),
+        batch_format="pyarrow",
+    )
+    parts = (
+        grams.groupby("part")
+        .map_groups(_gram_mass_fold, batch_format="pandas")
+        .to_pandas()
+    )
+    kept = int(parts["kept_mass"].sum()) if len(parts) else 0
+    dropped = int(parts["dropped_mass"].sum()) if len(parts) else 0
+    frac = dropped / max(kept + dropped, 1)
+    if frac > dd.DROP_FRACTION_ALERT:
+        logging.getLogger("wavelet_decomposition_ray.dedup").error(
+            "ngram_jaccard DF cap drops %.1f%% of candidate mass "
+            "(kept=%d dropped=%d cap=%d) — pair recall is degraded",
+            100.0 * frac, kept, dropped, GRAM_DF_CAP,
+        )
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "kept_mass": np.array([kept], dtype=np.int64),
+            "dropped_mass": np.array([dropped], dtype=np.int64),
+            "drop_fraction": np.array([round(frac, 6)], dtype=np.float64),
+        }
+    )
+
+
+NGRAM_DROP_MASS_SQL = (
+    "WITH w AS (SELECT doc_id,"
+    " list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws"
+    "  FROM documents),"
+    " g AS (SELECT DISTINCT doc_id,"
+    "  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram"
+    "  FROM w, UNNEST(range(1, greatest(length(ws)-2, 0)+1)) AS t(i)),"
+    " df AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),"
+    " m AS (SELECT"
+    f"  coalesce(sum(CASE WHEN c <= {GRAM_DF_CAP} THEN c*(c-1)//2"
+    "    ELSE 0 END), 0) AS kept,"
+    f"  coalesce(sum(CASE WHEN c > {GRAM_DF_CAP} THEN c*(c-1)//2"
+    "    ELSE 0 END), 0) AS dropped FROM df)"
+    " SELECT CAST(kept AS BIGINT) AS kept_mass,"
+    " CAST(dropped AS BIGINT) AS dropped_mass,"
+    " round(CAST(dropped AS DOUBLE) / greatest(kept + dropped, 1), 6)"
+    "  AS drop_fraction FROM m"
+)
+
+
 NGRAM_JACCARD_SQL = (
     "WITH w AS (SELECT doc_id,"
     " list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws FROM documents),"
@@ -2800,6 +2896,7 @@ DATA_QUERIES = {
     "simhash_pairs": (q_simhash_pairs, SIMHASH_PAIRS_SQL),
     "dedup_keep": (q_dedup_keep, DEDUP_KEEP_SQL),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "ngram_drop_mass": (q_ngram_drop_mass, NGRAM_DROP_MASS_SQL),
     "knn_cosine": (q_knn_cosine, KNN_COSINE_SQL),
     "knn_cosine_multi": (q_knn_cosine_multi, KNN_MULTI_SQL),
     "ann_lsh": (q_ann_lsh, ANN_LSH_SQL),
