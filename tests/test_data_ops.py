@@ -808,3 +808,66 @@ def test_ngram_drop_mass_surfaces_df_cap_loss(ray_session, tmp_path, caplog):
     truth = {(1000 + 2 * k, 1001 + 2 * k) for k in range(5)}
     recall = len(found & truth) / len(truth)
     assert recall >= 0.95, (recall, found)
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Pure-stdlib PNG codec: encode/decode round-trips bit-exact across
+    grey/RGB/RGBA, odd sizes, and ALL five scanline filter types."""
+    from wavelet_decomposition_ray.functions import png
+
+    rng = np.random.default_rng(3)
+    for shape in [(1, 1), (5, 7), (8, 16), (5, 7, 3), (4, 3, 4), (2, 2, 2)]:
+        a = rng.integers(0, 256, shape).astype(np.uint8)
+        for ft in range(5):
+            b = png.decode_png(png.encode_png(a, filter_type=ft))
+            assert np.array_equal(a, b), (shape, ft)
+
+
+def test_png_decode_rejects_corruption():
+    from wavelet_decomposition_ray.functions import png
+
+    enc = bytearray(png.encode_png(np.arange(64, dtype=np.uint8).reshape(8, 8)))
+    with pytest.raises(ValueError, match="signature"):
+        png.decode_png(b"notapng" + bytes(enc))
+    enc[20] ^= 0xFF  # flip a byte inside IHDR -> CRC must catch it
+    with pytest.raises(ValueError, match="CRC"):
+        png.decode_png(bytes(enc))
+
+
+def test_png_payloads_flow_through_media_stages(ray_session, docs):
+    """Real PNG decode inside the actor plumbing: text -> PNG payload ->
+    MediaFeatures decodes and the pixel stats equal the trimmed text
+    bytes; MediaResize's thumbnail samples the decoded raster."""
+    import ray.data
+
+    t = docs.slice(0, 64).select(["doc_id", "text"])
+    ds = ray.data.from_arrow(t).map_batches(
+        mm.text_to_png_payload_batch, batch_format="pyarrow"
+    )
+    feats = (
+        ds.map_batches(mm.MediaFeatures(), batch_format="pyarrow",
+                       batch_size=16)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    for did, txt in texts.items():
+        b = txt.encode()
+        n = (len(b) // mm.PNG_WIDTH) * mm.PNG_WIDTH
+        row = feats.loc[did]
+        assert row["n_bytes"] == n
+        assert row["head_byte"] == b[0]
+        assert row["sum_byte"] == int(np.frombuffer(b[:n], np.uint8).sum())
+    thumbs = (
+        ray.data.from_arrow(t.slice(0, 8))
+        .map_batches(mm.text_to_png_payload_batch, batch_format="pyarrow")
+        .map_batches(mm.MediaResize(8), batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    for did in thumbs.index:
+        b = texts[did].encode()
+        n = (len(b) // mm.PNG_WIDTH) * mm.PNG_WIDTH
+        arr = np.frombuffer(b[:n], np.uint8)
+        idx = np.arange(8, dtype=np.int64) * (n - 1) // 7
+        assert np.array_equal(np.asarray(thumbs.loc[did, "thumb"]), arr[idx])

@@ -1,11 +1,12 @@
 """Multimodal column plumbing: opaque ``binary`` payloads with typed
 metadata, decode / feature-extract / frame-sample as actor-pool stages.
 
-The container has no image/audio codecs, so the actual media decode is
-STUBBED (clearly marked below); everything Ray-side — schema, zero-copy
-binary batches, actor signature, batch sizing, output layout — is real and
-tested. Swapping ``_decode_payload`` for a PIL/ffmpeg call is the only
-change needed on a real cluster.
+``image/png`` payloads are decoded for REAL (``functions.png``: pure
+zlib+numpy per the PNG spec, PIL fast path when installed). Audio/video
+codecs are still absent from this container, so those media types raise a
+clearly-marked NotImplementedError; everything Ray-side — schema,
+zero-copy binary batches, actor signature, batch sizing, output layout —
+is identical for every media type.
 """
 
 from __future__ import annotations
@@ -40,17 +41,55 @@ def text_to_payload_batch(batch: pa.Table) -> pa.Table:
 
 
 def _decode_payload(payload: bytes, media_type: str) -> np.ndarray:
-    """STUB: real media decode is not available in this container.
+    """Decode a payload to a flat uint8 sample stream.
 
-    For ``text/fake`` payloads returns the byte array (the deterministic
-    fake used by tests). For real media types raises NotImplementedError —
-    replace with PIL.Image.open / soundfile / pyav on a real cluster.
+    ``image/png`` is a REAL decode (``functions.png`` — full spec-level
+    parse/inflate/unfilter, PIL fast path when installed), flattened to the
+    raster pixel stream so every downstream stage (features, resize, frame
+    sampling) is media-agnostic. ``text/fake`` returns the byte array (the
+    deterministic stand-in). Audio/video types raise NotImplementedError —
+    swap in soundfile/pyav on a cluster that has them.
     """
     if media_type == "text/fake":
         return np.frombuffer(payload, dtype=np.uint8)
+    if media_type == "image/png":
+        from . import png
+
+        return png.decode_png(payload).reshape(-1)
     raise NotImplementedError(
-        f"media decode for {media_type!r} requires image/audio libs "
+        f"media decode for {media_type!r} requires audio/video libs "
         "not present in this container"
+    )
+
+
+PNG_WIDTH = 16
+
+
+def text_to_png_payload_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic REAL-media fixtures: each document's utf-8 bytes,
+    trimmed to a multiple of PNG_WIDTH, encoded as an (n//W, W) greyscale
+    PNG. The decoded raster equals the trimmed text bytes, which is what
+    makes PNG-decoded features SQL-checkable. Docs shorter than one row
+    are skipped (none in the synth corpora)."""
+    from . import png
+
+    ids, payloads, sizes = [], [], []
+    for i, t in enumerate(batch["text"].to_pylist()):
+        b = t.encode()
+        n = (len(b) // PNG_WIDTH) * PNG_WIDTH
+        if n == 0:
+            continue
+        arr = np.frombuffer(b[:n], dtype=np.uint8).reshape(-1, PNG_WIDTH)
+        ids.append(i)
+        payloads.append(png.encode_png(arr))
+        sizes.append(len(payloads[-1]))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].take(pa.array(ids, type=pa.int64())),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "media_type": pa.array(["image/png"] * len(ids)),
+            "n_bytes": pa.array(np.array(sizes, dtype=np.int64)),
+        }
     )
 
 
@@ -71,21 +110,23 @@ class MediaFeatures:
         n_bytes = np.empty(len(payloads), dtype=np.int64)
         head = np.empty(len(payloads), dtype=np.int64)
         crc = np.empty(len(payloads), dtype=np.int64)
-        mean_val = np.empty(len(payloads), dtype=np.float64)
+        sum_val = np.empty(len(payloads), dtype=np.int64)
         for i, (p, t) in enumerate(zip(payloads, types)):
             arr = _decode_payload(p, t)
             n_bytes[i] = len(arr)
             head[i] = int(arr[0]) if len(arr) else -1
             crc[i] = zlib.crc32(p)
-            mean_val[i] = float(arr.mean()) if len(arr) else 0.0
+            sum_val[i] = int(arr.sum(dtype=np.int64))
         self.decoded += len(payloads)
+        # sum_byte (not a float mean): integer-exact, so the PNG-decoded
+        # stats compare bit-for-bit against the SQL twin
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "n_bytes": pa.array(n_bytes),
                 "head_byte": pa.array(head),
                 "crc32": pa.array(crc),
-                "mean_byte": pa.array(np.round(mean_val, 6)),
+                "sum_byte": pa.array(sum_val),
             }
         )
 

