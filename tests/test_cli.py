@@ -71,13 +71,21 @@ def test_materialize_query_lifecycle(ray_session, tmp_path):
 
     sf = "/root/testdata/sf0.001"
     out = str(tmp_path / "views" / "hll")
-    # orphan from a "crashed" previous run must be cleared
-    orphan = str(tmp_path / "views" / "hll.tmp-99999")
     import os
+    import subprocess
 
+    # orphan from a CRASHED previous run (its pid is provably dead: a
+    # reaped child) must be cleared; the tmp dir of a LIVE concurrent
+    # materializer (pid 1 always exists) must be left alone (ADVICE r3)
+    child = subprocess.Popen(["true"])
+    child.wait()
+    orphan = str(tmp_path / "views" / f"hll.tmp-{child.pid}")
+    live = str(tmp_path / "views" / "hll.tmp-1")
     os.makedirs(orphan)
+    os.makedirs(live)
     meta = materialize_query("hll_users", sf, out)
     assert is_complete(out) and not os.path.isdir(orphan)
+    assert os.path.isdir(live), "live sibling tmp dir must not be rmtree'd"
 
     direct = dq.q_hll_users(sf).to_pandas()
     files = [f for f in os.listdir(out) if f.endswith(".parquet")]

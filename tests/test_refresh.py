@@ -242,3 +242,43 @@ def test_compact_store_byte_identical_to_fresh_build(ray_session, tmp_path):
 
     s2 = compact_store(many, dst, n_buckets=4)
     assert s2 == {"buckets_written": 0, "buckets_skipped": 4}
+
+
+def test_compact_store_marks_empty_buckets_and_writes_source_stats(
+    ray_session, tmp_path
+):
+    """ADVICE r3: compaction into a bucket count where some destination
+    buckets own no doc_ids must (a) mark those buckets explicitly empty so
+    the manifest matches a from-scratch build and resume short-circuits,
+    (b) fold the partials into source_stats.parquet, and (c) a rerun over
+    the complete store must skip cleanly (no empty-dataset shuffle crash)."""
+    import os
+
+    import pandas as pd
+
+    from wavelet_decomposition_ray import synth
+    from wavelet_decomposition_ray.pipelines import rollup_pipeline as rp
+    from wavelet_decomposition_ray.state import manifest as mf
+    from wavelet_decomposition_ray.state.compact import compact_store
+
+    seq = synth.ensure_sequences("/root/testdata/sf0.001")
+    src = str(tmp_path / "src")
+    rp.run_rollup_job(seq, src, bank="haar", n_tiers=4, n_buckets=4,
+                      batch_size=64, verify=False)
+
+    # 64 destination buckets over a tiny corpus -> some buckets are empty
+    dst = str(tmp_path / "wide")
+    compact_store(src, dst, n_buckets=64)
+    assert mf.completed_buckets(dst) == frozenset(range(64))
+
+    fresh = str(tmp_path / "fresh64")
+    rp.run_rollup_job(seq, fresh, bank="haar", n_tiers=4, n_buckets=64,
+                      batch_size=64, verify=False)
+    a = pd.read_parquet(os.path.join(dst, "source_stats.parquet"))
+    b = pd.read_parquet(os.path.join(fresh, "source_stats.parquet"))
+    pd.testing.assert_frame_equal(a, b)
+
+    # rerun over the complete store: pure skip, and source_stats survives
+    s = compact_store(src, dst, n_buckets=64)
+    assert s["buckets_written"] == 0 and s["buckets_skipped"] == 64
+    assert os.path.isfile(os.path.join(dst, "source_stats.parquet"))

@@ -18,18 +18,29 @@ import tempfile
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "dod.c")
-_LIB = os.path.join(_DIR, "libdod.so")
 
 _fns: dict | None = None
 _tried = False
+
+
+def _lib_path() -> str:
+    """Cache key = content hash of dod.c (ADVICE r3: mtime comparison let a
+    checkout/copy with an older mtime silently load a stale library whose
+    symbols existed but whose semantics changed)."""
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        digest = hashlib.md5(f.read()).hexdigest()[:12]
+    return os.path.join(_DIR, f"libdod-{digest}.so")
 
 
 def _compile() -> str | None:
     cc = shutil.which("cc") or shutil.which("gcc") or shutil.which("clang")
     if cc is None:
         return None
-    if os.path.isfile(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
-        return _LIB
+    lib = _lib_path()
+    if os.path.isfile(lib):
+        return lib
     fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
     os.close(fd)
     try:
@@ -39,8 +50,8 @@ def _compile() -> str | None:
         )
         if r.returncode != 0:
             return None
-        os.replace(tmp, _LIB)  # atomic: concurrent builders all win
-        return _LIB
+        os.replace(tmp, lib)  # atomic: concurrent builders all win
+        return lib
     except (OSError, subprocess.SubprocessError):
         return None
     finally:

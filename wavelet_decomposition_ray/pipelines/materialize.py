@@ -31,6 +31,16 @@ import time
 FORMATS = ("parquet", "jsonl", "csv")
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
 def success_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_SUCCESS")
 
@@ -64,11 +74,22 @@ def materialize_query(
 
     parent = os.path.dirname(os.path.abspath(out_dir)) or "."
     os.makedirs(parent, exist_ok=True)
-    # clear orphans of crashed runs for this target
+    # clear orphans of CRASHED runs for this target — but never the live
+    # tmp dir of a concurrent materializer (ADVICE r3: rmtree'ing a
+    # running sibling's tmp made it fail mid-write instead of one of the
+    # two winning); a tmp dir whose embedded pid is still alive is left
+    # alone and the eventual double-rename is resolved by _swap
     base = os.path.basename(out_dir)
     for d in os.listdir(parent):
-        if d.startswith(f"{base}.tmp-"):
-            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+        if not d.startswith(f"{base}.tmp-"):
+            continue
+        try:
+            pid = int(d.rsplit("-", 1)[1])
+        except ValueError:
+            pid = -1
+        if pid > 0 and pid != os.getpid() and _pid_alive(pid):
+            continue
+        shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     tmp = f"{out_dir}.tmp-{os.getpid()}"
     os.makedirs(tmp)
 

@@ -36,21 +36,76 @@ def compact_store(src_dir: str, dst_dir: str, n_buckets: int) -> dict:
     os.makedirs(dst_dir, exist_ok=True)
     done = mf.completed_buckets(dst_dir)
 
+    if len(done) == n_buckets:
+        _write_source_stats(dst_dir)
+        return {"buckets_written": 0, "buckets_skipped": len(done)}
+
     ds = ray.data.read_parquet(src_data).map_batches(
         mf.make_add_bucket(n_buckets, skip_buckets=done),
         batch_format="pyarrow",
     )
 
-    if len(done) == n_buckets:
-        return {"buckets_written": 0, "buckets_skipped": len(done)}
+    # short-circuit BEFORE the shuffle when every occupied destination
+    # bucket is already committed: a fully-filtered dataset through
+    # groupby().map_groups crashes on the schemaless empty block, and the
+    # resume contract only needs the remaining empties marked (ADVICE r3)
+    import numpy as np
+    import pyarrow as pa
 
-    def finalize(group):
-        return mf.write_bucket_table(dst_dir, group)
+    def batch_buckets(t):
+        u = np.unique(t["bucket"].to_numpy(zero_copy_only=False))
+        return pa.table({"bucket": pa.array(u)})
 
-    partials = ds.groupby("bucket").map_groups(
-        finalize, batch_format="pyarrow"
+    # column-pruned pre-pass: bucket is a pure function of doc_id, so only
+    # that column leaves storage; the exchange is <= batches x buckets rows
+    occupied = set(
+        ray.data.read_parquet(src_data, columns=["doc_id"])
+        .map_batches(
+            mf.make_add_bucket(n_buckets, skip_buckets=done),
+            batch_format="pyarrow",
+        )
+        .map_batches(batch_buckets, batch_format="pyarrow")
+        .to_pandas()["bucket"]
+        .unique()
     )
-    n_written = len(
-        set(partials.select_columns(["bucket"]).to_pandas()["bucket"])
-    )
+    n_written = 0
+    if occupied:
+
+        def finalize(group):
+            return mf.write_bucket_table(dst_dir, group)
+
+        partials = ds.groupby("bucket").map_groups(
+            finalize, batch_format="pyarrow"
+        )
+        n_written = len(
+            set(partials.select_columns(["bucket"]).to_pandas()["bucket"])
+        )
+    # destination buckets that own no doc_ids produce no group: mark them
+    # explicitly-empty exactly like a from-scratch build (ADVICE r3 —
+    # without this the compacted manifest diverges from the byte-identical
+    # contract and those buckets stay forever-pending for resume/refresh)
+    mf.mark_empty_buckets(dst_dir, n_buckets)
+    _write_source_stats(dst_dir)
     return {"buckets_written": n_written, "buckets_skipped": len(done)}
+
+
+def _write_source_stats(dst_dir: str) -> None:
+    """Fold the per-bucket partials sidecars into the top-level
+    source_stats.parquet sink, same atomic discipline as the fresh build
+    (rollup_pipeline) — compacted stores previously lacked the sink
+    entirely (ADVICE r3)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    all_partials = mf.read_all_partials(dst_dir)
+    if all_partials is None or not len(all_partials):
+        return
+    final = (
+        all_partials.groupby(["source", "tier"], as_index=False)
+        .agg(n_docs=("n_docs", "sum"), n_windows=("n_windows", "sum"),
+             nbytes=("nbytes", "sum"))
+        .sort_values(["source", "tier"])
+    )
+    tmp = os.path.join(dst_dir, ".source_stats.parquet.tmp")
+    pq.write_table(pa.Table.from_pandas(final, preserve_index=False), tmp)
+    os.replace(tmp, os.path.join(dst_dir, "source_stats.parquet"))
