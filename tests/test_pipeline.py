@@ -250,3 +250,37 @@ def test_many_buckets_with_actor_death_and_resume(seq_dir, tmp_path):
     assert summary2["buckets_written"] == 0
     assert summary2["buckets_skipped"] == 64
     assert _file_hashes(out) == before
+
+
+def test_custom_staging_dir_byte_identical(seq_dir, tmp_path):
+    """Staging placement contract (VERDICT r3 #8): pointing staging at a
+    separate scratch root (arg or WDR_STAGING_DIR) yields a byte-identical
+    store, stages under a per-store subdir of the root (concurrent jobs
+    sharing the root never collide), and leaves the root clean."""
+    default = str(tmp_path / "default")
+    rp.run_rollup_job(seq_dir, default, bank="haar", n_tiers=6, n_buckets=4,
+                      batch_size=64, verify=False)
+
+    scratch = str(tmp_path / "scratch_root")
+    custom = str(tmp_path / "custom")
+    rp.run_rollup_job(seq_dir, custom, bank="haar", n_tiers=6, n_buckets=4,
+                      batch_size=64, verify=False, staging_dir=scratch)
+    assert _file_hashes(custom) == _file_hashes(default)
+    assert not os.path.isdir(os.path.join(custom, "staging"))
+    # staging cleared at job end; the per-store subdir may remain as an
+    # empty husk at most
+    leftovers = [
+        f for d in glob.glob(os.path.join(scratch, "staging-*"))
+        for f in os.listdir(d)
+    ] if os.path.isdir(scratch) else []
+    assert leftovers == []
+
+    # env-var route
+    env_out = str(tmp_path / "env_run")
+    os.environ["WDR_STAGING_DIR"] = scratch
+    try:
+        rp.run_rollup_job(seq_dir, env_out, bank="haar", n_tiers=6,
+                          n_buckets=4, batch_size=64, verify=False)
+    finally:
+        del os.environ["WDR_STAGING_DIR"]
+    assert _file_hashes(env_out) == _file_hashes(default)

@@ -148,8 +148,20 @@ def run_rollup_job(
     fault_flag: str | None = None,
     refresh: bool = False,
     input_format: str = "parquet",
+    staging_dir: str | None = None,
 ) -> dict:
     """Run the full job; resumable from per-bucket checkpoints.
+
+    **Staging placement contract (multi-node):** encode tasks write
+    per-bucket Arrow IPC slices under the staging directory and the
+    finalize stage (scheduled on ANY node) reads them back, so staging
+    must live on storage reachable by every node — a shared filesystem or
+    object store, exactly like ``out_dir`` itself. The default,
+    ``<out_dir>/staging``, inherits ``out_dir``'s reachability and is
+    therefore always safe; pass ``staging_dir`` (or set the
+    ``WDR_STAGING_DIR`` env var) to point staging at faster shared scratch
+    (e.g. a burst buffer) when the durable store sits on slow storage.
+    Staging is cleared at job start and end — nothing durable lives there.
 
     ``input_format`` selects the ingest reader (``parquet`` | ``jsonl`` |
     ``csv`` — see :mod:`..sources.ingest`); every format normalizes to the
@@ -198,14 +210,14 @@ def run_rollup_job(
     return _run_rollup_job_inner(
         input_path, out_dir, bank, n_tiers, n_buckets, resume, verify,
         batch_size, encoder_concurrency, t0, fault_flag, n_refreshed,
-        input_format,
+        input_format, staging_dir,
     )
 
 
 def _run_rollup_job_inner(
     input_path, out_dir, bank, n_tiers, n_buckets, resume, verify,
     batch_size, encoder_concurrency, t0, fault_flag=None, n_refreshed=0,
-    input_format="parquet",
+    input_format="parquet", staging_dir=None,
 ):
     done = mf.completed_buckets(out_dir) if resume else frozenset()
     if len(done) >= n_buckets:
@@ -280,7 +292,20 @@ def _run_rollup_job_inner(
     # Only (bucket, stage_file) metadata rows flow into the groupby, so the
     # former ~storage-sized all-to-all is now an O(tasks x buckets) commit
     # barrier (BucketFinalize docstring).
-    stage_dir = os.path.join(out_dir, "staging")
+    # staging placement: arg > WDR_STAGING_DIR env > <out_dir>/staging —
+    # see the run_rollup_job docstring for the multi-node reachability
+    # contract (staged slices must be readable by the finalize stage).
+    # A custom location is treated as a ROOT shared by many jobs: each
+    # store stages under a subdir keyed on its out_dir, so concurrent jobs
+    # pointing at the same scratch root never clear each other's slices.
+    custom_root = staging_dir or os.environ.get("WDR_STAGING_DIR")
+    if custom_root:
+        import hashlib as _hashlib
+
+        key = _hashlib.md5(os.path.abspath(out_dir).encode()).hexdigest()[:12]
+        stage_dir = os.path.join(custom_root, f"staging-{key}")
+    else:
+        stage_dir = os.path.join(out_dir, "staging")
     # stale slices from a crashed run are orphans: the retrying run re-stages
     # everything it needs (content-hash names make rewrites idempotent), so
     # clear staging up front rather than trusting leftovers
