@@ -871,3 +871,50 @@ def test_png_payloads_flow_through_media_stages(ray_session, docs):
         arr = np.frombuffer(b[:n], np.uint8)
         idx = np.arange(8, dtype=np.int64) * (n - 1) // 7
         assert np.array_equal(np.asarray(thumbs.loc[did, "thumb"]), arr[idx])
+
+
+def test_simhash_block_bands_pigeonhole_and_equivalence(ray_session, monkeypatch):
+    """Manku block-triple banding: (a) any pair at hamming <= 6 shares at
+    least one (band_id, band_hash) key — recall-1 pigeonhole, property-
+    checked on random flips; (b) forcing the block plan on the gate corpus
+    yields exactly the same verified pairs as the 7-band plan."""
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    rng = np.random.default_rng(17)
+    base = rng.integers(0, 2**63, 500, dtype=np.int64).view(np.uint64)
+    flips = rng.integers(0, 7, 500)  # 0..6 bit flips
+    other = base.copy()
+    for r in range(500):
+        for bit in rng.choice(64, flips[r], replace=False):
+            other[r] ^= np.uint64(1) << np.uint64(bit)
+
+    def keys(h):
+        t = pa.table({"doc_id": np.arange(len(h), dtype=np.int64),
+                      "simhash": h.view(np.int64)})
+        out = dd.simhash_block_bands_batch(t)
+        return (
+            out["doc_id"].to_numpy(),
+            out["band_id"].to_numpy(zero_copy_only=False),
+            out["band_hash"].to_numpy(zero_copy_only=False),
+        )
+
+    d1, b1, k1 = keys(base)
+    d2, b2, k2 = keys(other)
+    shared = np.zeros(500, dtype=bool)
+    lookup = {}
+    for d, b, k in zip(d1, b1, k1):
+        lookup.setdefault(d, set()).add((b, k))
+    for d, b, k in zip(d2, b2, k2):
+        if (b, k) in lookup[d]:
+            shared[d] = True
+    assert shared.all(), f"pigeonhole violated for {np.nonzero(~shared)[0][:5]}"
+
+    sf = "/root/testdata/sf0.01"
+    seven = dq.q_simhash_pairs(sf).to_pandas().sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+    monkeypatch.setattr(dd, "SIMHASH_BLOCK_THRESHOLD", 0)
+    blocks = dq.q_simhash_pairs(sf).to_pandas().sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(seven, blocks)

@@ -588,6 +588,67 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 # 2-4x more selective before the occupancy cap starts dropping buckets
 # (ADVICE r2: byte-band occupancy N/256 overwhelmed the cap past ~65k docs)
 SIMHASH_BAND_BITS = (10, 9, 9, 9, 9, 9, 9)
+
+
+# ---- large-corpus SimHash banding (Manku et al., WWW'07) ----------------
+# The minimal 7-band split buckets N/512..N/1024 docs together, so past
+# ~100k docs even fully random hashes produce quadratic candidate mass
+# (measured: 1M diverse docs -> billions of candidate pairs). The
+# scale-correct scheme keys each band on a COMBINATION of hash blocks:
+# split 64 bits into 9 blocks; a pair at hamming <= 6 has >= 3 clean
+# blocks, so keying every C(9,3)=84 block-triple guarantees at least one
+# exact-match band — recall stays EXACTLY 1 — while each key is ~22 bits
+# wide (4M buckets/band), collapsing random collisions by ~2^12.
+SIMHASH_BLOCK_BITS = (8, 7, 7, 7, 7, 7, 7, 7, 7)  # 9 blocks, 64 bits
+_SIMHASH_BLOCK_SHIFTS = np.cumsum((0,) + SIMHASH_BLOCK_BITS[:-1]).astype(
+    np.uint64
+)
+_SIMHASH_BLOCK_MASKS = np.array(
+    [(1 << b) - 1 for b in SIMHASH_BLOCK_BITS], dtype=np.uint64
+)
+
+
+def _simhash_families() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    from itertools import combinations
+
+    f = np.array(list(combinations(range(len(SIMHASH_BLOCK_BITS)), 3)),
+                 dtype=np.int64)
+    return f[:, 0], f[:, 1], f[:, 2]
+
+
+_FAM_I, _FAM_J, _FAM_K = _simhash_families()
+SIMHASH_N_FAMILIES = len(_FAM_I)  # 84
+# switch to block banding once the minimal split's expected bucket
+# occupancy (N / 512) would dominate candidate volume
+SIMHASH_BLOCK_THRESHOLD = 100_000
+
+
+def simhash_block_bands_batch(batch: pa.Table) -> pa.Table:
+    """Explode 64-bit simhashes into the 84 block-triple bands (same
+    output schema as :func:`simhash_bands_batch`): band_id = triple index,
+    band_hash = the three block values packed 8 bits apart (block values
+    are < 2^8, so the key fits int32)."""
+    h = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    n = len(h)
+    blocks = (h[:, None] >> _SIMHASH_BLOCK_SHIFTS[None, :]) & \
+        _SIMHASH_BLOCK_MASKS[None, :]  # (n, 9)
+    keys = (
+        blocks[:, _FAM_I]
+        | (blocks[:, _FAM_J] << np.uint64(8))
+        | (blocks[:, _FAM_K] << np.uint64(16))
+    )  # (n, 84)
+    nb = SIMHASH_N_FAMILIES
+    rep = np.repeat(np.arange(n), nb)
+    doc = batch["doc_id"]
+    if isinstance(doc, pa.ChunkedArray):
+        doc = doc.combine_chunks()
+    return pa.table(
+        {
+            "band_id": pa.array(np.tile(np.arange(nb, dtype=np.int32), n)),
+            "band_hash": pa.array(keys.ravel().astype(np.int32)),
+            "doc_id": doc.take(pa.array(rep)),
+        }
+    )
 _SIMHASH_SHIFTS = np.cumsum((0,) + SIMHASH_BAND_BITS[:-1]).astype(np.uint64)
 _SIMHASH_MASKS = np.array(
     [(1 << b) - 1 for b in SIMHASH_BAND_BITS], dtype=np.uint64

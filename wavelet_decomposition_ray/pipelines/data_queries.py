@@ -596,17 +596,29 @@ def q_simhash_pairs(sf_dir: str):
     the per-doc simhash (int payload).
 
     Recall is exactly 1 ONLY while no bucket exceeds the occupancy cap:
-    the cap scales with corpus size (4x the expected N/512 bucket load, so
-    only adversarially hot buckets drop) and drops are surfaced with a
+    the cap scales with corpus size (4x the expected bucket load, so only
+    adversarially hot buckets drop) and drops are surfaced with a
     dropped-mass fraction in the logs (ADVICE r2 — the round-2 fixed cap
-    silently emptied the pair set past ~65k docs)."""
+    silently emptied the pair set past ~65k docs).
+
+    Banding plan scales with the corpus: up to SIMHASH_BLOCK_THRESHOLD
+    docs, the minimal 7-band pigeonhole split (cheapest explode); past it,
+    the Manku block-triple scheme (84 bands of ~22-bit keys) — same exact
+    recall guarantee, ~2^12 fewer random collisions per bucket, which is
+    what keeps candidate mass linear-ish at 10^6-10^12 docs (the 7-band
+    split measured billions of candidate pairs at 1M diverse docs)."""
     n_docs = _docs(sf_dir, columns=("doc_id",)).count()  # parquet metadata
-    min_band_buckets = 1 << min(dd.SIMHASH_BAND_BITS)
-    cap = max(LSH_BUCKET_CAP, -(-4 * n_docs // min_band_buckets))
+    if n_docs > dd.SIMHASH_BLOCK_THRESHOLD:
+        bands_fn = dd.simhash_block_bands_batch
+        key_space = 1 << (8 + 7 + 7)  # three packed blocks
+    else:
+        bands_fn = dd.simhash_bands_batch
+        key_space = 1 << min(dd.SIMHASH_BAND_BITS)
+    cap = max(LSH_BUCKET_CAP, -(-4 * n_docs // key_space))
     sims = _docs(sf_dir).map_batches(
         dd.SimHasher(), batch_format="pyarrow", batch_size=256
     )
-    bands = sims.map_batches(dd.simhash_bands_batch, batch_format="pyarrow")
+    bands = sims.map_batches(bands_fn, batch_format="pyarrow")
     bands = bands.map_batches(
         lambda t: dd.add_part_column(t, "band_hash", 4 * _join_parts()),
         batch_format="pyarrow",
