@@ -918,3 +918,26 @@ def test_simhash_block_bands_pigeonhole_and_equivalence(ray_session, monkeypatch
     import pandas as pd
 
     pd.testing.assert_frame_equal(seven, blocks)
+
+
+def test_pq_recall_on_clusters():
+    """PQ ADC ranking must recover same-cluster neighbours on clustered
+    vectors (the regime ANN exists for), and encode/ADC must be
+    deterministic integers."""
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((10, 64))
+    m = np.repeat(centers, 50, axis=0) + 0.05 * rng.standard_normal((500, 64))
+    qm = sim.pq_quantize(m)
+    codebook = qm[:16].copy()
+    codes = sim.pq_encode(qm, codebook)
+    assert codes.dtype == np.uint8 and codes.shape == (500, 8)
+    np.testing.assert_array_equal(codes, sim.pq_encode(qm, codebook))
+    hits = 0
+    for q_idx in range(0, 500, 50):
+        adc = sim.pq_adc_table(qm[q_idx], codebook)
+        dist = adc[np.arange(8)[None, :], codes].sum(axis=1)
+        top = np.lexsort((np.arange(500), dist))[:11]
+        top = [i for i in top if i != q_idx][:10]
+        same = set(range((q_idx // 50) * 50, (q_idx // 50) * 50 + 50))
+        hits += len(set(top) & same)
+    assert hits / 100 >= 0.8, hits / 100

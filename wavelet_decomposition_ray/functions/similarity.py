@@ -154,6 +154,58 @@ def ivf_assign_batch(batch: "pa.Table", index_ref) -> "pa.Table":
     return batch.append_column("ivf_list", pa.array(index_ref.assign(m)))
 
 
+# ---- product quantization (Jégou, Douze, Schmid, TPAMI 2011) ------------
+# The memory-side ANN complement to IVF: vectors compress to one byte per
+# subspace, queries scan codes with an additive distance table (ADC).
+# Codebook here = the quantized first-PQ_K training vectors per subspace
+# (the sampled-codebook baseline) and everything runs in fixed-point
+# integers, so encode + ADC are bit-exact against a pure-SQL twin.
+
+PQ_QSCALE = 1 << 20   # same fixed-point grid as kmeans_assign/embed_gram
+PQ_K = 16             # centroids per subspace (one nibble per code)
+PQ_M = 8              # subspaces (64-dim -> 8 dims each)
+
+
+def pq_quantize(m: np.ndarray) -> np.ndarray:
+    """float matrix -> fixed-point int64 (floor(x * 2^20 + 0.5))."""
+    return np.floor(np.asarray(m, dtype=np.float64) * PQ_QSCALE + 0.5).astype(
+        np.int64
+    )
+
+
+def pq_encode(qm: np.ndarray, codebook: np.ndarray) -> np.ndarray:
+    """(n, d) int64 vectors + (PQ_K, d) int64 codebook -> (n, PQ_M) uint8
+    codes: per subspace, argmin squared L2 (ties -> smallest index, which
+    np.argmin and the SQL row_number twin both produce)."""
+    n, d = qm.shape
+    sub = d // PQ_M
+    codes = np.empty((n, PQ_M), dtype=np.uint8)
+    for m in range(PQ_M):
+        x = qm[:, m * sub : (m + 1) * sub]          # (n, sub)
+        c = codebook[:, m * sub : (m + 1) * sub]    # (K, sub)
+        # (n, K) integer squared distances via expansion (values bounded:
+        # |q| < 2^24 -> d2 < 2^49 * sub < 2^52, int64-safe)
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            - 2 * (x @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        codes[:, m] = np.argmin(d2, axis=1)
+    return codes
+
+
+def pq_adc_table(q: np.ndarray, codebook: np.ndarray) -> np.ndarray:
+    """Query ADC table: (PQ_M, PQ_K) integer squared distances from the
+    query's subvectors to every centroid."""
+    d = len(q)
+    sub = d // PQ_M
+    out = np.empty((PQ_M, PQ_K), dtype=np.int64)
+    for m in range(PQ_M):
+        diff = codebook[:, m * sub : (m + 1) * sub] - q[m * sub : (m + 1) * sub]
+        out[m] = (diff * diff).sum(axis=1)
+    return out
+
+
 def brute_force_topk(mat: np.ndarray, ids: np.ndarray, query: np.ndarray, k: int):
     """Single-process reference for tests: top-k by (cos desc, id asc)."""
     sims = normalize_rows(mat) @ normalize_rows(query[None, :])[0]

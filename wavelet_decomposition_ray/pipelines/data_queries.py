@@ -2927,6 +2927,234 @@ HLL_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# per-source deterministic sampling, TF-IDF search, PQ ANN
+# --------------------------------------------------------------------------
+
+SAMPLE_SALT = dd._stable_u64("sample:")
+SAMPLE_PER_SOURCE_K = 5
+SAMPLE_MOD = 1 << 31
+
+
+def q_sample_per_source(sf_dir: str):
+    """Stratified deterministic sampling: the K docs per source with the
+    smallest salted splitmix64 hash — a fixed-size, growth-stable,
+    re-derivable sample per stratum (the eyeball-sample / eval-slice
+    builder of a data-curation pipeline). Per-batch local top-K per
+    source, then one tiny source-keyed final fold: the exchange is
+    O(batches x sources x K) regardless of corpus size."""
+    import pandas as pd
+
+    ds = _docs(sf_dir, columns=("doc_id", "source", "n_chars"))
+    k = SAMPLE_PER_SOURCE_K
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        df["rk"] = dd.salted_bucket(
+            df["doc_id"].to_numpy().astype(np.int64), SAMPLE_SALT, SAMPLE_MOD
+        )
+        df = df.sort_values(["source", "rk", "doc_id"], kind="mergesort")
+        return df.groupby("source", sort=False).head(k)
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["rk", "doc_id"], kind="mergesort").head(k)
+        out = df[["source", "doc_id", "n_chars"]].reset_index(drop=True)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=1024)
+        .groupby("source")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+SAMPLE_PER_SOURCE_SQL = (
+    f"WITH u AS (SELECT * FROM {_splitmix_bucket_sql(SAMPLE_SALT, SAMPLE_MOD)})"
+    " SELECT source, doc_id, n_chars,"
+    " CAST(row_number() OVER (PARTITION BY source ORDER BY u.b, doc_id)"
+    "   AS BIGINT) AS rank"
+    " FROM documents JOIN u USING (doc_id)"
+    f" QUALIFY rank <= {SAMPLE_PER_SOURCE_K}"
+)
+
+
+TFIDF_TERMS = ("join", "hash", "scan")
+TFIDF_SCALE = 1_000_000
+TFIDF_TOPK = 10
+
+
+def q_tfidf_topk(sf_dir: str):
+    """TF-IDF document search for a fixed term set: integer-exact scoring
+    score(d) = sum_t tf(t, d) * ((N * SCALE) // df(t)) — the classic
+    relevance shape with floor-division idf so engine and SQL agree
+    bit-for-bit. Term DFs come from one tiny partial+final aggregate
+    (|terms| rows); scoring is a streaming pass with local top-K per
+    batch, so the driver sees O(batches x K) rows."""
+    import pandas as pd
+
+    terms = list(TFIDF_TERMS)
+    docs = _docs(sf_dir)
+    n_docs = _docs(sf_dir, columns=("doc_id",)).count()
+
+    def tf_batch(t: pa.Table) -> np.ndarray:
+        texts = t["text"].to_pylist()
+        words_per_doc = [s.split() for s in texts]
+        lens = np.array([len(w) for w in words_per_doc], dtype=np.int64)
+        doc_of = np.repeat(np.arange(len(texts)), lens)
+        flat = np.array([w for ws in words_per_doc for w in ws], dtype=object)
+        tf = np.zeros((len(texts), len(terms)), dtype=np.int64)
+        for ti, term in enumerate(terms):
+            mask = flat == term
+            if mask.any():
+                tf[:, ti] = np.bincount(doc_of[mask], minlength=len(texts))
+        return tf
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        tf = tf_batch(t)
+        return pa.table(
+            {
+                "term": pa.array(terms),
+                "df": pa.array((tf > 0).sum(axis=0).astype(np.int64)),
+            }
+        )
+
+    dfs = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("term")["df"]
+        .sum()
+    )
+    weights = np.array(
+        [(n_docs * TFIDF_SCALE) // int(dfs.get(t, 0) or 1) if dfs.get(t, 0)
+         else 0 for t in terms],
+        dtype=np.int64,
+    )
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        tf = tf_batch(t)
+        score = tf @ weights
+        keep = score > 0
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        sc = score[keep]
+        order = np.lexsort((ids, -sc))[:TFIDF_TOPK]  # local top-K
+        return pa.table(
+            {"doc_id": pa.array(ids[order]), "score": pa.array(sc[order])}
+        )
+
+    cand = docs.map_batches(score_batch, batch_format="pyarrow").to_pandas()
+    top = (
+        cand.sort_values(["score", "doc_id"], ascending=[False, True],
+                         kind="mergesort")
+        .head(TFIDF_TOPK)
+        .reset_index(drop=True)
+    )
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top
+
+
+def _tfidf_sql() -> str:
+    values = ", ".join(f"('{t}')" for t in TFIDF_TERMS)
+    return (
+        "WITH w AS (SELECT doc_id,"
+        " unnest(list_filter(string_split_regex(text, '\\s+'),"
+        "   x -> x <> '')) AS word FROM documents),"
+        f" t(term) AS (SELECT * FROM (VALUES {values})),"
+        " tf AS (SELECT doc_id, word AS term, CAST(count(*) AS BIGINT) AS tf"
+        "   FROM w JOIN t ON word = term GROUP BY 1, 2),"
+        " df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),"
+        " n AS (SELECT count(*) AS n FROM documents),"
+        " sc AS (SELECT tf.doc_id,"
+        f"  CAST(sum(tf.tf * ((n.n * {TFIDF_SCALE}) // df.df)) AS BIGINT)"
+        "    AS score"
+        "  FROM tf JOIN df USING (term) CROSS JOIN n GROUP BY 1)"
+        " SELECT doc_id, score,"
+        " CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)"
+        "   AS rank"
+        f" FROM sc QUALIFY rank <= {TFIDF_TOPK}"
+    )
+
+
+TFIDF_TOPK_SQL = _tfidf_sql()
+
+
+PQ_NN_K = 10
+
+
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ANN (Jégou et al., TPAMI 2011) — the
+    memory-side complement to IVF at 10^12 vectors: every vector
+    compresses to PQ_M one-byte codes; a query scans codes with a
+    precomputed additive distance table (ADC). Codebook = the quantized
+    first-PQ_K vectors per subspace (sampled-codebook baseline; a Lloyd
+    refinement slots in without changing the shape), fetched via a
+    pushed-down row filter and broadcast; encode + ADC run in fixed-point
+    integers, so the whole path is bit-exact against the SQL twin.
+    Per-batch local top-K, O(batches x K) rows to the driver."""
+    import pandas as pd
+
+    cb_rows = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=(pc.field("vec_id") < sim.PQ_K),
+    ).to_pandas().sort_values("vec_id")
+    codebook = sim.pq_quantize(np.stack(cb_rows["embedding"].to_numpy()))
+    q = sim.pq_quantize(
+        _query_vector(sf_dir, vec_id=0)[None, :]
+    )[0]
+    adc_ref = ray.put(sim.pq_adc_table(q, codebook))
+    cb_ref = ray.put(codebook)
+
+    def score(t: pa.Table) -> pa.Table:
+        cb = _cached_side(cb_ref)
+        adc = _cached_side(adc_ref)
+        qm = sim.pq_quantize(sim.embedding_matrix(t))
+        codes = sim.pq_encode(qm, cb)
+        dist = adc[np.arange(sim.PQ_M)[None, :], codes].sum(axis=1)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, dist))[:PQ_NN_K]  # local top-K
+        return pa.table(
+            {"vec_id": pa.array(ids[order]), "adc": pa.array(dist[order])}
+        )
+
+    cand = (
+        _emb(sf_dir).map_batches(score, batch_format="pyarrow").to_pandas()
+    )
+    top = (
+        cand.sort_values(["adc", "vec_id"], kind="mergesort")
+        .head(PQ_NN_K)
+        .reset_index(drop=True)
+    )
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top
+
+
+ANN_PQ_SQL = (
+    # the same fixed-point PQ, stated relationally: quantize, slice into
+    # PQ_M subspaces, codebook = vec_id < PQ_K, per-(vector, subspace)
+    # argmin centroid (row_number ties -> smallest j, matching np.argmin),
+    # ADC = sum of the QUERY's distances to each assigned centroid
+    "WITH e AS (SELECT vec_id,"
+    f" CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {sim.PQ_QSCALE}.0"
+    "   + 0.5) AS BIGINT) AS qv,"
+    " generate_subscripts(embedding, 1) AS i FROM embeddings),"
+    f" ee AS (SELECT vec_id, i, qv, CAST((i - 1) // (64 // {sim.PQ_M})"
+    "   AS INTEGER) AS m FROM e),"
+    f" cb AS (SELECT vec_id AS j, m, i, qv FROM ee WHERE vec_id < {sim.PQ_K}),"
+    " dist AS (SELECT x.vec_id, x.m, c.j,"
+    "   sum((x.qv - c.qv) * (x.qv - c.qv)) AS d"
+    "   FROM ee x JOIN cb c ON c.i = x.i AND c.m = x.m GROUP BY 1, 2, 3),"
+    " code AS (SELECT vec_id, m, j FROM dist"
+    "   QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) = 1),"
+    " qd AS (SELECT m, j, d FROM dist WHERE vec_id = 0),"
+    " adc AS (SELECT code.vec_id, CAST(sum(qd.d) AS BIGINT) AS adc"
+    "   FROM code JOIN qd USING (m, j) GROUP BY 1)"
+    " SELECT vec_id, adc,"
+    " CAST(row_number() OVER (ORDER BY adc, vec_id) AS BIGINT) AS rank"
+    f" FROM adc QUALIFY rank <= {PQ_NN_K}"
+)
+
+
 DATA_QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "token_count_bpe": (q_token_count_bpe, TOKEN_COUNT_BPE_SQL),
@@ -2956,6 +3184,9 @@ DATA_QUERIES = {
     "knn_cosine_multi": (q_knn_cosine_multi, KNN_MULTI_SQL),
     "ann_lsh": (q_ann_lsh, ANN_LSH_SQL),
     "ann_ivf": (q_ann_ivf, KNN_COSINE_SQL),
+    "ann_pq": (q_ann_pq, ANN_PQ_SQL),
+    "sample_per_source": (q_sample_per_source, SAMPLE_PER_SOURCE_SQL),
+    "tfidf_topk": (q_tfidf_topk, TFIDF_TOPK_SQL),
     "embed_dedup": (q_embed_dedup, EMBED_DEDUP_SQL),
     "top_docs_per_lang": (q_top_docs_per_lang, TOP_DOCS_SQL),
     "split_train_holdout": (q_split_train_holdout, SPLIT_SQL),
