@@ -40,6 +40,10 @@ def main() -> int:
                    "changed since the last run (appends/removals)")
     p.add_argument("--no-verify", action="store_true",
                    help="skip the per-row round-trip invariant stage")
+    p.add_argument("--staging-dir", default=None,
+                   help="shared scratch root for staged encode slices "
+                   "(default <out>/staging; must be reachable by every "
+                   "node — see the run_rollup_job docstring)")
     args = p.parse_args()
 
     import ray
@@ -68,6 +72,7 @@ def main() -> int:
         refresh=args.refresh,
         verify=not args.no_verify,
         batch_size=args.batch_size,
+        staging_dir=args.staging_dir,
     )
     print(json.dumps(summary))
     ray.shutdown()

@@ -76,16 +76,27 @@ def test_materialize_query_lifecycle(ray_session, tmp_path):
 
     # orphan from a CRASHED previous run (its pid is provably dead: a
     # reaped child) must be cleared; the tmp dir of a LIVE concurrent
-    # materializer (pid 1 always exists) must be left alone (ADVICE r3)
+    # materializer (pid 1 always exists) must be left alone (ADVICE r3);
+    # a FRESH foreign-host tmp dir (shared filesystem, pid unprobeable
+    # locally) must also survive; a STALE one must be cleared
+    import socket
+
     child = subprocess.Popen(["true"])
     child.wait()
-    orphan = str(tmp_path / "views" / f"hll.tmp-{child.pid}")
-    live = str(tmp_path / "views" / "hll.tmp-1")
-    os.makedirs(orphan)
-    os.makedirs(live)
+    host = socket.gethostname()
+    orphan = str(tmp_path / "views" / f"hll.tmp-{host}-{child.pid}")
+    live = str(tmp_path / "views" / "hll.tmp-1")  # legacy bare-pid format
+    foreign = str(tmp_path / "views" / "hll.tmp-otherhost-123")
+    foreign_stale = str(tmp_path / "views" / "hll.tmp-otherhost-456")
+    for d in (orphan, live, foreign, foreign_stale):
+        os.makedirs(d)
+    old = 1  # epoch: far past the staleness cutoff
+    os.utime(foreign_stale, (old, old))
     meta = materialize_query("hll_users", sf, out)
     assert is_complete(out) and not os.path.isdir(orphan)
     assert os.path.isdir(live), "live sibling tmp dir must not be rmtree'd"
+    assert os.path.isdir(foreign), "fresh foreign-host tmp must survive"
+    assert not os.path.isdir(foreign_stale), "stale foreign tmp must clear"
 
     direct = dq.q_hll_users(sf).to_pandas()
     files = [f for f in os.listdir(out) if f.endswith(".parquet")]

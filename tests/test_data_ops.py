@@ -743,7 +743,8 @@ def test_salted_bucket_matches_duckdb_twin():
 
     ids = np.concatenate(
         [np.arange(0, 2000, dtype=np.int64),
-         np.array([2**31, 2**40, 2**62, 2**63 - 1], dtype=np.int64)]
+         np.array([2**31, 2**40, 2**62, 2**63 - 1,
+                   -1, -2**31, -2**62, -(2**63)], dtype=np.int64)]
     )
     for salt in (dd.SPLIT_SALT, dd.MIX_SALT):
         want = dd.salted_bucket(ids, salt)

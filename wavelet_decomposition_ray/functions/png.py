@@ -130,15 +130,20 @@ def decode_png(data: bytes) -> np.ndarray:
     Tries PIL first (optional dependency, absent in this container); the
     pure zlib+numpy path below handles 8-bit non-interlaced images and is
     pinned equal to the encoder round-trip across all filter types."""
-    try:  # optional fast path on real clusters
+    try:  # optional dependency — only the IMPORT may divert to PIL
         import io
 
         from PIL import Image  # type: ignore
-
-        arr = np.asarray(Image.open(io.BytesIO(data)))
-        return arr
     except ImportError:
-        pass
+        Image = None
+    if Image is not None:
+        try:
+            return np.asarray(Image.open(io.BytesIO(data)))
+        except Exception:
+            # corrupt/unsupported payload: fall through to the pure path,
+            # which raises the ValueError('signature'/'CRC') this API
+            # promises — PIL's exception types must not leak to callers
+            pass
 
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG (bad signature)")

@@ -51,6 +51,16 @@ def _compile() -> str | None:
         if r.returncode != 0:
             return None
         os.replace(tmp, lib)  # atomic: concurrent builders all win
+        # best-effort sweep of superseded caches (old content hashes and
+        # the legacy mtime-keyed libdod.so) so dod.c edits don't accrete
+        # stale .so files in the source tree
+        for f in os.listdir(_DIR):
+            if (f.endswith(".so") and f.startswith("libdod")
+                    and os.path.join(_DIR, f) != lib):
+                try:
+                    os.remove(os.path.join(_DIR, f))
+                except OSError:
+                    pass
         return lib
     except (OSError, subprocess.SubprocessError):
         return None

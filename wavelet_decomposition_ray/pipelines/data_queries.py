@@ -291,8 +291,11 @@ _SIDE_CACHE: dict = {}
 def _cached_side(ref):
     key = ref.hex()
     if key not in _SIDE_CACHE:
-        if len(_SIDE_CACHE) > 16:
-            _SIDE_CACHE.clear()
+        while len(_SIDE_CACHE) >= 8:
+            # FIFO-evict the oldest entry (dict preserves insertion
+            # order), never the sides the running query just fetched —
+            # a wholesale clear() would re-deserialize mid-query
+            _SIDE_CACHE.pop(next(iter(_SIDE_CACHE)))
         _SIDE_CACHE[key] = ray.get(ref)
     return _SIDE_CACHE[key]
 
@@ -610,7 +613,11 @@ def q_simhash_pairs(sf_dir: str):
     n_docs = _docs(sf_dir, columns=("doc_id",)).count()  # parquet metadata
     if n_docs > dd.SIMHASH_BLOCK_THRESHOLD:
         bands_fn = dd.simhash_block_bands_batch
-        key_space = 1 << (8 + 7 + 7)  # three packed blocks
+        # conservative (MINIMUM) key space across the 84 triples: 56 of
+        # them are all-7-bit (21-bit keys) — sizing the cap off the 22-bit
+        # triples would leave those bands only 2x expected load of
+        # headroom instead of the documented 4x
+        key_space = 1 << (7 + 7 + 7)
     else:
         bands_fn = dd.simhash_bands_batch
         key_space = 1 << min(dd.SIMHASH_BAND_BITS)
@@ -1383,8 +1390,15 @@ def _splitmix_bucket_sql(salt: int, mod: int = 1000) -> str:
     twin of ``dedup.salted_bucket`` — splitmix64(doc_id XOR salt) % mod,
     stepped through a CTE chain in HUGEINT (mod-2^64 multiplies via 32-bit
     halves, the rolling-hash HUGEINT technique)."""
+    # negative doc_ids wrap two's-complement (the engine's astype(uint64)
+    # semantics): a plain CAST(doc_id AS UBIGINT) is a CHECKED cast in
+    # DuckDB and errors on them
+    wrap = (
+        "CAST((CAST(doc_id AS HUGEINT) + 18446744073709551616)"
+        " % 18446744073709551616 AS UBIGINT)"
+    )
     return (
-        "(WITH s0 AS (SELECT doc_id, CAST(xor(CAST(doc_id AS UBIGINT),"
+        f"(WITH s0 AS (SELECT doc_id, CAST(xor({wrap},"
         f" CAST({salt} AS UBIGINT)) AS HUGEINT) AS z FROM documents),"
         f" s1 AS (SELECT doc_id, (z + {dd.SPLITMIX_C1})"
         " % 18446744073709551616 AS z FROM s0),"
@@ -2982,6 +2996,11 @@ SAMPLE_PER_SOURCE_SQL = (
 TFIDF_TERMS = ("join", "hash", "scan")
 TFIDF_SCALE = 1_000_000
 TFIDF_TOPK = 10
+# rarity cap: df < N/IDF_CAP scores as if df == N/IDF_CAP. Bounds the
+# weight at SCALE*CAP = 1e12, so tf (< ~1e6 words/doc) x 3 capped terms
+# stays < 3e18 < 2^63 — no silent int64 wrap at 10^9+ docs, and the
+# engine/SQL twin agree bit-for-bit at every corpus size
+TFIDF_IDF_CAP = 1_000_000
 
 
 def q_tfidf_topk(sf_dir: str):
@@ -3025,9 +3044,10 @@ def q_tfidf_topk(sf_dir: str):
         .groupby("term")["df"]
         .sum()
     )
+    w_cap = TFIDF_SCALE * TFIDF_IDF_CAP
     weights = np.array(
-        [(n_docs * TFIDF_SCALE) // int(dfs.get(t, 0) or 1) if dfs.get(t, 0)
-         else 0 for t in terms],
+        [min((n_docs * TFIDF_SCALE) // int(dfs.get(t, 0) or 1), w_cap)
+         if dfs.get(t, 0) else 0 for t in terms],
         dtype=np.int64,
     )
 
@@ -3065,8 +3085,8 @@ def _tfidf_sql() -> str:
         " df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),"
         " n AS (SELECT count(*) AS n FROM documents),"
         " sc AS (SELECT tf.doc_id,"
-        f"  CAST(sum(tf.tf * ((n.n * {TFIDF_SCALE}) // df.df)) AS BIGINT)"
-        "    AS score"
+        f"  CAST(sum(tf.tf * least((n.n * {TFIDF_SCALE}) // df.df,"
+        f"    {TFIDF_SCALE * TFIDF_IDF_CAP})) AS BIGINT) AS score"
         "  FROM tf JOIN df USING (term) CROSS JOIN n GROUP BY 1)"
         " SELECT doc_id, score,"
         " CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)"

@@ -9,8 +9,8 @@ lifecycle a production deployment runs nightly.
 
 Protocol (same atomic-rename discipline as ``state/manifest.py``):
 
-* results stream into ``<out>.tmp-<pid>`` (Dataset writers produce one
-  file per block there — partitioned output, never one giant file);
+* results stream into ``<out>.tmp-<host>-<pid>`` (Dataset writers produce
+  one file per block there — partitioned output, never one giant file);
 * a ``_SUCCESS`` JSON (query name, row count, wall seconds) is written
   INSIDE the tmp dir, then the tmp dir is atomically renamed to ``<out>``;
 * a rerun sees ``<out>/_SUCCESS`` and returns without touching Ray — the
@@ -39,6 +39,40 @@ def _pid_alive(pid: int) -> bool:
     except PermissionError:
         return True  # exists, owned by someone else
     return True
+
+
+# a tmp dir untouched this long is an orphan regardless of pid liveness:
+# covers pid recycling (dead run's pid adopted by a long-lived process ->
+# otherwise immortal orphan) and foreign hosts on a shared filesystem
+# (their pids can't be probed locally)
+ORPHAN_STALE_S = 24 * 3600
+
+
+def _tmp_is_orphan(path: str, name: str) -> bool:
+    """True when a ``<base>.tmp-...`` sibling belongs to a crashed run.
+
+    Tmp names embed ``<host>-<pid>`` (legacy: bare ``<pid>``). Same-host
+    dirs are orphans when the pid is dead; dirs from OTHER hosts (shared
+    filesystem, concurrent multi-node materializers) are never pid-probed
+    locally — both fall back to the mtime staleness cutoff."""
+    import socket
+    import time as _time
+
+    try:
+        stale = (_time.time() - os.path.getmtime(path)) > ORPHAN_STALE_S
+    except OSError:
+        return False  # vanished concurrently: someone else cleaned it
+    suffix = name.rsplit(".tmp-", 1)[1]
+    host, _, pid_s = suffix.rpartition("-")
+    try:
+        pid = int(pid_s)
+    except ValueError:
+        return stale  # unrecognized format: only age can judge it
+    if host and host != socket.gethostname():
+        return stale
+    if pid == os.getpid():
+        return True  # our own pid: a leftover from THIS process's past run
+    return stale or not _pid_alive(pid)
 
 
 def success_path(out_dir: str) -> str:
@@ -77,20 +111,19 @@ def materialize_query(
     # clear orphans of CRASHED runs for this target — but never the live
     # tmp dir of a concurrent materializer (ADVICE r3: rmtree'ing a
     # running sibling's tmp made it fail mid-write instead of one of the
-    # two winning); a tmp dir whose embedded pid is still alive is left
-    # alone and the eventual double-rename is resolved by _swap
+    # two winning). Same-host liveness = pid probe; foreign-host dirs and
+    # pid-recycled zombies resolve via the mtime staleness cutoff
+    # (_tmp_is_orphan); the eventual double-rename is resolved by _swap.
+    import socket
+
     base = os.path.basename(out_dir)
     for d in os.listdir(parent):
         if not d.startswith(f"{base}.tmp-"):
             continue
-        try:
-            pid = int(d.rsplit("-", 1)[1])
-        except ValueError:
-            pid = -1
-        if pid > 0 and pid != os.getpid() and _pid_alive(pid):
-            continue
-        shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
-    tmp = f"{out_dir}.tmp-{os.getpid()}"
+        p = os.path.join(parent, d)
+        if _tmp_is_orphan(p, d):
+            shutil.rmtree(p, ignore_errors=True)
+    tmp = f"{out_dir}.tmp-{socket.gethostname()}-{os.getpid()}"
     os.makedirs(tmp)
 
     t0 = time.perf_counter()
