@@ -942,3 +942,39 @@ def test_pq_recall_on_clusters():
         same = set(range((q_idx // 50) * 50, (q_idx // 50) * 50 + 50))
         hits += len(set(top) & same)
     assert hits / 100 >= 0.8, hits / 100
+
+
+def test_clean_text_counts_planted_pii(ray_session, tmp_path):
+    """clean_text on planted emails/URLs: counts, normalization and md5
+    must match a direct python reference AND the DuckDB twin's regexes."""
+    import hashlib
+    import re
+
+    import duckdb
+    import pandas as pd
+
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    texts = [
+        "Contact Bob.Smith+x@example.co.uk   or visit https://a.b/c?d=1 now",
+        "no pii here\tjust   WHITESPACE\nand MixedCase",
+        "two mails: a@b.io c.d@e-f.org and http://plain.url",
+        "",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64), "text": texts})
+    df["n_chars"] = df["text"].str.len().astype(np.int64)
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = dq.q_clean_text(str(tmp_path)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert got["n_emails"].tolist() == [1, 0, 2, 0]
+    assert got["n_urls"].tolist() == [1, 0, 1, 0]
+    norm0 = re.sub(r"\s+", " ", texts[0].lower()).strip()
+    assert got["norm_md5"][0] == hashlib.md5(norm0.encode()).hexdigest()
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.sql(dq.CLEAN_TEXT_SQL).df().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(got.columns)])

@@ -300,21 +300,54 @@ def _cached_side(ref):
     return _SIDE_CACHE[key]
 
 
+def _collided_lengths(sf_dir: str) -> np.ndarray:
+    """Sorted n_chars values shared by >1 document. Identical texts share
+    a length, so docs whose length is globally UNIQUE cannot be exact
+    duplicates — the md5 pass can skip them entirely. The histogram pass
+    reads ONE int column and exchanges distinct-length-sized partials."""
+    from ray.data.aggregate import Count
+
+    counts = (
+        _docs(sf_dir, columns=("n_chars",))
+        .groupby("n_chars")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return np.sort(
+        counts.loc[counts["n"] > 1, "n_chars"].to_numpy().astype(np.int64)
+    )
+
+
 def _dropped_dup_ids(sf_dir: str) -> np.ndarray:
-    """Distributed exact-dedup NON-survivor extraction: hash every doc
-    (md5 + a digest-derived coarse partition key in one loop), one keyed
-    exchange of (part, content_hash, doc_id), then a pandas fold per
-    partition emits ids != per-hash min. The result is duplicates-only —
-    << corpus at any scale — which is what makes broadcasting it safe at
-    10^12 docs, unlike the survivor set (one id per DISTINCT content ≈
-    corpus-sized) it replaces (VERDICT r3 #2)."""
+    """Distributed exact-dedup NON-survivor extraction: a cheap length-
+    histogram pass prunes docs whose byte length is globally unique (they
+    cannot be duplicates — on natural corpora most long docs), then the
+    md5 pass hashes only length-colliding docs (digest-derived coarse
+    partition key computed in the same loop), one keyed exchange of
+    (part, content_hash, doc_id), and a pandas fold per partition emits
+    ids != per-hash min. The result is duplicates-only — << corpus at any
+    scale — which is what makes broadcasting it safe at 10^12 docs,
+    unlike the survivor set (one id per DISTINCT content ≈ corpus-sized)
+    it replaces (VERDICT r3 #2)."""
+    dup_lens = _collided_lengths(sf_dir)
+    if len(dup_lens) == 0:
+        # no two docs even share a length: duplicate-free corpus, and an
+        # all-filtered dataset must not reach the shuffle (empty-block
+        # groupby crash)
+        return np.empty(0, dtype=np.int64)
+    dup_lens_ref = ray.put(dup_lens)
     n_parts = 4 * _join_parts()
+
+    def hash_collided(t: pa.Table) -> pa.Table:
+        lens = _cached_side(dup_lens_ref)
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.minimum(np.searchsorted(lens, nc), len(lens) - 1)
+        t = t.filter(pa.array(lens[idx] == nc))
+        return dd.exact_hash_part_batch(t, n_parts)
+
     dropped = (
-        _docs(sf_dir)
-        .map_batches(
-            lambda t: dd.exact_hash_part_batch(t, n_parts),
-            batch_format="pyarrow",
-        )
+        _docs(sf_dir, columns=("doc_id", "text", "n_chars"))
+        .map_batches(hash_collided, batch_format="pyarrow")
         .groupby("part")
         .map_groups(dd.non_survivor_fold, batch_format="pandas")
         .to_pandas()
@@ -3098,6 +3131,65 @@ def _tfidf_sql() -> str:
 TFIDF_TOPK_SQL = _tfidf_sql()
 
 
+CLEAN_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+CLEAN_URL_RE = r"https?://[^\s]+"
+
+
+def q_clean_text(sf_dir: str):
+    """Text normalization + PII audit — the scrub step of a curation
+    pipeline: lowercase, collapse whitespace runs, trim; count email/URL
+    matches (the redaction candidates). One compiled-regex actor pool, no
+    shuffle; output carries the md5 of the normalized text so the
+    transform itself is value-checked, not just counted. Patterns are
+    RE2-compatible so the DuckDB twin runs the SAME regexes."""
+    import hashlib
+    import re
+
+    class CleanText:
+        def __init__(self):
+            self.ws = re.compile(r"\s+")
+            self.email = re.compile(CLEAN_EMAIL_RE)
+            self.url = re.compile(CLEAN_URL_RE)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t["text"].to_pylist()
+            norm = [self.ws.sub(" ", s.lower()).strip() for s in texts]
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_emails": pa.array(
+                        np.array([len(self.email.findall(s)) for s in texts],
+                                 dtype=np.int64)),
+                    "n_urls": pa.array(
+                        np.array([len(self.url.findall(s)) for s in texts],
+                                 dtype=np.int64)),
+                    "norm_len": pa.array(
+                        np.array([len(s) for s in norm], dtype=np.int64)),
+                    "norm_md5": pa.array(
+                        [hashlib.md5(s.encode()).hexdigest() for s in norm]),
+                }
+            )
+
+    return _docs(sf_dir).map_batches(
+        CleanText, batch_format="pyarrow", batch_size=512,
+        concurrency=(1, 8),
+    )
+
+
+CLEAN_TEXT_SQL = (
+    "WITH n AS (SELECT doc_id,"
+    " trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,"
+    f" CAST(length(regexp_extract_all(text, '{CLEAN_EMAIL_RE}'))"
+    "   AS BIGINT) AS n_emails,"
+    f" CAST(length(regexp_extract_all(text, '{CLEAN_URL_RE}'))"
+    "   AS BIGINT) AS n_urls"
+    " FROM documents)"
+    " SELECT doc_id, n_emails, n_urls,"
+    " CAST(length(norm) AS BIGINT) AS norm_len, md5(norm) AS norm_md5"
+    " FROM n"
+)
+
+
 PQ_NN_K = 10
 
 
@@ -3207,6 +3299,7 @@ DATA_QUERIES = {
     "ann_pq": (q_ann_pq, ANN_PQ_SQL),
     "sample_per_source": (q_sample_per_source, SAMPLE_PER_SOURCE_SQL),
     "tfidf_topk": (q_tfidf_topk, TFIDF_TOPK_SQL),
+    "clean_text": (q_clean_text, CLEAN_TEXT_SQL),
     "embed_dedup": (q_embed_dedup, EMBED_DEDUP_SQL),
     "top_docs_per_lang": (q_top_docs_per_lang, TOP_DOCS_SQL),
     "split_train_holdout": (q_split_train_holdout, SPLIT_SQL),
