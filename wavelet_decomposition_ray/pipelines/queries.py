@@ -1315,6 +1315,130 @@ CROSS_SOURCE_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# SAX symbolization (Lin et al., "A Symbolic Representation of Time
+# Series", DMKD 2007) — integer-exact variant
+# --------------------------------------------------------------------------
+
+SAX_W = 8          # PAA segments per sequence
+SAX_ALPHABET = "abcd"
+
+
+def _paa_floor_means_batch(t: pa.Table) -> pa.Table:
+    """(doc_id, tokens) -> (doc_id, means list<int64>[SAX_W]): per-segment
+    FLOOR-means (sum // seg_len, the house integer-exact convention; the
+    classic z-normalized float PAA is a lossy rescale of the same sums).
+    Sequences whose length is not a multiple of SAX_W trim the tail
+    tokens (the M1 pad/trim convention). Fully vectorized: one reduceat
+    over the batch's flat token buffer with 9 boundaries per doc (8
+    segment starts + the trim point, discarded)."""
+    from ..functions.listops import list_to_numpy, numpy_to_list
+
+    vals, off = list_to_numpy(t["tokens"])
+    n_docs = len(off) - 1
+    if n_docs == 0:
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "means": pa.array([], type=pa.list_(pa.int64()))}
+        )
+    lens = np.diff(off)
+    seg_len = lens // SAX_W
+    assert (seg_len > 0).all(), "sequence shorter than SAX_W tokens"
+    k = np.arange(SAX_W + 1, dtype=np.int64)
+    bounds = (off[:-1, None] + seg_len[:, None] * k[None, :]).ravel()
+    flat = np.concatenate([vals.astype(np.int64), [0]])  # reduceat sentinel
+    sums = np.add.reduceat(flat, bounds)
+    sums = sums.reshape(n_docs, SAX_W + 1)[:, :SAX_W]  # drop trim segment
+    means = sums // seg_len[:, None]
+    out_off = np.arange(n_docs + 1, dtype=np.int64) * SAX_W
+    return pa.table(
+        {"doc_id": t["doc_id"],
+         "means": numpy_to_list(means.ravel(), out_off, pa.int64())}
+    )
+
+
+def q_sax_symbols(sf_dir: str):
+    """SAX symbols per sequence: PAA floor-means -> global quartile
+    breakpoints -> one letter per segment, concatenated to an 8-char word
+    (the similarity-search / motif-discovery representation). Sequences
+    are one row each, so symbolization needs NO shuffle: the means are
+    computed in-row, the only exchange is the distinct-value histogram
+    that yields the 3 global order-statistic breakpoints (rank
+    ((n-1)*q)//4 + 1, matching the SQL row_number convention), broadcast
+    back into a second streaming pass."""
+    from ray.data.aggregate import Sum
+
+    means_ds = _seq_ds(sf_dir).map_batches(
+        _paa_floor_means_batch, batch_format="pyarrow", batch_size=256
+    ).materialize()  # 8 ints per doc — tiny next to the token buffers
+
+    def vc(t: pa.Table) -> pa.Table:
+        from ..functions.listops import list_to_numpy
+
+        flat, _ = list_to_numpy(t["means"])
+        v, c = np.unique(flat, return_counts=True)
+        return pa.table({"m": pa.array(v.astype(np.int64)),
+                         "pn": pa.array(c.astype(np.int64))})
+
+    hist = (
+        means_ds.map_batches(vc, batch_format="pyarrow")
+        .groupby("m")
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()
+        .sort_values("m")
+    )
+    vals_h = hist["m"].to_numpy()
+    cum = np.cumsum(hist["n"].to_numpy())
+    total = int(cum[-1])
+    ranks = [((total - 1) * q) // 4 + 1 for q in (1, 2, 3)]
+    bps = np.array(
+        [vals_h[np.searchsorted(cum, r)] for r in ranks], dtype=np.int64
+    )
+    bp_ref = ray.put(bps)
+    letters = np.array(list(SAX_ALPHABET))
+
+    def symbolize(t: pa.Table) -> pa.Table:
+        from ..functions.listops import list_to_numpy
+
+        b = ray.get(bp_ref)
+        flat, off = list_to_numpy(t["means"])
+        # letter index = #{breakpoints <= m} (the SQL twin's strict-<
+        # CASE ladder), i.e. side="right" — also correct for duplicate
+        # breakpoints on skewed histograms
+        sym = letters[np.searchsorted(b, flat, side="right")]
+        n = len(off) - 1
+        words = ["".join(sym[off[i]:off[i + 1]]) for i in range(n)]
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "sax": pa.array(words, type=pa.string())}
+        )
+
+    return means_ds.map_batches(symbolize, batch_format="pyarrow")
+
+
+SAX_SQL = (
+    "WITH seq AS (SELECT doc_id, tokens, n_tok"
+    f" FROM read_parquet('{SYNTH_GLOB_001}')),"
+    " seg AS (SELECT doc_id,"
+    f"   (generate_subscripts(tokens, 1) - 1) // (n_tok // {SAX_W}) AS k,"
+    "   unnest(tokens) AS tok, n_tok FROM seq),"
+    " m AS (SELECT doc_id, k,"
+    f"   CAST(sum(tok) // max(n_tok // {SAX_W}) AS BIGINT) AS m"
+    f"   FROM seg WHERE k < {SAX_W} GROUP BY doc_id, k),"
+    " r AS (SELECT m, row_number() OVER (ORDER BY m) AS r FROM m),"
+    " cnt AS (SELECT count(*) AS n FROM m),"
+    " b AS (SELECT"
+    "   max(CASE WHEN r.r = ((cnt.n - 1) * 1) // 4 + 1 THEN r.m END) AS b1,"
+    "   max(CASE WHEN r.r = ((cnt.n - 1) * 2) // 4 + 1 THEN r.m END) AS b2,"
+    "   max(CASE WHEN r.r = ((cnt.n - 1) * 3) // 4 + 1 THEN r.m END) AS b3"
+    "   FROM r CROSS JOIN cnt)"
+    " SELECT doc_id, string_agg("
+    "   CASE WHEN m < b.b1 THEN 'a' WHEN m < b.b2 THEN 'b'"
+    "        WHEN m < b.b3 THEN 'c' ELSE 'd' END, '' ORDER BY k) AS sax"
+    " FROM m CROSS JOIN b GROUP BY doc_id"
+)
+
+
 def q_topk_tokens(sf_dir: str) -> "ray.data.Dataset":
     """Global top-20 token values (K1's sort + order-statistic shape as a
     distributed sort + limit)."""
@@ -3878,6 +4002,7 @@ CORE_QUERIES = {
     "m4_downsample": (q_m4_downsample, M4_SQL),
     "lttb_downsample": (q_lttb_downsample, LTTB_SQL),
     "corpus_pack512": (q_corpus_pack512, PACK_SQL),
+    "sax_symbols": (q_sax_symbols, SAX_SQL),
     "store_refresh": (q_store_refresh, SOURCE_STATS_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_BY_NATION_SQL),
     "order_priority_revenue": (
