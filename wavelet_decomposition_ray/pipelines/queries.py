@@ -1439,6 +1439,45 @@ SAX_SQL = (
 )
 
 
+SAX_MOTIF_TOPK = 10
+
+
+def q_sax_motifs(sf_dir: str):
+    """Motif discovery over the SAX vocabulary: the most common SAX words
+    across the corpus (sequences sharing a word are shape-similar at the
+    PAA resolution — the classic coarse motif screen). One 4^8-bounded
+    word-keyed groupby on top of the shuffle-free symbolization, local
+    top-K finish."""
+    from ray.data.aggregate import Count
+
+    agg = (
+        q_sax_symbols(sf_dir)
+        .groupby("sax")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+    def finish(df):
+        df = df.copy()
+        df["n_docs"] = df["n_docs"].astype(np.int64)
+        return df.sort_values(["n_docs", "sax"],
+                              ascending=[False, True]).head(SAX_MOTIF_TOPK)
+
+    top = agg.map_batches(finish, batch_format="pandas",
+                          batch_size=None).to_pandas()
+    return (
+        top.sort_values(["n_docs", "sax"], ascending=[False, True])
+        .head(SAX_MOTIF_TOPK)
+        .reset_index(drop=True)
+    )
+
+
+SAX_MOTIFS_SQL = (
+    f"WITH sax AS ({SAX_SQL})"
+    " SELECT sax, CAST(count(*) AS BIGINT) AS n_docs FROM sax"
+    f" GROUP BY sax ORDER BY n_docs DESC, sax LIMIT {SAX_MOTIF_TOPK}"
+)
+
+
 def q_topk_tokens(sf_dir: str) -> "ray.data.Dataset":
     """Global top-20 token values (K1's sort + order-statistic shape as a
     distributed sort + limit)."""
@@ -4003,6 +4042,7 @@ CORE_QUERIES = {
     "lttb_downsample": (q_lttb_downsample, LTTB_SQL),
     "corpus_pack512": (q_corpus_pack512, PACK_SQL),
     "sax_symbols": (q_sax_symbols, SAX_SQL),
+    "sax_motifs": (q_sax_motifs, SAX_MOTIFS_SQL),
     "store_refresh": (q_store_refresh, SOURCE_STATS_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_BY_NATION_SQL),
     "order_priority_revenue": (
