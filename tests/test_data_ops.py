@@ -960,15 +960,17 @@ def test_clean_text_counts_planted_pii(ray_session, tmp_path):
         "no pii here\tjust   WHITESPACE\nand MixedCase",
         "two mails: a@b.io c.d@e-f.org and http://plain.url",
         "",
+        "vertical\x0btab and nbsp\xa0stay distinct",  # RE2-vs-re \s edge
     ]
-    df = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64), "text": texts})
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
     df["n_chars"] = df["text"].str.len().astype(np.int64)
     df.to_parquet(tmp_path / "documents.parquet", index=False)
 
     got = dq.q_clean_text(str(tmp_path)).to_pandas().sort_values(
         "doc_id").reset_index(drop=True)
-    assert got["n_emails"].tolist() == [1, 0, 2, 0]
-    assert got["n_urls"].tolist() == [1, 0, 1, 0]
+    assert got["n_emails"].tolist() == [1, 0, 2, 0, 0]
+    assert got["n_urls"].tolist() == [1, 0, 1, 0, 0]
     norm0 = re.sub(r"\s+", " ", texts[0].lower()).strip()
     assert got["norm_md5"][0] == hashlib.md5(norm0.encode()).hexdigest()
 

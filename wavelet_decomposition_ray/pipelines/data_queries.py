@@ -300,21 +300,41 @@ def _cached_side(ref):
     return _SIDE_CACHE[key]
 
 
+def _in_sorted(sorted_vals: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``x`` in a SORTED unique array (clamped
+    searchsorted + equality). Empty array -> all False."""
+    if len(sorted_vals) == 0:
+        return np.zeros(len(x), dtype=bool)
+    idx = np.minimum(np.searchsorted(sorted_vals, x), len(sorted_vals) - 1)
+    return sorted_vals[idx] == x
+
+
 def _collided_lengths(sf_dir: str) -> np.ndarray:
-    """Sorted n_chars values shared by >1 document. Identical texts share
-    a length, so docs whose length is globally UNIQUE cannot be exact
-    duplicates — the md5 pass can skip them entirely. The histogram pass
-    reads ONE int column and exchanges distinct-length-sized partials."""
+    """Sorted text lengths shared by >1 document. Identical texts share a
+    length, so docs whose length is globally UNIQUE cannot be exact
+    duplicates — the md5 pass can skip them entirely. Length is DERIVED
+    from the text column (one vectorized utf8_length kernel), never taken
+    from a metadata column: the prune must be a function of exactly the
+    bytes the hash sees, and the input needs no schema beyond
+    (doc_id, text). The exchange is distinct-length-sized partials; a
+    deployment with trustworthy length statistics can swap this scan for
+    the stats column."""
     from ray.data.aggregate import Count
 
+    def lens_batch(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"len": pc.cast(pc.utf8_length(t["text"]), pa.int64())}
+        )
+
     counts = (
-        _docs(sf_dir, columns=("n_chars",))
-        .groupby("n_chars")
+        _docs(sf_dir)
+        .map_batches(lens_batch, batch_format="pyarrow")
+        .groupby("len")
         .aggregate(Count(alias_name="n"))
         .to_pandas()
     )
     return np.sort(
-        counts.loc[counts["n"] > 1, "n_chars"].to_numpy().astype(np.int64)
+        counts.loc[counts["n"] > 1, "len"].to_numpy().astype(np.int64)
     )
 
 
@@ -340,13 +360,12 @@ def _dropped_dup_ids(sf_dir: str) -> np.ndarray:
 
     def hash_collided(t: pa.Table) -> pa.Table:
         lens = _cached_side(dup_lens_ref)
-        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        idx = np.minimum(np.searchsorted(lens, nc), len(lens) - 1)
-        t = t.filter(pa.array(lens[idx] == nc))
+        nc = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(_in_sorted(lens, nc.astype(np.int64))))
         return dd.exact_hash_part_batch(t, n_parts)
 
     dropped = (
-        _docs(sf_dir, columns=("doc_id", "text", "n_chars"))
+        _docs(sf_dir)
         .map_batches(hash_collided, batch_format="pyarrow")
         .groupby("part")
         .map_groups(dd.non_survivor_fold, batch_format="pandas")
@@ -359,10 +378,7 @@ def _dropped_dup_ids(sf_dir: str) -> np.ndarray:
 
 def _make_not_dropped_mask(drop: np.ndarray, ids: np.ndarray) -> np.ndarray:
     """Boolean keep-mask: ids NOT in the sorted dropped array."""
-    if len(drop) == 0:
-        return np.ones(len(ids), dtype=bool)
-    idx = np.minimum(np.searchsorted(drop, ids), len(drop) - 1)
-    return drop[idx] != ids
+    return ~_in_sorted(drop, ids)
 
 
 def q_dedup_exact_keep(sf_dir: str):
@@ -3131,29 +3147,38 @@ def _tfidf_sql() -> str:
 TFIDF_TOPK_SQL = _tfidf_sql()
 
 
+# explicit ASCII whitespace class, NOT \s: Python re's \s is Unicode-aware
+# (matches NBSP etc.) while DuckDB's RE2 \s is ASCII-only — the twin would
+# diverge on any non-ASCII whitespace. Both engines run THIS class.
+CLEAN_WS_RE = r"[ \t\n\f\r\v]+"
 CLEAN_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-CLEAN_URL_RE = r"https?://[^\s]+"
+CLEAN_URL_RE = r"https?://[^ \t\n\f\r\v]+"
 
 
 def q_clean_text(sf_dir: str):
     """Text normalization + PII audit — the scrub step of a curation
-    pipeline: lowercase, collapse whitespace runs, trim; count email/URL
-    matches (the redaction candidates). One compiled-regex actor pool, no
-    shuffle; output carries the md5 of the normalized text so the
-    transform itself is value-checked, not just counted. Patterns are
-    RE2-compatible so the DuckDB twin runs the SAME regexes."""
+    pipeline: lowercase, collapse ASCII-whitespace runs, trim; count
+    email/URL matches (the redaction candidates). One compiled-regex
+    actor pool, no shuffle; output carries the md5 of the normalized text
+    so the transform itself is value-checked, not just counted. Patterns
+    use the explicit ASCII whitespace class above so the DuckDB twin runs
+    the IDENTICAL regexes (case-mapping divergence on exotic Unicode
+    title-case letters remains out of scope — this is an ASCII-curation
+    op)."""
     import hashlib
     import re
 
     class CleanText:
         def __init__(self):
-            self.ws = re.compile(r"\s+")
+            self.ws = re.compile(CLEAN_WS_RE)
             self.email = re.compile(CLEAN_EMAIL_RE)
             self.url = re.compile(CLEAN_URL_RE)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             texts = t["text"].to_pylist()
-            norm = [self.ws.sub(" ", s.lower()).strip() for s in texts]
+            # strip(" ") not strip(): after the collapse every boundary
+            # run is a single space, and DuckDB trim() strips spaces only
+            norm = [self.ws.sub(" ", s.lower()).strip(" ") for s in texts]
             return pa.table(
                 {
                     "doc_id": t["doc_id"],
@@ -3178,7 +3203,7 @@ def q_clean_text(sf_dir: str):
 
 CLEAN_TEXT_SQL = (
     "WITH n AS (SELECT doc_id,"
-    " trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,"
+    f" trim(regexp_replace(lower(text), '{CLEAN_WS_RE}', ' ', 'g')) AS norm,"
     f" CAST(length(regexp_extract_all(text, '{CLEAN_EMAIL_RE}'))"
     "   AS BIGINT) AS n_emails,"
     f" CAST(length(regexp_extract_all(text, '{CLEAN_URL_RE}'))"

@@ -1329,12 +1329,17 @@ def _paa_floor_means_batch(t: pa.Table) -> pa.Table:
     FLOOR-means (sum // seg_len, the house integer-exact convention; the
     classic z-normalized float PAA is a lossy rescale of the same sums).
     Sequences whose length is not a multiple of SAX_W trim the tail
-    tokens (the M1 pad/trim convention). Fully vectorized: one reduceat
-    over the batch's flat token buffer with 9 boundaries per doc (8
-    segment starts + the trim point, discarded)."""
+    tokens, and sequences SHORTER than SAX_W are dropped on both engine
+    and SQL sides (no 8-segment word exists for them). Fully vectorized:
+    one reduceat over the batch's flat token buffer with 9 boundaries per
+    doc (8 segment starts + the trim point, discarded)."""
     from ..functions.listops import list_to_numpy, numpy_to_list
 
     vals, off = list_to_numpy(t["tokens"])
+    keep = np.diff(off) >= SAX_W
+    if not keep.all():
+        t = t.filter(pa.array(keep))
+        vals, off = list_to_numpy(t["tokens"])
     n_docs = len(off) - 1
     if n_docs == 0:
         return pa.table(
@@ -1343,10 +1348,11 @@ def _paa_floor_means_batch(t: pa.Table) -> pa.Table:
         )
     lens = np.diff(off)
     seg_len = lens // SAX_W
-    assert (seg_len > 0).all(), "sequence shorter than SAX_W tokens"
     k = np.arange(SAX_W + 1, dtype=np.int64)
     bounds = (off[:-1, None] + seg_len[:, None] * k[None, :]).ravel()
-    flat = np.concatenate([vals.astype(np.int64), [0]])  # reduceat sentinel
+    flat = np.empty(len(vals) + 1, dtype=np.int64)  # one widening pass
+    flat[:-1] = vals
+    flat[-1] = 0  # reduceat sentinel for a final trim boundary == len
     sums = np.add.reduceat(flat, bounds)
     sums = sums.reshape(n_docs, SAX_W + 1)[:, :SAX_W]  # drop trim segment
     means = sums // seg_len[:, None]
@@ -1418,7 +1424,7 @@ def q_sax_symbols(sf_dir: str):
 
 SAX_SQL = (
     "WITH seq AS (SELECT doc_id, tokens, n_tok"
-    f" FROM read_parquet('{SYNTH_GLOB_001}')),"
+    f" FROM read_parquet('{SYNTH_GLOB_001}') WHERE n_tok >= {SAX_W}),"
     " seg AS (SELECT doc_id,"
     f"   (generate_subscripts(tokens, 1) - 1) // (n_tok // {SAX_W}) AS k,"
     "   unnest(tokens) AS tok, n_tok FROM seq),"
