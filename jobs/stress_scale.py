@@ -55,15 +55,14 @@ def cc_stress() -> dict:
             "wall_s": round(wall, 1)}
 
 
-def simhash_stress(tmp: str) -> dict:
-    """1M docs with (a) one 10k-copy template whose band buckets exceed the
-    occupancy cap (must drop, loudly, without collapsing the run) and
-    (b) 100 templates x 50 copies of normal duplicate mass (must all be
-    found: identical texts => hamming 0)."""
-    from wavelet_decomposition_ray.pipelines import data_queries as dq
+N_DOCS = 1_000_000
+N_HOT, N_TMPL, N_COPY = 10_000, 100, 50
 
-    n = 1_000_000
-    n_hot, n_tmpl, n_copy = 10_000, 100, 50
+
+def _build_corpus(tmp: str) -> None:
+    """1M-doc template-spam corpus: one 10k-copy viral template, 100 x 50
+    normal duplicate clusters, word-diverse tail."""
+    n, n_hot, n_tmpl, n_copy = N_DOCS, N_HOT, N_TMPL, N_COPY
     texts = np.empty(n, dtype=object)
     texts[:n_hot] = "viral template body shared by far too many documents"
     for t in range(n_tmpl):
@@ -80,10 +79,23 @@ def simhash_stress(tmp: str) -> dict:
         f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h"
         for i in range(tail, n)
     ]
-    path = os.path.join(tmp, "documents.parquet")
+    n_chars = np.array([len(t) for t in texts], dtype=np.int64)
     pq.write_table(
-        pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)}), path
+        pa.table({"doc_id": pa.array(ids), "text": pa.array(texts),
+                  "n_chars": pa.array(n_chars)}),
+        os.path.join(tmp, "documents.parquet"),
     )
+
+
+def simhash_stress(tmp: str) -> dict:
+    """1M docs with (a) one 10k-copy template whose band buckets exceed the
+    occupancy cap (must drop, loudly, without collapsing the run) and
+    (b) 100 templates x 50 copies of normal duplicate mass (must all be
+    found: identical texts => hamming 0)."""
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    n, n_hot, n_tmpl, n_copy = N_DOCS, N_HOT, N_TMPL, N_COPY
+    _build_corpus(tmp)
 
     t0 = time.perf_counter()
     pairs = dq.q_simhash_pairs(tmp).to_pandas()
@@ -111,6 +123,23 @@ def simhash_stress(tmp: str) -> dict:
             "wall_s": round(wall, 1)}
 
 
+def corpus_clean_stress(tmp: str) -> dict:
+    """corpus_clean on the same 1M-doc corpus: one streaming pass with the
+    dropped-duplicate broadcast (10k+5k planted duplicate surplus) and the
+    length-histogram md5 prune — the round-4 scale path end to end."""
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    t0 = time.perf_counter()
+    dropped = dq._dropped_dup_ids(tmp)
+    n_rows = dq.q_corpus_clean(tmp).count()
+    wall = time.perf_counter() - t0
+    # duplicate surplus: 10k hot copies -1 survivor, 100 x (50-1) normals
+    assert len(dropped) == (10_000 - 1) + 100 * 49, len(dropped)
+    assert n_rows > 0
+    return {"docs": 1_000_000, "dropped_dups": int(len(dropped)),
+            "clean_rows": int(n_rows), "wall_s": round(wall, 1)}
+
+
 def main():
     import ray
 
@@ -119,9 +148,16 @@ def main():
                  num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
                  include_dashboard=False)
     out = {}
+    only = os.environ.get("STRESS_ONLY", "")
     with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
-        out["simhash_1m_docs"] = simhash_stress(tmp)
-    out["cc_6m_edges"] = cc_stress()
+        if only in ("", "simhash"):
+            out["simhash_1m_docs"] = simhash_stress(tmp)
+        if only in ("", "clean"):
+            if only == "clean":  # corpus not built by the simhash leg
+                _build_corpus(tmp)
+            out["corpus_clean_1m_docs"] = corpus_clean_stress(tmp)
+    if only in ("", "cc"):
+        out["cc_6m_edges"] = cc_stress()
     print(json.dumps(out))
     ray.shutdown()
 
