@@ -980,3 +980,40 @@ def test_clean_text_counts_planted_pii(ray_session, tmp_path):
         "doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[sorted(got.columns)],
                                   want[sorted(got.columns)])
+
+
+def test_best_shift_recovers_planted_alignment():
+    """K2 analog: a square wave of period b=16 offset by 12 captures all
+    its energy in the coarse windows exactly when the shift re-aligns the
+    blocks; ties resolve to the smallest candidate shift."""
+    import unittest.mock as mock
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    assert (cq.SHIFT_GRID, cq.SHIFT_WINDOWS) == (64, 16)
+    n, b, d0 = 256, 16, 12
+    x = np.zeros(n, dtype=np.int64)
+    for start in range(d0, n, 2 * b):
+        x[start : start + b] = 100
+    t = pa.table({"doc_id": ["planted"], "tokens": [x.tolist()]})
+
+    # capture the query's per-batch kernel (a pure function) and run it
+    # directly on the in-memory table
+    captured = {}
+
+    class _Stop(Exception):
+        pass
+
+    class _Probe:
+        def map_batches(self, fn, **kw):
+            captured["fn"] = fn
+            raise _Stop()
+
+    with mock.patch.object(cq, "_seq_ds", return_value=_Probe()):
+        with pytest.raises(_Stop):
+            cq.q_best_shift("unused")
+    out = captured["fn"](t)
+    assert out["best_shift"][0].as_py() == d0
+    # aligned shift: every window is all-0 or all-100 -> the energy is 8
+    # windows of window-sum 16*100 each
+    assert out["energy2"][0].as_py() == 8 * (16 * 100) ** 2

@@ -1445,6 +1445,105 @@ SAX_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# K2: translation calibration (reference calc_translations.py:29-43) —
+# best circular shift per sequence
+# --------------------------------------------------------------------------
+
+SHIFT_GRID = 64    # candidate shifts per sequence (reference: every shift)
+SHIFT_WINDOWS = 16  # coarse projection windows
+
+
+def q_best_shift(sf_dir: str):
+    """K2 analog: per sequence, the circular shift minimizing the residual
+    after the coarse block-mean (truncated-Haar) projection — the
+    reference's ``calc_best_trans`` (calc_translations.py:29-43) searches
+    every shift with a damped LSQR per candidate; for an orthogonal
+    projection argmin-residual == argmax captured window energy, which
+    one circular prefix sum answers for ALL candidates at once. The shift
+    grid is SHIFT_GRID points (stride n'/64; the reference's exhaustive
+    scan is the same code with the grid set to n'). Integer-exact:
+    energy2 = sum of squared window sums (|tok| <= 2^16, n <= 2^16 =>
+    < 2^60). Sequences are one row each — no shuffle; sequences shorter
+    than SHIFT_GRID tokens are dropped on both sides."""
+    from ..functions.listops import list_to_numpy
+
+    G, W = SHIFT_GRID, SHIFT_WINDOWS
+
+    def best_shift_batch(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        keep = np.diff(off) >= G
+        if not keep.all():
+            t = t.filter(pa.array(keep))
+            vals, off = list_to_numpy(t["tokens"])
+        n_docs = len(off) - 1
+        best_d = np.empty(n_docs, dtype=np.int64)
+        best_e = np.empty(n_docs, dtype=np.int64)
+        k = np.arange(W + 1, dtype=np.int64)
+        for i in range(n_docs):
+            x = vals[off[i]:off[i + 1]].astype(np.int64)
+            np_ = (len(x) // G) * G  # trim to the shift grid
+            s = np_ // G
+            b = np_ // W
+            cp = np.zeros(np_ + 1, dtype=np.int64)
+            np.cumsum(x[:np_], out=cp[1:])
+            total = cp[-1]
+            d = np.arange(G, dtype=np.int64) * s
+            idx = d[:, None] + k[None, :] * b   # (G, W+1), < 2*np_
+            wrap = idx > np_
+            cpv = cp[np.where(wrap, idx - np_, idx)] + wrap * total
+            seg = cpv[:, 1:] - cpv[:, :-1]      # (G, W) window sums
+            e = (seg * seg).sum(axis=1)
+            j = int(np.argmax(e))               # ties -> smallest shift
+            best_d[i] = j * s
+            best_e[i] = e[j]
+        return pa.table(
+            {"doc_id": t["doc_id"], "best_shift": pa.array(best_d),
+             "energy2": pa.array(best_e)}
+        )
+
+    return _seq_ds(sf_dir).map_batches(
+        best_shift_batch, batch_format="pyarrow", batch_size=128
+    )
+
+
+BEST_SHIFT_SQL = (
+    "WITH seq AS (SELECT doc_id, tokens,"
+    f" (n_tok // {SHIFT_GRID}) * {SHIFT_GRID} AS np"
+    f" FROM read_parquet('{SYNTH_GLOB_001}') WHERE n_tok >= {SHIFT_GRID}),"
+    " tok AS (SELECT doc_id, np, generate_subscripts(tokens, 1) - 1 AS pos,"
+    "   unnest(tokens) AS v FROM seq),"
+    " pre AS (SELECT doc_id, np, pos,"
+    "   CAST(sum(v) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS p"
+    "   FROM tok WHERE pos < np),"
+    " cp AS (SELECT doc_id, pos + 1 AS t, p FROM pre"
+    "   UNION ALL SELECT doc_id, 0, 0 FROM seq),"
+    " tot AS (SELECT doc_id, max(p) AS total FROM pre GROUP BY doc_id),"
+    " pts AS (SELECT s.doc_id, s.np, g.j, w.k,"
+    f"   g.j * (s.np // {SHIFT_GRID}) + w.k * (s.np // {SHIFT_WINDOWS}) AS a,"
+    f"   g.j * (s.np // {SHIFT_GRID}) + (w.k + 1) * (s.np // {SHIFT_WINDOWS})"
+    "     AS b"
+    f"   FROM seq s, (SELECT unnest(range(0, {SHIFT_GRID})) AS j) g,"
+    f"   (SELECT unnest(range(0, {SHIFT_WINDOWS})) AS k) w),"
+    " sums AS (SELECT p.doc_id, p.j,"
+    "   (cb.p + CASE WHEN p.b > p.np THEN t.total ELSE 0 END)"
+    "   - (ca.p + CASE WHEN p.a > p.np THEN t.total ELSE 0 END) AS s"
+    "   FROM pts p"
+    "   JOIN cp ca ON ca.doc_id = p.doc_id AND ca.t ="
+    "     CASE WHEN p.a <= p.np THEN p.a ELSE p.a - p.np END"
+    "   JOIN cp cb ON cb.doc_id = p.doc_id AND cb.t ="
+    "     CASE WHEN p.b <= p.np THEN p.b ELSE p.b - p.np END"
+    "   JOIN tot t ON t.doc_id = p.doc_id),"
+    " en AS (SELECT doc_id, j, CAST(sum(s * s) AS BIGINT) AS e FROM sums"
+    "   GROUP BY doc_id, j),"
+    " best AS (SELECT doc_id, j, e FROM en QUALIFY"
+    "   row_number() OVER (PARTITION BY doc_id ORDER BY e DESC, j) = 1)"
+    f" SELECT b.doc_id, CAST(b.j * (s.np // {SHIFT_GRID}) AS BIGINT)"
+    "   AS best_shift, b.e AS energy2"
+    " FROM best b JOIN seq s USING (doc_id)"
+)
+
+
 SAX_MOTIF_TOPK = 10
 
 
@@ -4049,6 +4148,7 @@ CORE_QUERIES = {
     "corpus_pack512": (q_corpus_pack512, PACK_SQL),
     "sax_symbols": (q_sax_symbols, SAX_SQL),
     "sax_motifs": (q_sax_motifs, SAX_MOTIFS_SQL),
+    "best_shift": (q_best_shift, BEST_SHIFT_SQL),
     "store_refresh": (q_store_refresh, SOURCE_STATS_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_BY_NATION_SQL),
     "order_priority_revenue": (
