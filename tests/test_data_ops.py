@@ -725,6 +725,14 @@ def test_dropped_set_filter_equals_keep_set_filter(ray_session, tmp_path):
     assert np.array_equal(dropped, np.sort(drop_truth))
     assert len(dropped) < n  # duplicates-only, strictly smaller than corpus
 
+    # the length-histogram prune path (adaptive: normally > 100k docs)
+    # must produce the identical dropped set
+    import unittest.mock as mock
+
+    with mock.patch.object(dq, "DEDUP_PRUNE_THRESHOLD", 0):
+        pruned = dq._dropped_dup_ids(str(tmp_path))
+    assert np.array_equal(pruned, dropped)
+
     got = (
         dq.q_dedup_exact_keep(str(tmp_path))
         .to_pandas()

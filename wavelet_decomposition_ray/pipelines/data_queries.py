@@ -300,6 +300,12 @@ def _cached_side(ref):
     return _SIDE_CACHE[key]
 
 
+# below this corpus size the length-histogram prune's extra pass costs
+# more than the md5 it saves (same adaptive-plan shape as the simhash
+# banding threshold)
+DEDUP_PRUNE_THRESHOLD = 100_000
+
+
 def _in_sorted(sorted_vals: np.ndarray, x: np.ndarray) -> np.ndarray:
     """Vectorized membership of ``x`` in a SORTED unique array (clamped
     searchsorted + equality). Empty array -> all False."""
@@ -348,25 +354,36 @@ def _dropped_dup_ids(sf_dir: str) -> np.ndarray:
     ids != per-hash min. The result is duplicates-only — << corpus at any
     scale — which is what makes broadcasting it safe at 10^12 docs,
     unlike the survivor set (one id per DISTINCT content ≈ corpus-sized)
-    it replaces (VERDICT r3 #2)."""
-    dup_lens = _collided_lengths(sf_dir)
-    if len(dup_lens) == 0:
-        # no two docs even share a length: duplicate-free corpus, and an
-        # all-filtered dataset must not reach the shuffle (empty-block
-        # groupby crash)
-        return np.empty(0, dtype=np.int64)
-    dup_lens_ref = ray.put(dup_lens)
-    n_parts = 4 * _join_parts()
+    it replaces (VERDICT r3 #2).
 
-    def hash_collided(t: pa.Table) -> pa.Table:
-        lens = _cached_side(dup_lens_ref)
-        nc = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False)
-        t = t.filter(pa.array(_in_sorted(lens, nc.astype(np.int64))))
-        return dd.exact_hash_part_batch(t, n_parts)
+    The prune is ADAPTIVE: below DEDUP_PRUNE_THRESHOLD docs the histogram
+    pass costs more than the md5 it saves (fixed per-execution overhead
+    dominates at toy scale), so small corpora hash everything in one
+    pass; large ones prune first."""
+    n_parts = 4 * _join_parts()
+    n_docs = _docs(sf_dir, columns=("doc_id",)).count()  # parquet metadata
+
+    if n_docs > DEDUP_PRUNE_THRESHOLD:
+        dup_lens = _collided_lengths(sf_dir)
+        if len(dup_lens) == 0:
+            # no two docs even share a length: duplicate-free corpus, and
+            # an all-filtered dataset must not reach the shuffle
+            # (empty-block groupby crash)
+            return np.empty(0, dtype=np.int64)
+        dup_lens_ref = ray.put(dup_lens)
+
+        def hash_fn(t: pa.Table) -> pa.Table:
+            lens = _cached_side(dup_lens_ref)
+            nc = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(_in_sorted(lens, nc.astype(np.int64))))
+            return dd.exact_hash_part_batch(t, n_parts)
+    else:
+        def hash_fn(t: pa.Table) -> pa.Table:
+            return dd.exact_hash_part_batch(t, n_parts)
 
     dropped = (
         _docs(sf_dir)
-        .map_batches(hash_collided, batch_format="pyarrow")
+        .map_batches(hash_fn, batch_format="pyarrow")
         .groupby("part")
         .map_groups(dd.non_survivor_fold, batch_format="pandas")
         .to_pandas()
