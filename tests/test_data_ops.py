@@ -1025,3 +1025,39 @@ def test_best_shift_recovers_planted_alignment():
     # aligned shift: every window is all-0 or all-100 -> the energy is 8
     # windows of window-sum 16*100 each
     assert out["energy2"][0].as_py() == 8 * (16 * 100) ** 2
+
+
+def test_scale_decomposition_telescopes_to_signal():
+    """T7 repaired semantic: sum_k 2^(L-k)*num_k(i) + num_0(i) must equal
+    2^L * x_i exactly for every emitted position — the per-scale additive
+    components reconstruct the signal."""
+    import unittest.mock as mock
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    rng = np.random.default_rng(23)
+    x = rng.integers(0, 7000, 64).astype(np.int64)
+    t = pa.table({"doc_id": ["d"], "tokens": [x.tolist()]})
+
+    captured = {}
+
+    class _Stop(Exception):
+        pass
+
+    class _Probe:
+        def map_batches(self, fn, **kw):
+            captured["fn"] = fn
+            raise _Stop()
+
+    with mock.patch.object(cq, "_seq_ds", return_value=_Probe()):
+        with pytest.raises(_Stop):
+            cq.q_scale_decomposition("unused")
+    out = captured["fn"](t).to_pandas()
+
+    L = cq.DECOMP_LEVELS
+    acc = np.zeros(64, dtype=np.int64)
+    for k in range(1, L + 1):
+        rows = out[out["level"] == k].sort_values("pos")
+        acc += (1 << (L - k)) * rows["num"].to_numpy()
+    approx = out[out["level"] == 0].sort_values("pos")["num"].to_numpy()
+    assert np.array_equal(acc + approx, (1 << L) * x)

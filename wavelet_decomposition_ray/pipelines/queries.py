@@ -1446,9 +1446,114 @@ SAX_SQL = (
 
 
 # --------------------------------------------------------------------------
-# K2: translation calibration (reference calc_translations.py:29-43) —
-# best circular shift per sequence
+# T7: per-scale additive decomposition (reference reconstruct_per_ts,
+# wavelet_decomposition.py:435-477 — dead/broken there; this is the
+# repaired semantic)
 # --------------------------------------------------------------------------
+
+DECOMP_LEVELS = 3      # detail levels emitted (plus the level-0 approx row)
+DECOMP_MAX_POS = 512   # leading view window per sequence (8 | 512)
+
+
+def q_scale_decomposition(sf_dir: str):
+    """T7's intent, working: decompose each sequence into one additive
+    component per scale. The reference's ``reconstruct_per_ts`` is dead
+    code (undefined names, wrong arities — SURVEY §2.8); the repaired
+    Haar semantic is closed-form: the level-k detail component at
+    position i is the difference of enclosing block means,
+    ``S_{k-1}(i)/2^(k-1) - S_k(i)/2^k``, and the level-0 row carries the
+    final approximation ``S_L(i)/2^L``. Components are emitted as INTEGER
+    numerators over the documented 2^k denominators (num_k = 2*S_{k-1} -
+    S_k; num_0 = S_L), so the telescoping reconstruction invariant
+    ``sum_k 2^(L-k)*num_k + num_0 == 2^L * x_i`` is exact and
+    pytest-pinned. Rows stream per sequence (row = doc, no shuffle);
+    the emitted view is the leading DECOMP_MAX_POS positions of the
+    8-trimmed sequence, L = DECOMP_LEVELS."""
+    from ..functions.listops import list_to_numpy
+
+    L, P = DECOMP_LEVELS, DECOMP_MAX_POS
+    blk = 1 << L
+
+    def decomp_batch(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        keep = np.diff(off) >= blk
+        if not keep.all():
+            t = t.filter(pa.array(keep))
+            vals, off = list_to_numpy(t["tokens"])
+        n_docs = len(off) - 1
+        ids, levels, poss, nums = [], [], [], []
+        doc_col = t["doc_id"]
+        if isinstance(doc_col, pa.ChunkedArray):
+            doc_col = doc_col.combine_chunks()
+        take_idx = []
+        for i in range(n_docs):
+            x = vals[off[i]:off[i + 1]].astype(np.int64)
+            m = min((len(x) // blk) * blk, P)
+            x = x[:m]
+            s_prev = x  # S_0
+            pos = np.arange(m, dtype=np.int64)
+            for k in range(1, L + 1):
+                w = 1 << k
+                s_k = np.repeat(x.reshape(-1, w).sum(axis=1), w)
+                levels.append(np.full(m, k, dtype=np.int64))
+                poss.append(pos)
+                nums.append(2 * s_prev - s_k)
+                take_idx.append(np.full(m, i, dtype=np.int64))
+                s_prev = s_k
+            levels.append(np.zeros(m, dtype=np.int64))
+            poss.append(pos)
+            nums.append(s_prev)  # S_L approximation numerator
+            take_idx.append(np.full(m, i, dtype=np.int64))
+        if not nums:
+            return pa.table(
+                {"doc_id": pa.array([], type=doc_col.type),
+                 "level": pa.array([], type=pa.int64()),
+                 "pos": pa.array([], type=pa.int64()),
+                 "num": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {
+                "doc_id": doc_col.take(pa.array(np.concatenate(take_idx))),
+                "level": pa.array(np.concatenate(levels)),
+                "pos": pa.array(np.concatenate(poss)),
+                "num": pa.array(np.concatenate(nums)),
+            }
+        )
+
+    return _seq_ds(sf_dir).map_batches(
+        decomp_batch, batch_format="pyarrow", batch_size=128
+    )
+
+
+def _scale_decomp_sql() -> str:
+    L, P = DECOMP_LEVELS, DECOMP_MAX_POS
+    blk = 1 << L
+    levels = " UNION ALL ".join(
+        "SELECT doc_id, CAST({k} AS BIGINT) AS level, pos,"
+        " 2 * s{km1} - s{k} AS num FROM s".format(k=k, km1=k - 1)
+        for k in range(1, L + 1)
+    )
+    sums = ", ".join(
+        f"CAST(sum(tok) OVER (PARTITION BY doc_id, pos // {1 << k})"
+        f" AS BIGINT) AS s{k}"
+        for k in range(1, L + 1)
+    )
+    return (
+        "WITH flat AS (SELECT doc_id,"
+        " generate_subscripts(tokens, 1) - 1 AS pos, unnest(tokens) AS tok,"
+        f" (n_tok // {blk}) * {blk} AS np"
+        f" FROM read_parquet('{SYNTH_GLOB_001}') WHERE n_tok >= {blk}),"
+        " w AS (SELECT doc_id, pos, tok FROM flat"
+        f"   WHERE pos < least(np, {P})),"
+        f" s AS (SELECT doc_id, pos, CAST(tok AS BIGINT) AS s0, {sums}"
+        "   FROM w)"
+        f" {levels}"
+        " UNION ALL SELECT doc_id, CAST(0 AS BIGINT), pos,"
+        f" s{L} FROM s"
+    )
+
+
+SCALE_DECOMP_SQL = _scale_decomp_sql()
 
 SHIFT_GRID = 64    # candidate shifts per sequence (reference: every shift)
 SHIFT_WINDOWS = 16  # coarse projection windows
@@ -4149,6 +4254,7 @@ CORE_QUERIES = {
     "sax_symbols": (q_sax_symbols, SAX_SQL),
     "sax_motifs": (q_sax_motifs, SAX_MOTIFS_SQL),
     "best_shift": (q_best_shift, BEST_SHIFT_SQL),
+    "scale_decomposition": (q_scale_decomposition, SCALE_DECOMP_SQL),
     "store_refresh": (q_store_refresh, SOURCE_STATS_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_BY_NATION_SQL),
     "order_priority_revenue": (
