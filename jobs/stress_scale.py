@@ -129,14 +129,21 @@ def corpus_clean_stress(tmp: str) -> dict:
     length-histogram md5 prune — the round-4 scale path end to end."""
     from wavelet_decomposition_ray.pipelines import data_queries as dq
 
+    # timed section = the pipeline exactly as a user runs it (the dedup
+    # extraction happens INSIDE q_corpus_clean — timing a standalone
+    # _dropped_dup_ids too would double-count that pass)
     t0 = time.perf_counter()
-    dropped = dq._dropped_dup_ids(tmp)
     n_rows = dq.q_corpus_clean(tmp).count()
     wall = time.perf_counter() - t0
-    # duplicate surplus: 10k hot copies -1 survivor, 100 x (50-1) normals
-    assert len(dropped) == (10_000 - 1) + 100 * 49, len(dropped)
-    assert n_rows > 0
-    return {"docs": 1_000_000, "dropped_dups": int(len(dropped)),
+    # untimed exactness check of the dedup side: duplicate surplus =
+    # 10k hot copies - 1 survivor + 100 x (50 - 1) normals
+    dropped = dq._dropped_dup_ids(tmp)
+    assert len(dropped) == (N_HOT - 1) + N_TMPL * (N_COPY - 1), len(dropped)
+    # survivors: 985,101 post-dedup, then ~5% holdout + ~1/97 decontam
+    # side + quality/contamination predicates -> a tight band, so a
+    # filter regression that drops or keeps 10k+ extra docs fails here
+    assert 900_000 < n_rows < 940_000, n_rows
+    return {"docs": N_DOCS, "dropped_dups": int(len(dropped)),
             "clean_rows": int(n_rows), "wall_s": round(wall, 1)}
 
 
@@ -149,6 +156,10 @@ def main():
                  include_dashboard=False)
     out = {}
     only = os.environ.get("STRESS_ONLY", "")
+    assert only in ("", "simhash", "clean", "cc"), (
+        f"STRESS_ONLY={only!r}: valid values are simhash|clean|cc (or "
+        "unset for all) — refusing to silently run nothing"
+    )
     with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
         if only in ("", "simhash"):
             out["simhash_1m_docs"] = simhash_stress(tmp)

@@ -990,23 +990,14 @@ def test_clean_text_counts_planted_pii(ray_session, tmp_path):
                                   want[sorted(got.columns)])
 
 
-def test_best_shift_recovers_planted_alignment():
-    """K2 analog: a square wave of period b=16 offset by 12 captures all
-    its energy in the coarse windows exactly when the shift re-aligns the
-    blocks; ties resolve to the smallest candidate shift."""
+def _capture_batch_fn(query_fn, *args):
+    """Capture the per-batch kernel a sequences query passes to
+    map_batches (a pure function), without running Ray: patch _seq_ds
+    with a probe whose map_batches records the fn and aborts."""
     import unittest.mock as mock
 
     from wavelet_decomposition_ray.pipelines import queries as cq
 
-    assert (cq.SHIFT_GRID, cq.SHIFT_WINDOWS) == (64, 16)
-    n, b, d0 = 256, 16, 12
-    x = np.zeros(n, dtype=np.int64)
-    for start in range(d0, n, 2 * b):
-        x[start : start + b] = 100
-    t = pa.table({"doc_id": ["planted"], "tokens": [x.tolist()]})
-
-    # capture the query's per-batch kernel (a pure function) and run it
-    # directly on the in-memory table
     captured = {}
 
     class _Stop(Exception):
@@ -1019,8 +1010,24 @@ def test_best_shift_recovers_planted_alignment():
 
     with mock.patch.object(cq, "_seq_ds", return_value=_Probe()):
         with pytest.raises(_Stop):
-            cq.q_best_shift("unused")
-    out = captured["fn"](t)
+            query_fn(*args)
+    return captured["fn"]
+
+
+def test_best_shift_recovers_planted_alignment():
+    """K2 analog: a square wave of period b=16 offset by 12 captures all
+    its energy in the coarse windows exactly when the shift re-aligns the
+    blocks; ties resolve to the smallest candidate shift."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    assert (cq.SHIFT_GRID, cq.SHIFT_WINDOWS) == (64, 16)
+    n, b, d0 = 256, 16, 12
+    x = np.zeros(n, dtype=np.int64)
+    for start in range(d0, n, 2 * b):
+        x[start : start + b] = 100
+    t = pa.table({"doc_id": ["planted"], "tokens": [x.tolist()]})
+
+    out = _capture_batch_fn(cq.q_best_shift, "unused")(t)
     assert out["best_shift"][0].as_py() == d0
     # aligned shift: every window is all-0 or all-100 -> the energy is 8
     # windows of window-sum 16*100 each
@@ -1031,28 +1038,13 @@ def test_scale_decomposition_telescopes_to_signal():
     """T7 repaired semantic: sum_k 2^(L-k)*num_k(i) + num_0(i) must equal
     2^L * x_i exactly for every emitted position — the per-scale additive
     components reconstruct the signal."""
-    import unittest.mock as mock
-
     from wavelet_decomposition_ray.pipelines import queries as cq
 
     rng = np.random.default_rng(23)
     x = rng.integers(0, 7000, 64).astype(np.int64)
     t = pa.table({"doc_id": ["d"], "tokens": [x.tolist()]})
 
-    captured = {}
-
-    class _Stop(Exception):
-        pass
-
-    class _Probe:
-        def map_batches(self, fn, **kw):
-            captured["fn"] = fn
-            raise _Stop()
-
-    with mock.patch.object(cq, "_seq_ds", return_value=_Probe()):
-        with pytest.raises(_Stop):
-            cq.q_scale_decomposition("unused")
-    out = captured["fn"](t).to_pandas()
+    out = _capture_batch_fn(cq.q_scale_decomposition, "unused")(t).to_pandas()
 
     L = cq.DECOMP_LEVELS
     acc = np.zeros(64, dtype=np.int64)

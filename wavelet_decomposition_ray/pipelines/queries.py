@@ -1567,10 +1567,14 @@ def q_best_shift(sf_dir: str):
     projection argmin-residual == argmax captured window energy, which
     one circular prefix sum answers for ALL candidates at once. The shift
     grid is SHIFT_GRID points (stride n'/64; the reference's exhaustive
-    scan is the same code with the grid set to n'). Integer-exact:
-    energy2 = sum of squared window sums (|tok| <= 2^16, n <= 2^16 =>
-    < 2^60). Sequences are one row each — no shuffle; sequences shorter
-    than SHIFT_GRID tokens are dropped on both sides."""
+    scan is the same code with the grid set to n'). Integer-exact domain:
+    |window sum| must stay below 2^31 so the squared-sum energy fits
+    int64 (synth tokens < 2^13 over <= 4096-token windows => energies
+    < 2^58); larger magnitudes raise loudly instead of silently wrapping
+    (the SQL twin's HUGEINT sum would NOT wrap, so a silent wrap would be
+    an engine/oracle divergence). Sequences are one row each — no
+    shuffle; sequences shorter than SHIFT_GRID tokens are dropped on both
+    sides."""
     from ..functions.listops import list_to_numpy
 
     G, W = SHIFT_GRID, SHIFT_WINDOWS
@@ -1598,6 +1602,12 @@ def q_best_shift(sf_dir: str):
             wrap = idx > np_
             cpv = cp[np.where(wrap, idx - np_, idx)] + wrap * total
             seg = cpv[:, 1:] - cpv[:, :-1]      # (G, W) window sums
+            if np.abs(seg).max(initial=0) >= (1 << 31):
+                raise ValueError(
+                    "best_shift: |window sum| >= 2^31 — squared energies "
+                    "would wrap int64 (the SQL twin would not); rescale "
+                    "the tokens"
+                )
             e = (seg * seg).sum(axis=1)
             j = int(np.argmax(e))               # ties -> smallest shift
             best_d[i] = j * s
@@ -1623,7 +1633,9 @@ BEST_SHIFT_SQL = (
     "   FROM tok WHERE pos < np),"
     " cp AS (SELECT doc_id, pos + 1 AS t, p FROM pre"
     "   UNION ALL SELECT doc_id, 0, 0 FROM seq),"
-    " tot AS (SELECT doc_id, max(p) AS total FROM pre GROUP BY doc_id),"
+    # total = the FINAL prefix (pos = np-1), not max(p): max only equals
+    # the total for non-negative tokens (monotone prefix)
+    " tot AS (SELECT doc_id, p AS total FROM pre WHERE pos = np - 1),"
     " pts AS (SELECT s.doc_id, s.np, g.j, w.k,"
     f"   g.j * (s.np // {SHIFT_GRID}) + w.k * (s.np // {SHIFT_WINDOWS}) AS a,"
     f"   g.j * (s.np // {SHIFT_GRID}) + (w.k + 1) * (s.np // {SHIFT_WINDOWS})"
