@@ -398,6 +398,45 @@ def _make_not_dropped_mask(drop: np.ndarray, ids: np.ndarray) -> np.ndarray:
     return ~_in_sorted(drop, ids)
 
 
+def q_dup_cluster_hist(sf_dir: str):
+    """Duplicate-cluster size histogram — the dedup AUDIT view (how much
+    of the corpus is 2x, 10x, 1000x duplicated): exact-dedup counts per
+    content hash, then a value-counts fold of the counts. Both exchanges
+    are small (distinct-content partials, then cluster-size-distinct
+    rows)."""
+    from ray.data.aggregate import Count, Sum
+
+    counts = (
+        _docs(sf_dir)
+        .map_batches(dd.exact_hash_batch, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(Count(alias_name="cnt"))
+    )
+
+    def vc(t: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True,
+        )
+        return pa.table(
+            {"cluster_size": pa.array(v),
+             "pn": pa.array(c.astype(np.int64))}
+        )
+
+    return (
+        counts.map_batches(vc, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .aggregate(Sum("pn", alias_name="n_clusters"))
+    )
+
+
+DUP_CLUSTER_HIST_SQL = (
+    "WITH g AS (SELECT count(*) AS cnt FROM documents GROUP BY text)"
+    " SELECT CAST(cnt AS BIGINT) AS cluster_size,"
+    " CAST(count(*) AS BIGINT) AS n_clusters FROM g GROUP BY cnt"
+)
+
+
 def q_dedup_exact_keep(sf_dir: str):
     """Exact-dedup corpus FILTER — the cheap first pass every training-data
     pipeline runs before near-dup: distributed non-survivor extraction
@@ -3328,6 +3367,7 @@ DATA_QUERIES = {
     "props_extract": (q_props_extract, PROPS_EXTRACT_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "dedup_exact_keep": (q_dedup_exact_keep, DEDUP_EXACT_KEEP_SQL),
+    "dup_cluster_hist": (q_dup_cluster_hist, DUP_CLUSTER_HIST_SQL),
     "dedup_minhash": (q_dedup_minhash, DEDUP_MINHASH_SQL),
     "dedup_simhash": (q_dedup_simhash, DEDUP_SIMHASH_SQL),
     "simhash_pairs": (q_simhash_pairs, SIMHASH_PAIRS_SQL),

@@ -1661,6 +1661,89 @@ BEST_SHIFT_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# Haar wavelet denoising (level-1 hard threshold)
+# --------------------------------------------------------------------------
+
+DENOISE_TAU = 64      # raw pair-difference threshold (== sqrt(2) * |d1|)
+DENOISE_MAX_POS = 512
+
+
+def q_haar_denoise_l1(sf_dir: str):
+    """Classic wavelet denoising, level-1 hard threshold: pairs whose
+    detail magnitude falls under the threshold collapse to their mean
+    (the smooth reconstruction); pairs above keep their values. Stated in
+    raw integer units — |x0 - x1| <= DENOISE_TAU is |d1| <= tau/sqrt(2)
+    — and emitted as num2 = 2 * x' so the half-integer means stay exact.
+    Row = sequence, no shuffle; leading DENOISE_MAX_POS positions of the
+    even-trimmed sequence."""
+    from ..functions.listops import list_to_numpy
+
+    P = DENOISE_MAX_POS
+
+    def denoise_batch(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        keep = np.diff(off) >= 2
+        if not keep.all():
+            t = t.filter(pa.array(keep))
+            vals, off = list_to_numpy(t["tokens"])
+        n_docs = len(off) - 1
+        ids, poss, nums = [], [], []
+        doc_col = t["doc_id"]
+        if isinstance(doc_col, pa.ChunkedArray):
+            doc_col = doc_col.combine_chunks()
+        for i in range(n_docs):
+            x = vals[off[i]:off[i + 1]].astype(np.int64)
+            m = min((len(x) // 2) * 2, P)
+            x = x[:m]
+            x0, x1 = x[0::2], x[1::2]
+            smooth = np.abs(x0 - x1) <= DENOISE_TAU
+            mean2 = x0 + x1
+            n0 = np.where(smooth, mean2, 2 * x0)
+            n1 = np.where(smooth, mean2, 2 * x1)
+            out = np.empty(m, dtype=np.int64)
+            out[0::2], out[1::2] = n0, n1
+            ids.append(np.full(m, i, dtype=np.int64))
+            poss.append(np.arange(m, dtype=np.int64))
+            nums.append(out)
+        if not nums:
+            return pa.table(
+                {"doc_id": pa.array([], type=doc_col.type),
+                 "pos": pa.array([], type=pa.int64()),
+                 "num2": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {
+                "doc_id": doc_col.take(pa.array(np.concatenate(ids))),
+                "pos": pa.array(np.concatenate(poss)),
+                "num2": pa.array(np.concatenate(nums)),
+            }
+        )
+
+    return _seq_ds(sf_dir).map_batches(
+        denoise_batch, batch_format="pyarrow", batch_size=128
+    )
+
+
+HAAR_DENOISE_SQL = (
+    "WITH flat AS (SELECT doc_id,"
+    " generate_subscripts(tokens, 1) - 1 AS pos,"
+    " CAST(unnest(tokens) AS BIGINT) AS tok,"
+    f" least((n_tok // 2) * 2, {DENOISE_MAX_POS}) AS np"
+    f" FROM read_parquet('{SYNTH_GLOB_001}') WHERE n_tok >= 2),"
+    " f AS (SELECT doc_id, pos, tok FROM flat WHERE pos < np),"
+    " pairs AS (SELECT a.doc_id, a.pos AS p0, a.tok AS x0, b.tok AS x1"
+    "   FROM f a JOIN f b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1"
+    "   WHERE a.pos % 2 = 0)"
+    " SELECT doc_id, p0 AS pos,"
+    f" CASE WHEN abs(x0 - x1) <= {DENOISE_TAU} THEN x0 + x1"
+    "   ELSE 2 * x0 END AS num2 FROM pairs"
+    " UNION ALL SELECT doc_id, p0 + 1,"
+    f" CASE WHEN abs(x0 - x1) <= {DENOISE_TAU} THEN x0 + x1"
+    "   ELSE 2 * x1 END FROM pairs"
+)
+
+
 SAX_MOTIF_TOPK = 10
 
 
@@ -4267,6 +4350,7 @@ CORE_QUERIES = {
     "sax_motifs": (q_sax_motifs, SAX_MOTIFS_SQL),
     "best_shift": (q_best_shift, BEST_SHIFT_SQL),
     "scale_decomposition": (q_scale_decomposition, SCALE_DECOMP_SQL),
+    "haar_denoise_l1": (q_haar_denoise_l1, HAAR_DENOISE_SQL),
     "store_refresh": (q_store_refresh, SOURCE_STATS_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_BY_NATION_SQL),
     "order_priority_revenue": (
