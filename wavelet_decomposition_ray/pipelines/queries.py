@@ -2572,6 +2572,82 @@ DISTINCT_USERS_SQL = (
 )
 
 
+MAD_K2 = 2  # flag |x - med| > (MAD_K2/2) * MAD = 1 MAD (the synth
+# counts are well-behaved; production corpora typically use 3 MAD —
+# the predicate stays integer-exact for any K2)
+
+
+def q_anomaly_mad(sf_dir: str) -> "object":
+    """Robust per-type daily anomaly flags: days whose count deviates from
+    the type's MEDIAN by more than MAD_K2/2 x the MAD (the outlier rule that, unlike
+    z-scores, is not poisoned by the outliers themselves). Distributed
+    piece: the per-(type, day) count aggregate (per-batch partials + one
+    keyed sum); the median/MAD fold runs on the driver over the tiny
+    #types x #days table in DOUBLED-integer arithmetic (med2 = v_lo+v_hi,
+    mad4 = dev_lo+dev_hi), so the flag predicate 2*|2n - med2| > K2*mad4
+    is integer-exact against the SQL twin's median()/2*median() chain."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        day = ts_us // _DAY_US
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(), "day": day}
+        ).groupby(["event_type", "day"], as_index=False).size()
+        return pa.Table.from_pandas(
+            df.rename(columns={"size": "pn"}), preserve_index=False
+        )
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()  # tiny: #types x #days
+    )
+
+    def med2_of(v: np.ndarray) -> int:
+        v = np.sort(v)
+        n = len(v)
+        return int(v[(n - 1) // 2] + v[n // 2])
+
+    rows = []
+    for etype, grp in daily.groupby("event_type"):
+        n = grp["n"].to_numpy().astype(np.int64)
+        med2 = med2_of(n)
+        dev = np.abs(2 * n - med2)
+        mad4 = med2_of(dev)
+        flag = 2 * dev > MAD_K2 * mad4
+        for d, cnt in zip(grp["day"].to_numpy()[flag], n[flag]):
+            rows.append((etype, int(d), int(cnt)))
+    out = pd.DataFrame(rows, columns=["event_type", "day", "n"])
+    # explicit dtypes: an empty frame would otherwise carry object columns
+    out["day"] = out["day"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+ANOMALY_MAD_SQL = (
+    "WITH d AS (SELECT event_type,"
+    f" CAST(epoch_us(ts) // {86_400_000_000} AS BIGINT) AS day,"
+    " CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),"
+    " med AS (SELECT event_type, CAST(2 * median(n) AS BIGINT) AS med2"
+    "   FROM d GROUP BY 1),"
+    " dev AS (SELECT d.event_type, d.day, d.n,"
+    "   abs(2 * d.n - m.med2) AS dv FROM d JOIN med m USING (event_type)),"
+    " mad AS (SELECT event_type, CAST(2 * median(dv) AS BIGINT) AS mad4"
+    "   FROM dev GROUP BY 1)"
+    " SELECT e.event_type, e.day, e.n FROM dev e JOIN mad USING (event_type)"
+    f" WHERE 2 * e.dv > {MAD_K2} * mad.mad4"
+)
+
+
 CORR_X, CORR_Y = "view", "purchase"
 
 
@@ -4351,6 +4427,7 @@ CORE_QUERIES = {
     "best_shift": (q_best_shift, BEST_SHIFT_SQL),
     "scale_decomposition": (q_scale_decomposition, SCALE_DECOMP_SQL),
     "haar_denoise_l1": (q_haar_denoise_l1, HAAR_DENOISE_SQL),
+    "anomaly_mad": (q_anomaly_mad, ANOMALY_MAD_SQL),
     "store_refresh": (q_store_refresh, SOURCE_STATS_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_BY_NATION_SQL),
     "order_priority_revenue": (
