@@ -1682,46 +1682,38 @@ def q_haar_denoise_l1(sf_dir: str):
     P = DENOISE_MAX_POS
 
     def denoise_batch(t: pa.Table) -> pa.Table:
+        # vectorized across the WHOLE batch (the q_haar_l1 ragged-gather
+        # idiom): flat position/partner index arrays, no per-doc loop —
+        # each element's partner is pos XOR 1 within its own pair, so the
+        # smooth/keep decision is one symmetric elementwise expression
         vals, off = list_to_numpy(t["tokens"])
         keep = np.diff(off) >= 2
         if not keep.all():
             t = t.filter(pa.array(keep))
             vals, off = list_to_numpy(t["tokens"])
-        n_docs = len(off) - 1
-        ids, poss, nums = [], [], []
+        m = np.minimum((np.diff(off) // 2) * 2, P)
+        doc_of = np.repeat(np.arange(len(m)), m)
+        pos = np.arange(int(m.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(m) - m, m
+        )
+        src = off[:-1][doc_of] + pos
+        x = vals[src].astype(np.int64)
+        partner = vals[src + 1 - 2 * (pos & 1)].astype(np.int64)
+        smooth = np.abs(x - partner) <= DENOISE_TAU
+        num2 = np.where(smooth, x + partner, 2 * x)
         doc_col = t["doc_id"]
         if isinstance(doc_col, pa.ChunkedArray):
             doc_col = doc_col.combine_chunks()
-        for i in range(n_docs):
-            x = vals[off[i]:off[i + 1]].astype(np.int64)
-            m = min((len(x) // 2) * 2, P)
-            x = x[:m]
-            x0, x1 = x[0::2], x[1::2]
-            smooth = np.abs(x0 - x1) <= DENOISE_TAU
-            mean2 = x0 + x1
-            n0 = np.where(smooth, mean2, 2 * x0)
-            n1 = np.where(smooth, mean2, 2 * x1)
-            out = np.empty(m, dtype=np.int64)
-            out[0::2], out[1::2] = n0, n1
-            ids.append(np.full(m, i, dtype=np.int64))
-            poss.append(np.arange(m, dtype=np.int64))
-            nums.append(out)
-        if not nums:
-            return pa.table(
-                {"doc_id": pa.array([], type=doc_col.type),
-                 "pos": pa.array([], type=pa.int64()),
-                 "num2": pa.array([], type=pa.int64())}
-            )
         return pa.table(
             {
-                "doc_id": doc_col.take(pa.array(np.concatenate(ids))),
-                "pos": pa.array(np.concatenate(poss)),
-                "num2": pa.array(np.concatenate(nums)),
+                "doc_id": doc_col.take(pa.array(doc_of)),
+                "pos": pa.array(pos),
+                "num2": pa.array(num2),
             }
         )
 
     return _seq_ds(sf_dir).map_batches(
-        denoise_batch, batch_format="pyarrow", batch_size=128
+        denoise_batch, batch_format="pyarrow", batch_size=256
     )
 
 
@@ -2572,19 +2564,20 @@ DISTINCT_USERS_SQL = (
 )
 
 
-MAD_K2 = 2  # flag |x - med| > (MAD_K2/2) * MAD = 1 MAD (the synth
-# counts are well-behaved; production corpora typically use 3 MAD —
-# the predicate stays integer-exact for any K2)
+MAD_K = 2  # flag |x - med| > MAD_K * MAD (2 MAD; the synth counts are
+# well-behaved — production corpora typically use 3 — and the predicate
+# stays integer-exact for any K)
 
 
 def q_anomaly_mad(sf_dir: str) -> "object":
     """Robust per-type daily anomaly flags: days whose count deviates from
-    the type's MEDIAN by more than MAD_K2/2 x the MAD (the outlier rule that, unlike
+    the type's MEDIAN by more than MAD_K x the MAD (the outlier rule that, unlike
     z-scores, is not poisoned by the outliers themselves). Distributed
     piece: the per-(type, day) count aggregate (per-batch partials + one
     keyed sum); the median/MAD fold runs on the driver over the tiny
-    #types x #days table in DOUBLED-integer arithmetic (med2 = v_lo+v_hi,
-    mad4 = dev_lo+dev_hi), so the flag predicate 2*|2n - med2| > K2*mad4
+    #types x #days table in DOUBLED-integer arithmetic (med2 = v_lo+v_hi;
+    mad4 = dev_lo+dev_hi = 4*MAD), so the flag predicate
+    2*|2n - med2| > MAD_K*mad4  <=>  |n - med| > MAD_K*MAD
     is integer-exact against the SQL twin's median()/2*median() chain."""
     import pandas as pd
 
@@ -2601,8 +2594,14 @@ def q_anomaly_mad(sf_dir: str) -> "object":
         df = pd.DataFrame(
             {"event_type": t["event_type"].to_pandas(), "day": day}
         ).groupby(["event_type", "day"], as_index=False).size()
-        return pa.Table.from_pandas(
-            df.rename(columns={"size": "pn"}), preserve_index=False
+        # explicit schema: an EMPTY batch would otherwise infer a
+        # null-typed event_type column that conflicts in the groupby
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"], type=pa.string()),
+                "day": pa.array(df["day"].to_numpy(), type=pa.int64()),
+                "pn": pa.array(df["size"].to_numpy(), type=pa.int64()),
+            }
         )
 
     daily = (
@@ -2623,7 +2622,7 @@ def q_anomaly_mad(sf_dir: str) -> "object":
         med2 = med2_of(n)
         dev = np.abs(2 * n - med2)
         mad4 = med2_of(dev)
-        flag = 2 * dev > MAD_K2 * mad4
+        flag = 2 * dev > MAD_K * mad4
         for d, cnt in zip(grp["day"].to_numpy()[flag], n[flag]):
             rows.append((etype, int(d), int(cnt)))
     out = pd.DataFrame(rows, columns=["event_type", "day", "n"])
@@ -2644,7 +2643,7 @@ ANOMALY_MAD_SQL = (
     " mad AS (SELECT event_type, CAST(2 * median(dv) AS BIGINT) AS mad4"
     "   FROM dev GROUP BY 1)"
     " SELECT e.event_type, e.day, e.n FROM dev e JOIN mad USING (event_type)"
-    f" WHERE 2 * e.dv > {MAD_K2} * mad.mad4"
+    f" WHERE 2 * e.dv > {MAD_K} * mad.mad4"
 )
 
 
