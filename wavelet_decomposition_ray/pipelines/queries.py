@@ -2647,6 +2647,74 @@ ANOMALY_MAD_SQL = (
 )
 
 
+SEASONAL_LAG_DAYS = 7
+
+
+def q_seasonal_naive_error(sf_dir: str) -> "object":
+    """Forecastability audit: the seasonal-naive baseline's total absolute
+    error per event type — sum over days of |count(d) - count(d - 7)|
+    (every forecasting effort is judged against this baseline first).
+    Distributed piece: the per-(type, day) count aggregate; the lag join
+    is a driver-side shift over the tiny types x days table. Integer-
+    exact: counts are ints, so the error sum is a BIGINT."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        day = ts_us // _DAY_US
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(), "day": day}
+        ).groupby(["event_type", "day"], as_index=False).size()
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"], type=pa.string()),
+                "day": pa.array(df["day"].to_numpy(), type=pa.int64()),
+                "pn": pa.array(df["size"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()  # tiny: #types x #days
+    )
+    rows = []
+    for etype, grp in daily.groupby("event_type"):
+        g = grp.set_index("day")["n"]
+        lagged = g.reindex(g.index - SEASONAL_LAG_DAYS)
+        # only days whose lag-7 day has any events contribute (both sides
+        # present) — the INNER-join convention the SQL twin states
+        mask = lagged.notna().to_numpy()
+        err = np.abs(
+            g.to_numpy()[mask] - lagged.to_numpy()[mask].astype(np.int64)
+        )
+        rows.append((etype, int(err.sum()), int(mask.sum())))
+    out = pd.DataFrame(rows, columns=["event_type", "abs_err", "n_days"])
+    out["abs_err"] = out["abs_err"].astype(np.int64)
+    out["n_days"] = out["n_days"].astype(np.int64)
+    return out
+
+
+SEASONAL_NAIVE_SQL = (
+    "WITH d AS (SELECT event_type,"
+    f" CAST(epoch_us(ts) // {86_400_000_000} AS BIGINT) AS day,"
+    " CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)"
+    " SELECT a.event_type, CAST(sum(abs(a.n - b.n)) AS BIGINT) AS abs_err,"
+    " CAST(count(*) AS BIGINT) AS n_days"
+    " FROM d a JOIN d b ON b.event_type = a.event_type"
+    f" AND b.day = a.day - {SEASONAL_LAG_DAYS}"
+    " GROUP BY a.event_type"
+)
+
+
 CORR_X, CORR_Y = "view", "purchase"
 
 
@@ -4427,6 +4495,7 @@ CORE_QUERIES = {
     "scale_decomposition": (q_scale_decomposition, SCALE_DECOMP_SQL),
     "haar_denoise_l1": (q_haar_denoise_l1, HAAR_DENOISE_SQL),
     "anomaly_mad": (q_anomaly_mad, ANOMALY_MAD_SQL),
+    "seasonal_naive_error": (q_seasonal_naive_error, SEASONAL_NAIVE_SQL),
     "store_refresh": (q_store_refresh, SOURCE_STATS_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_BY_NATION_SQL),
     "order_priority_revenue": (
