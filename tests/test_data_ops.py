@@ -1034,6 +1034,83 @@ def test_best_shift_recovers_planted_alignment():
     assert out["energy2"][0].as_py() == 8 * (16 * 100) ** 2
 
 
+def test_best_shift_full_finds_off_grid_optimum():
+    """The full-resolution scan (grid = n', the reference's exhaustive
+    calc_best_trans) must find an optimum that the 64-point grid CANNOT
+    represent: with n=256 the grid strides by 4, so planting a window-
+    aligned block at offset 2 (mod 16) puts every tied optimum off-grid;
+    the full scan returns the smallest tied shift, 2, with strictly more
+    captured energy than the best grid candidate."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    n, b, p = 256, 16, 34          # block [34, 50), 34 % 16 == 2
+    x = np.zeros(n, dtype=np.int64)
+    x[p : p + b] = 100
+    t = pa.table({"doc_id": ["planted"], "tokens": [x.tolist()]})
+
+    out = _capture_batch_fn(cq.q_best_shift_full, "unused")(t)
+    assert out["best_shift"][0].as_py() == 2          # off the 4-stride grid
+    assert out["energy2"][0].as_py() == (16 * 100) ** 2
+
+    grid = _capture_batch_fn(cq.q_best_shift, "unused")(t)
+    assert grid["best_shift"][0].as_py() % 4 == 0
+    assert grid["energy2"][0].as_py() < out["energy2"][0].as_py()
+
+
+def test_shift_scan_overflow_guard_bounds_the_energy_sum():
+    """ADVICE r4 (medium): the guard must bound |window sum| by
+    sqrt((2^63-1)/W), not 2^31 — at the old bound the summed squared
+    energies wrap int64. At the bound the energy is exact; one past it
+    raises."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    W = cq.SHIFT_WINDOWS
+    ok = np.full(W, cq.SHIFT_SEG_BOUND, dtype=np.int64)  # np'=W, b=1
+    d, e = cq._shift_scan_doc(ok, None)
+    assert e == W * cq.SHIFT_SEG_BOUND**2 > 0  # no int64 wrap
+
+    bad = ok.copy()
+    bad[3] = cq.SHIFT_SEG_BOUND + 1
+    with pytest.raises(ValueError, match="window sum"):
+        cq._shift_scan_doc(bad, None)
+
+
+def test_sax_symbols_empty_corpus_returns_empty(ray_session):
+    """ADVICE r4: a corpus where every sequence is shorter than SAX_W
+    must yield the empty (doc_id, sax) table, not an IndexError on the
+    empty breakpoint histogram."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    t = pa.table(
+        {"doc_id": ["a", "b"], "tokens": [[1, 2, 3], [4, 5]],
+         "n_tok": pa.array([3, 2], type=pa.int32()),
+         "source": ["s", "s"]}
+    )
+    with mock.patch.object(cq, "_seq_ds", return_value=ray.data.from_arrow(t)):
+        out = cq.q_sax_symbols("unused")
+    df = out.to_pandas()
+    assert len(df) == 0
+    assert sorted(df.columns) == ["doc_id", "sax"]
+
+
+def test_sax_sql_floor_division_matches_numpy_for_negatives():
+    """ADVICE r4: DuckDB // truncates toward zero while the engine's
+    numpy // floors; the SQL twin's non-negative-mod rewrite must FLOOR.
+    Pin the expression itself on negative sums."""
+    import duckdb
+
+    for s in (-7, -8, -1, 0, 7, -9999999999):
+        for d in (2, 3, 8):
+            got = duckdb.sql(
+                f"SELECT ({s} - (({s} % {d}) + {d}) % {d}) // {d}"
+            ).fetchone()[0]
+            assert got == s // d, (s, d, got)
+
+
 def test_scale_decomposition_telescopes_to_signal():
     """T7 repaired semantic: sum_k 2^(L-k)*num_k(i) + num_0(i) must equal
     2^L * x_i exactly for every emitted position — the per-scale additive

@@ -124,27 +124,13 @@ def _unfilter(filt: np.ndarray, data: np.ndarray, h: int, w: int,
     return out
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> uint8 array (h, w) for greyscale, (h, w, ch) otherwise.
-
-    Tries PIL first (optional dependency, absent in this container); the
-    pure zlib+numpy path below handles 8-bit non-interlaced images and is
-    pinned equal to the encoder round-trip across all filter types."""
-    try:  # optional dependency — only the IMPORT may divert to PIL
-        import io
-
-        from PIL import Image  # type: ignore
-    except ImportError:
-        Image = None
-    if Image is not None:
-        try:
-            return np.asarray(Image.open(io.BytesIO(data)))
-        except Exception:
-            # corrupt/unsupported payload: fall through to the pure path,
-            # which raises the ValueError('signature'/'CRC') this API
-            # promises — PIL's exception types must not leak to callers
-            pass
-
+def _verified_chunks(data: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Walk the chunk stream enforcing this module's decode contract —
+    signature, per-chunk CRC, 8-bit non-interlaced grey/RGB/RGBA —
+    regardless of which backend will do the pixel decode (ADVICE r4: PIL
+    skips CRCs and accepts formats the pure path rejects, so the contract
+    must be checked BEFORE any PIL fast path). Returns (w, h, channels,
+    idat bodies)."""
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -173,7 +159,39 @@ def decode_png(data: bytes) -> np.ndarray:
             f"only 8-bit non-interlaced grey/RGB/RGBA supported "
             f"(depth={depth} color={color} interlace={interlace})"
         )
-    ch = _CHANNELS[color]
+    return w, h, _CHANNELS[color], idat
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array (h, w) for greyscale, (h, w, ch) otherwise.
+
+    The chunk walk (signature, CRCs, IHDR constraints) ALWAYS runs first,
+    so corrupt or out-of-contract payloads raise the documented
+    ValueError/NotImplementedError on every machine. Only the pixel
+    decode itself may divert to PIL (optional dependency, absent in this
+    container); the PIL result is validated against the verified header
+    (shape, dtype) and falls back to the pure zlib+numpy path — pinned
+    equal to the encoder round-trip across all filter types — on any
+    mismatch."""
+    w, h, ch, idat = _verified_chunks(data)
+
+    try:  # optional dependency — only the pixel DECODE may use PIL
+        import io
+
+        from PIL import Image  # type: ignore
+    except ImportError:
+        Image = None
+    if Image is not None:
+        try:
+            out = np.asarray(Image.open(io.BytesIO(data)))
+            want = (h, w) if ch == 1 else (h, w, ch)
+            if out.dtype == np.uint8 and out.shape == want:
+                return out
+            # shape/dtype drift (e.g. PIL mode promotion): pure path below
+        except Exception:
+            # PIL's exception types must not leak; the payload already
+            # passed the contract check, so the pure path decides
+            pass
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     stride = w * ch
     if len(raw) != h * (stride + 1):

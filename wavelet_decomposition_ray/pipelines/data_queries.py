@@ -3330,8 +3330,11 @@ ANN_PQ_SQL = (
     "WITH e AS (SELECT vec_id,"
     f" CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {sim.PQ_QSCALE}.0"
     "   + 0.5) AS BIGINT) AS qv,"
-    " generate_subscripts(embedding, 1) AS i FROM embeddings),"
-    f" ee AS (SELECT vec_id, i, qv, CAST((i - 1) // (64 // {sim.PQ_M})"
+    " generate_subscripts(embedding, 1) AS i,"
+    # subspace width from the DATA (len(embedding) // PQ_M), matching the
+    # engine's sub = d // PQ_M — no hard-coded dimension (ADVICE r4)
+    " len(embedding) AS dim FROM embeddings),"
+    f" ee AS (SELECT vec_id, i, qv, CAST((i - 1) // (dim // {sim.PQ_M})"
     "   AS INTEGER) AS m FROM e),"
     f" cb AS (SELECT vec_id AS j, m, i, qv FROM ee WHERE vec_id < {sim.PQ_K}),"
     " dist AS (SELECT x.vec_id, x.m, c.j,"

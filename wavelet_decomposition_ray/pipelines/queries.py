@@ -15,6 +15,8 @@ sorting columns by name).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -1391,8 +1393,18 @@ def q_sax_symbols(sf_dir: str):
         .groupby("m")
         .aggregate(Sum("pn", alias_name="n"))
         .to_pandas()
-        .sort_values("m")
     )
+    if len(hist) == 0:
+        # every sequence shorter than SAX_W: no 8-segment word exists —
+        # return the empty result instead of crashing on cum[-1]
+        # (ADVICE r4; mirrors the other queries' empty-input paths).
+        # Checked before sort_values: an EMPTY aggregate also loses its
+        # column schema entirely.
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.string()),
+             "sax": pa.array([], type=pa.string())}
+        )
+    hist = hist.sort_values("m")
     vals_h = hist["m"].to_numpy()
     cum = np.cumsum(hist["n"].to_numpy())
     total = int(cum[-1])
@@ -1428,9 +1440,14 @@ SAX_SQL = (
     " seg AS (SELECT doc_id,"
     f"   (generate_subscripts(tokens, 1) - 1) // (n_tok // {SAX_W}) AS k,"
     "   unnest(tokens) AS tok, n_tok FROM seq),"
-    " m AS (SELECT doc_id, k,"
-    f"   CAST(sum(tok) // max(n_tok // {SAX_W}) AS BIGINT) AS m"
+    " ms AS (SELECT doc_id, k, sum(tok) AS s,"
+    f"   max(n_tok // {SAX_W}) AS d"
     f"   FROM seg WHERE k < {SAX_W} GROUP BY doc_id, k),"
+    # FLOOR division, not DuckDB's truncate-toward-zero // (ADVICE r4:
+    # numpy floors, -7 // 2 differs between the two for negative sums):
+    # subtract the non-negative mod first so // divides exactly
+    " m AS (SELECT doc_id, k,"
+    "   CAST((s - ((s % d) + d) % d) // d AS BIGINT) AS m FROM ms),"
     " r AS (SELECT m, row_number() OVER (ORDER BY m) AS r FROM m),"
     " cnt AS (SELECT count(*) AS n FROM m),"
     " b AS (SELECT"
@@ -1557,6 +1574,50 @@ SCALE_DECOMP_SQL = _scale_decomp_sql()
 
 SHIFT_GRID = 64    # candidate shifts per sequence (reference: every shift)
 SHIFT_WINDOWS = 16  # coarse projection windows
+# |window sum| bound keeping sum-of-SHIFT_WINDOWS-squares exactly inside
+# int64 (ADVICE r4: the old 2^31 bound let 16 * (2^31)^2 ~ 2^66 wrap)
+SHIFT_SEG_BOUND = math.isqrt((2**63 - 1) // SHIFT_WINDOWS)
+# full-scan registry query caps sequence length so the all-shifts SQL twin
+# (docs x np shifts x W windows join rows) stays tractable at sf0.01
+SHIFT_FULL_MAX_LEN = 1024
+
+
+def _shift_scan_doc(x: np.ndarray, grid: int | None) -> tuple[int, int]:
+    """Score circular shifts of ONE sequence by captured coarse-window
+    energy via a circular prefix sum; returns (best_shift, energy2).
+
+    ``grid=G`` scores G stride-n'/G candidates; ``grid=None`` scores EVERY
+    shift of the W-trimmed length — the reference's exhaustive scan
+    (calc_translations.py:29-43), same O(candidates x W) prefix lookups.
+    """
+    W = SHIFT_WINDOWS
+    if grid is None:
+        np_ = (len(x) // W) * W
+        stride = 1
+        G = np_
+    else:
+        np_ = (len(x) // grid) * grid  # trim to the shift grid
+        stride = np_ // grid
+        G = grid
+    b = np_ // W
+    cp = np.zeros(np_ + 1, dtype=np.int64)
+    np.cumsum(x[:np_], out=cp[1:])
+    total = cp[-1]
+    d = np.arange(G, dtype=np.int64) * stride
+    k = np.arange(W + 1, dtype=np.int64)
+    idx = d[:, None] + k[None, :] * b   # (G, W+1), < 2*np_
+    wrap = idx > np_
+    cpv = cp[np.where(wrap, idx - np_, idx)] + wrap * total
+    seg = cpv[:, 1:] - cpv[:, :-1]      # (G, W) window sums
+    if np.abs(seg).max(initial=0) > SHIFT_SEG_BOUND:
+        raise ValueError(
+            "best_shift: |window sum| exceeds sqrt((2^63-1)/W) — the "
+            "sum of squared window energies would wrap int64 (the SQL "
+            "twin's HUGEINT sum would not); rescale the tokens"
+        )
+    e = (seg * seg).sum(axis=1)
+    j = int(np.argmax(e))               # ties -> smallest shift
+    return int(d[j]), int(e[j])
 
 
 def q_best_shift(sf_dir: str):
@@ -1567,14 +1628,17 @@ def q_best_shift(sf_dir: str):
     projection argmin-residual == argmax captured window energy, which
     one circular prefix sum answers for ALL candidates at once. The shift
     grid is SHIFT_GRID points (stride n'/64; the reference's exhaustive
-    scan is the same code with the grid set to n'). Integer-exact domain:
-    |window sum| must stay below 2^31 so the squared-sum energy fits
-    int64 (synth tokens < 2^13 over <= 4096-token windows => energies
-    < 2^58); larger magnitudes raise loudly instead of silently wrapping
-    (the SQL twin's HUGEINT sum would NOT wrap, so a silent wrap would be
-    an engine/oracle divergence). Sequences are one row each — no
-    shuffle; sequences shorter than SHIFT_GRID tokens are dropped on both
-    sides."""
+    scan is the same code with grid = n' — exercised and oracled as
+    ``best_shift_full``). Integer-exact domain: the energy sums
+    SHIFT_WINDOWS squared window sums, so each |window sum| must stay
+    below sqrt((2^63-1)/SHIFT_WINDOWS) ~ 7.59e8 for the int64 total to
+    be exact (synth signal levels are ~2^13 per sample, so <= 4096-token
+    window sums stay < 2^26, well inside; the 2^20 quantization CLAMP is
+    not the typical level); larger magnitudes raise loudly instead of
+    silently wrapping (the SQL twin's HUGEINT sum would NOT wrap, so a
+    silent wrap would be an engine/oracle divergence). Sequences are one
+    row each — no shuffle; sequences shorter than SHIFT_GRID tokens are
+    dropped on both sides."""
     from ..functions.listops import list_to_numpy
 
     G, W = SHIFT_GRID, SHIFT_WINDOWS
@@ -1588,30 +1652,9 @@ def q_best_shift(sf_dir: str):
         n_docs = len(off) - 1
         best_d = np.empty(n_docs, dtype=np.int64)
         best_e = np.empty(n_docs, dtype=np.int64)
-        k = np.arange(W + 1, dtype=np.int64)
         for i in range(n_docs):
             x = vals[off[i]:off[i + 1]].astype(np.int64)
-            np_ = (len(x) // G) * G  # trim to the shift grid
-            s = np_ // G
-            b = np_ // W
-            cp = np.zeros(np_ + 1, dtype=np.int64)
-            np.cumsum(x[:np_], out=cp[1:])
-            total = cp[-1]
-            d = np.arange(G, dtype=np.int64) * s
-            idx = d[:, None] + k[None, :] * b   # (G, W+1), < 2*np_
-            wrap = idx > np_
-            cpv = cp[np.where(wrap, idx - np_, idx)] + wrap * total
-            seg = cpv[:, 1:] - cpv[:, :-1]      # (G, W) window sums
-            if np.abs(seg).max(initial=0) >= (1 << 31):
-                raise ValueError(
-                    "best_shift: |window sum| >= 2^31 — squared energies "
-                    "would wrap int64 (the SQL twin would not); rescale "
-                    "the tokens"
-                )
-            e = (seg * seg).sum(axis=1)
-            j = int(np.argmax(e))               # ties -> smallest shift
-            best_d[i] = j * s
-            best_e[i] = e[j]
+            best_d[i], best_e[i] = _shift_scan_doc(x, G)
         return pa.table(
             {"doc_id": t["doc_id"], "best_shift": pa.array(best_d),
              "energy2": pa.array(best_e)}
@@ -1658,6 +1701,82 @@ BEST_SHIFT_SQL = (
     f" SELECT b.doc_id, CAST(b.j * (s.np // {SHIFT_GRID}) AS BIGINT)"
     "   AS best_shift, b.e AS energy2"
     " FROM best b JOIN seq s USING (doc_id)"
+)
+
+
+def q_best_shift_full(sf_dir: str):
+    """K2 at FULL resolution — grid = n', the reference's exhaustive scan
+    (calc_translations.py:29-43 searches every circular shift): scores
+    ALL n' = (n_tok // W) * W shifts per sequence with the same circular
+    prefix sum as ``best_shift`` (one O(n' x W) pass, vs the reference's
+    per-shift LSQR solve). This is the configuration the grid query's
+    docstring promises is "the same code with grid = n'" — here it is
+    exercised and oracled, finding optima OFF the 64-point grid (a
+    pytest plants one). Sequences are capped at SHIFT_FULL_MAX_LEN
+    tokens so the all-shifts SQL twin (docs x n' shifts x W windows join
+    rows) stays tractable at sf0.01; the engine path itself has no such
+    limit — per-doc cost is O(n' x W) ints regardless."""
+    from ..functions.listops import list_to_numpy
+
+    W, MAX = SHIFT_WINDOWS, SHIFT_FULL_MAX_LEN
+
+    def full_shift_batch(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        lens = np.diff(off)
+        keep = (lens >= W) & (lens <= MAX)
+        if not keep.all():
+            t = t.filter(pa.array(keep))
+            vals, off = list_to_numpy(t["tokens"])
+        n_docs = len(off) - 1
+        best_d = np.empty(n_docs, dtype=np.int64)
+        best_e = np.empty(n_docs, dtype=np.int64)
+        for i in range(n_docs):
+            x = vals[off[i]:off[i + 1]].astype(np.int64)
+            best_d[i], best_e[i] = _shift_scan_doc(x, None)
+        return pa.table(
+            {"doc_id": t["doc_id"], "best_shift": pa.array(best_d),
+             "energy2": pa.array(best_e)}
+        )
+
+    return _seq_ds(sf_dir).map_batches(
+        full_shift_batch, batch_format="pyarrow", batch_size=128
+    )
+
+
+BEST_SHIFT_FULL_SQL = (
+    "WITH seq AS (SELECT doc_id, tokens,"
+    f" (n_tok // {SHIFT_WINDOWS}) * {SHIFT_WINDOWS} AS np"
+    f" FROM read_parquet('{SYNTH_GLOB_001}')"
+    f" WHERE n_tok >= {SHIFT_WINDOWS} AND n_tok <= {SHIFT_FULL_MAX_LEN}),"
+    " tok AS (SELECT doc_id, np, generate_subscripts(tokens, 1) - 1 AS pos,"
+    "   unnest(tokens) AS v FROM seq),"
+    " pre AS (SELECT doc_id, np, pos,"
+    "   CAST(sum(v) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS p"
+    "   FROM tok WHERE pos < np),"
+    " cp AS (SELECT doc_id, pos + 1 AS t, p FROM pre"
+    "   UNION ALL SELECT doc_id, 0, 0 FROM seq),"
+    " tot AS (SELECT doc_id, p AS total FROM pre WHERE pos = np - 1),"
+    # every shift j in [0, np): reuse the trimmed positions as the grid
+    " sh AS (SELECT doc_id, np, pos AS j FROM pre),"
+    " pts AS (SELECT s.doc_id, s.np, s.j, w.k,"
+    f"   s.j + w.k * (s.np // {SHIFT_WINDOWS}) AS a,"
+    f"   s.j + (w.k + 1) * (s.np // {SHIFT_WINDOWS}) AS b"
+    f"   FROM sh s, (SELECT unnest(range(0, {SHIFT_WINDOWS})) AS k) w),"
+    " sums AS (SELECT p.doc_id, p.j,"
+    "   (cb.p + CASE WHEN p.b > p.np THEN t.total ELSE 0 END)"
+    "   - (ca.p + CASE WHEN p.a > p.np THEN t.total ELSE 0 END) AS s"
+    "   FROM pts p"
+    "   JOIN cp ca ON ca.doc_id = p.doc_id AND ca.t ="
+    "     CASE WHEN p.a <= p.np THEN p.a ELSE p.a - p.np END"
+    "   JOIN cp cb ON cb.doc_id = p.doc_id AND cb.t ="
+    "     CASE WHEN p.b <= p.np THEN p.b ELSE p.b - p.np END"
+    "   JOIN tot t ON t.doc_id = p.doc_id),"
+    " en AS (SELECT doc_id, j, CAST(sum(s * s) AS BIGINT) AS e FROM sums"
+    "   GROUP BY doc_id, j),"
+    " best AS (SELECT doc_id, j, e FROM en QUALIFY"
+    "   row_number() OVER (PARTITION BY doc_id ORDER BY e DESC, j) = 1)"
+    " SELECT doc_id, CAST(j AS BIGINT) AS best_shift, e AS energy2"
+    " FROM best"
 )
 
 
@@ -4492,6 +4611,7 @@ CORE_QUERIES = {
     "sax_symbols": (q_sax_symbols, SAX_SQL),
     "sax_motifs": (q_sax_motifs, SAX_MOTIFS_SQL),
     "best_shift": (q_best_shift, BEST_SHIFT_SQL),
+    "best_shift_full": (q_best_shift_full, BEST_SHIFT_FULL_SQL),
     "scale_decomposition": (q_scale_decomposition, SCALE_DECOMP_SQL),
     "haar_denoise_l1": (q_haar_denoise_l1, HAAR_DENOISE_SQL),
     "anomaly_mad": (q_anomaly_mad, ANOMALY_MAD_SQL),
