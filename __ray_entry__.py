@@ -36,23 +36,34 @@ def entry() -> Any:
 # driver re-verifies dedup/ANN/text/join queries every round instead of only
 # the core block (VERDICT r3 #1).  Everything else follows in definition
 # order; _PRIORITY names missing from the registry fail the registry pytest.
+# Round 5 (VERDICT r4 #6): rotated ~10 slots that were ★ in r3+r4 out for
+# queries never externally gated (they keep in-repo pytest oracle coverage;
+# the rotated-out ones keep theirs too) — out: source_stats_salted/_subset/
+# _t15, m4_downsample, lttb_downsample, orders_no_lineitem,
+# revenue_by_region, epn_full_sine, knn_cosine, dedup_exact_keep; in:
+# sax_symbols, best_shift, best_shift_full, scale_decomposition,
+# event_transitions, hll_by_type, ann_pq, clean_text, wav_features,
+# decontam_table.
 _PRIORITY = [
     # core §2 pins
     "rollup_t1", "rollup_t3", "rollup_t6", "source_stats", "store_stats",
     "store_tier3", "haar_l1", "roundtrip_haar", "roundtrip_db4",
-    "aggtree_ok", "codec_ok", "epn_quantiles", "epn_full", "epn_full_sine",
+    "aggtree_ok", "codec_ok", "epn_quantiles", "epn_full",
     "parseval_ok", "resample64", "bandpass_coarse", "scale_energy",
     "fft_magnitude", "dwt_haar", "dwt_db4", "gorilla_blocks", "normalize",
-    "cross_source_diff", "topk_tokens", "source_stats_salted",
-    "source_stats_subset", "source_stats_t15",
-    # late core additions + the join family (unchecked by the r3 driver)
-    "store_refresh", "m4_downsample", "lttb_downsample", "corpus_pack512",
+    "cross_source_diff", "topk_tokens",
+    # first-time-gated core queries (round 5 rotation)
+    "sax_symbols", "best_shift", "best_shift_full", "scale_decomposition",
+    "event_transitions",
+    # late core additions + the join family
+    "store_refresh", "corpus_pack512",
     "top_orders_q3", "profit_by_nation_year", "order_priority_skewjoin",
-    "orders_no_lineitem", "revenue_by_region",
-    # data-pipeline family (unchecked by the r3 driver)
-    "dedup_exact", "dedup_exact_keep", "dedup_minhash", "dedup_simhash",
-    "dedup_keep", "ann_ivf", "ann_lsh", "knn_cosine", "lang_id",
+    # data-pipeline family
+    "dedup_exact", "dedup_minhash", "dedup_simhash",
+    "dedup_keep", "ann_ivf", "ann_lsh", "lang_id",
     "token_count_bpe", "fingerprint_rolling", "corpus_clean", "decontam",
+    # first-time-gated data queries (round 5 rotation)
+    "hll_by_type", "ann_pq", "clean_text", "wav_features", "decontam_table",
 ]
 
 
@@ -74,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # deterministic, byte-stable)
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         synth.ensure_sequences(sf)
+        synth.ensure_benchmark(sf)  # decontam_table's separate eval table
     return {name: fn for name, (fn, _) in _registry().items()}
 
 

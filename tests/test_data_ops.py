@@ -843,6 +843,91 @@ def test_png_decode_rejects_corruption():
         png.decode_png(bytes(enc))
 
 
+def test_decontam_table_matches_corpus_carveout(ray_session):
+    """The benchmark-as-a-table variant (side read from the separate
+    benchmark.parquet) must agree row-for-row with the fixture-only
+    corpus-carve-out variant — same ids, same gram counts, same flags."""
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    sf = "/root/testdata/sf0.001"
+    a = dq.q_decontam(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = dq.q_decontam_table(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_wav_codec_roundtrip():
+    """Pure-numpy RIFF/PCM WAV codec: encode/decode round-trips bit-exact
+    across 16-bit signed / 8-bit unsigned, mono / stereo, odd lengths
+    (exercises the even-chunk padding), and preserves the sample rate."""
+    from wavelet_decomposition_ray.functions import wav
+
+    rng = np.random.default_rng(11)
+    cases = [
+        rng.integers(-(1 << 15), 1 << 15, 37).astype(np.int16),
+        rng.integers(-(1 << 15), 1 << 15, (16, 2)).astype(np.int16),
+        rng.integers(0, 256, 33).astype(np.uint8),   # odd byte count -> pad
+        rng.integers(0, 256, (9, 3)).astype(np.uint8),
+        np.zeros(1, dtype=np.int16),
+    ]
+    for a in cases:
+        dec, rate = wav.decode_wav(wav.encode_wav(a, sample_rate=22050))
+        assert rate == 22050
+        assert dec.dtype == a.dtype and np.array_equal(dec, a), a.shape
+
+
+def test_wav_decode_enforces_contract():
+    from wavelet_decomposition_ray.functions import wav
+
+    enc = bytearray(wav.encode_wav(np.arange(16, dtype=np.int16)))
+    with pytest.raises(ValueError, match="signature"):
+        wav.decode_wav(b"notawav!" + bytes(enc))
+    with pytest.raises(ValueError, match="truncated"):
+        wav.decode_wav(bytes(enc[:-5]))
+    bad_fmt = bytearray(enc)
+    bad_fmt[20] = 3  # fmt audio_format -> IEEE float: out of contract
+    with pytest.raises(NotImplementedError, match="PCM"):
+        wav.decode_wav(bytes(bad_fmt))
+    bad_bits = bytearray(enc)
+    bad_bits[34] = 24  # bits_per_sample
+    with pytest.raises(NotImplementedError, match="PCM"):
+        wav.decode_wav(bytes(bad_bits))
+
+
+def test_wav_payloads_flow_through_media_stages(ray_session, docs):
+    """Real WAV decode inside the actor plumbing: text -> PCM payload ->
+    MediaFeatures decodes and the sample stats equal the text bytes;
+    FrameSampler samples the decoded stream, not the container bytes."""
+    import ray.data
+
+    t = docs.slice(0, 64).select(["doc_id", "text"])
+    ds = ray.data.from_arrow(t).map_batches(
+        mm.text_to_wav_payload_batch, batch_format="pyarrow"
+    )
+    feats = (
+        ds.map_batches(mm.MediaFeatures(), batch_format="pyarrow",
+                       batch_size=16)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    frames = (
+        ds.map_batches(mm.FrameSampler(), batch_format="pyarrow",
+                       batch_size=16)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        b = np.frombuffer(text.encode(), dtype=np.uint8)
+        if len(b) == 0:
+            assert doc_id not in feats.index
+            continue
+        row = feats.loc[doc_id]
+        assert row["n_bytes"] == len(b)
+        assert row["head_byte"] == b[0]
+        assert row["sum_byte"] == int(b.sum(dtype=np.int64))
+        got = np.asarray(frames.loc[doc_id, "frames"])
+        assert np.array_equal(got, b[::16][:32].astype(np.int32))
+
+
 def test_png_payloads_flow_through_media_stages(ray_session, docs):
     """Real PNG decode inside the actor plumbing: text -> PNG payload ->
     MediaFeatures decodes and the pixel stats equal the trimmed text

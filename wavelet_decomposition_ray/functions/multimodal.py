@@ -2,8 +2,9 @@
 metadata, decode / feature-extract / frame-sample as actor-pool stages.
 
 ``image/png`` payloads are decoded for REAL (``functions.png``: pure
-zlib+numpy per the PNG spec, PIL fast path when installed). Audio/video
-codecs are still absent from this container, so those media types raise a
+zlib+numpy per the PNG spec, PIL fast path when installed), as are
+``audio/wav`` payloads (``functions.wav``: RIFF/PCM parse, pure numpy).
+Video codecs are absent from this container, so those media types raise a
 clearly-marked NotImplementedError; everything Ray-side — schema,
 zero-copy binary batches, actor signature, batch sizing, output layout —
 is identical for every media type.
@@ -46,9 +47,11 @@ def _decode_payload(payload: bytes, media_type: str) -> np.ndarray:
     ``image/png`` is a REAL decode (``functions.png`` — full spec-level
     parse/inflate/unfilter, PIL fast path when installed), flattened to the
     raster pixel stream so every downstream stage (features, resize, frame
-    sampling) is media-agnostic. ``text/fake`` returns the byte array (the
-    deterministic stand-in). Audio/video types raise NotImplementedError —
-    swap in soundfile/pyav on a cluster that has them.
+    sampling) is media-agnostic; ``audio/wav`` likewise (``functions.wav``
+    — RIFF/PCM parse), flattened to the interleaved sample stream.
+    ``text/fake`` returns the byte array (the deterministic stand-in).
+    Video types raise NotImplementedError — swap in pyav on a cluster that
+    has it.
     """
     if media_type == "text/fake":
         return np.frombuffer(payload, dtype=np.uint8)
@@ -56,8 +59,14 @@ def _decode_payload(payload: bytes, media_type: str) -> np.ndarray:
         from . import png
 
         return png.decode_png(payload).reshape(-1)
+    if media_type == "audio/wav":
+        from . import wav
+
+        # interleaved sample stream (RIFF/PCM parse, pure numpy) — int16
+        # or uint8 depending on bit depth; downstream stages widen anyway
+        return wav.decode_wav(payload)[0].reshape(-1)
     raise NotImplementedError(
-        f"media decode for {media_type!r} requires audio/video libs "
+        f"media decode for {media_type!r} requires video libs "
         "not present in this container"
     )
 
@@ -88,6 +97,36 @@ def text_to_png_payload_batch(batch: pa.Table) -> pa.Table:
             "doc_id": batch["doc_id"].take(pa.array(ids, type=pa.int64())),
             "payload": pa.array(payloads, type=pa.binary()),
             "media_type": pa.array(["image/png"] * len(ids)),
+            "n_bytes": pa.array(np.array(sizes, dtype=np.int64)),
+        }
+    )
+
+
+WAV_RATE = 16000
+
+
+def text_to_wav_payload_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic REAL-audio fixtures: each document's utf-8 bytes as
+    16-bit PCM samples (sample value == byte value), mono at WAV_RATE.
+    The decoded stream equals the text bytes, which is what makes
+    WAV-decoded features SQL-checkable (the png.py fixture pattern).
+    Empty docs are skipped (none in the synth corpora)."""
+    from . import wav
+
+    ids, payloads, sizes = [], [], []
+    for i, t in enumerate(batch["text"].to_pylist()):
+        b = t.encode()
+        if not b:
+            continue
+        samples = np.frombuffer(b, dtype=np.uint8).astype(np.int16)
+        ids.append(i)
+        payloads.append(wav.encode_wav(samples, sample_rate=WAV_RATE))
+        sizes.append(len(payloads[-1]))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].take(pa.array(ids, type=pa.int64())),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "media_type": pa.array(["audio/wav"] * len(ids)),
             "n_bytes": pa.array(np.array(sizes, dtype=np.int64)),
         }
     )

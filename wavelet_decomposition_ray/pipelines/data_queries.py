@@ -1330,6 +1330,47 @@ PNG_FEATURES_SQL = (
 )
 
 
+def q_wav_features(sf_dir: str):
+    """REAL audio decode in the loop (VERDICT r4 #3): deterministic WAV
+    payloads (each doc's text bytes as 16-bit PCM samples, full RIFF
+    container) -> MediaFeatures actors decode the WAVs (pure-numpy
+    RIFF/PCM parse, ``functions.wav``) -> per-clip sample stats. Because
+    the decoded sample stream equals the text bytes, the stats have an
+    exact SQL twin over the text column (the png_features pattern)."""
+    ds = _docs(sf_dir).map_batches(
+        mm.text_to_wav_payload_batch, batch_format="pyarrow"
+    )
+    feats = ds.map_batches(
+        mm.MediaFeatures(), batch_format="pyarrow", batch_size=128
+    )
+    return feats.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_samples": t["n_bytes"],
+                "head_sample": t["head_byte"],
+                "sum_sample": t["sum_byte"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+WAV_FEATURES_SQL = (
+    # the PCM sample stream is exactly the text's utf-8 bytes (ASCII
+    # corpus: byte == codepoint); integer sample sum, so the comparison
+    # is bit-exact
+    "WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents"
+    " WHERE strlen(text) >= 1),"
+    " m AS (SELECT doc_id, CAST(sum(ascii(substr(text,"
+    " CAST(i AS INTEGER), 1))) AS BIGINT) AS sum_sample"
+    "  FROM d, UNNEST(range(1, n + 1)) AS t(i) GROUP BY doc_id)"
+    " SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_samples,"
+    " CAST(ascii(substr(d.text, 1, 1)) AS BIGINT) AS head_sample,"
+    " m.sum_sample FROM d JOIN m USING (doc_id)"
+)
+
+
 def q_frame_sample(sf_dir: str):
     """Frame sampling (every 16th payload byte, max 32 frames) in LONG form
     so the byte values are SQL-checkable against the fake payloads."""
@@ -1676,6 +1717,59 @@ DECONTAM_SQL = (
     " g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram"
     "   FROM w, UNNEST(range(1, greatest(length(ws)-2, 0)+1)) AS t(i)),"
     f" bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {DECONTAM_MOD} = 0),"
+    " stats AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,"
+    "   CAST(count(b.gram) AS BIGINT) AS n_shared"
+    "   FROM g LEFT JOIN bench b USING (gram)"
+    f"  WHERE g.doc_id % {DECONTAM_MOD} <> 0 GROUP BY g.doc_id)"
+    " SELECT d.doc_id, coalesce(s.n_grams, 0) AS n_grams,"
+    " coalesce(s.n_shared, 0) AS n_shared,"
+    f" coalesce(s.n_shared, 0) >= {DECONTAM_MIN_SHARED} AS contaminated"
+    " FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id"
+    f" WHERE d.doc_id % {DECONTAM_MOD} <> 0"
+)
+
+
+def q_decontam_table(sf_dir: str):
+    """Real-world decontamination shape (VERDICT r4 #5): the benchmark is
+    a SEPARATE small table (``benchmark.parquet``: bench_id, text), so the
+    gram side is built from an eval-suite-sized read instead of a second
+    full corpus scan carving ``doc_id % 97 == 0`` back out (q_decontam's
+    fixture-only shape — kept for parity; this is the variant a 100-TB run
+    uses). The benchmark table is read ONCE on the driver (it is tiny by
+    nature), its distinct gram set broadcast via ``ray.put``; the corpus
+    side is the same single streaming membership scan. Benchmark-member
+    ids are still excluded from scoring by the same id rule, so the two
+    variants agree row-for-row."""
+    from .. import synth
+
+    bench_p = synth.ensure_benchmark(sf_dir, mod=DECONTAM_MOD)
+    import pyarrow.parquet as pq
+
+    bench_t = pq.read_table(bench_p, columns=["bench_id", "text"])
+    g = tx.word3_grams_frame(
+        bench_t["bench_id"].to_numpy(), bench_t["text"].to_pandas()
+    )
+    bench_ref = ray.put(set(g["gram"].unique().tolist()))
+    return _docs(sf_dir).map_batches(
+        _make_decontam_score(bench_ref),
+        batch_format="pyarrow",
+        batch_size=512,
+    )
+
+
+DECONTAM_TABLE_SQL = (
+    # corpus grams as in DECONTAM_SQL; the benchmark side reads the
+    # separate small parquet (identical bytes on both engine + SQL sides)
+    "WITH w AS (SELECT doc_id,"
+    " list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws"
+    " FROM documents),"
+    " g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram"
+    "   FROM w, UNNEST(range(1, greatest(length(ws)-2, 0)+1)) AS t(i)),"
+    " bw AS (SELECT bench_id,"
+    " list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws"
+    " FROM read_parquet('/tmp/graft_synth/sf0.01/benchmark.parquet')),"
+    " bench AS (SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram"
+    "   FROM bw, UNNEST(range(1, greatest(length(ws)-2, 0)+1)) AS t(i)),"
     " stats AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,"
     "   CAST(count(b.gram) AS BIGINT) AS n_shared"
     "   FROM g LEFT JOIN bench b USING (gram)"
@@ -3361,11 +3455,13 @@ DATA_QUERIES = {
     "doc_chunks": (q_doc_chunks, DOC_CHUNKS_SQL),
     "multimodal_features": (q_multimodal_features, MULTIMODAL_SQL),
     "png_features": (q_png_features, PNG_FEATURES_SQL),
+    "wav_features": (q_wav_features, WAV_FEATURES_SQL),
     "frame_sample": (q_frame_sample, FRAME_SAMPLE_SQL),
     "media_resize": (q_media_resize, MEDIA_RESIZE_SQL),
     "fingerprint_md5": (q_fingerprint, FINGERPRINT_SQL),
     "fingerprint_rolling": (q_fingerprint_rolling, FINGERPRINT_ROLLING_SQL),
     "decontam": (q_decontam, DECONTAM_SQL),
+    "decontam_table": (q_decontam_table, DECONTAM_TABLE_SQL),
     "tfdf_top3": (q_tfdf_top3, TFDF_SQL),
     "props_extract": (q_props_extract, PROPS_EXTRACT_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
