@@ -147,6 +147,133 @@ def corpus_clean_stress(tmp: str) -> dict:
             "clean_rows": int(n_rows), "wall_s": round(wall, 1)}
 
 
+N_VECS = 1_000_000
+VEC_DIM = 64
+VEC_CLUSTERS = 32
+
+
+def _build_embeddings(tmp: str) -> tuple[np.ndarray, np.ndarray]:
+    """1M deterministic synthetic vectors (32-cluster Gaussian mixture,
+    float32, the testdata embeddings schema) written as one parquet with
+    small row groups so the vec_id pushdown filters actually prune.
+    Generated in 100k chunks to bound driver memory; returns the exact
+    top-1000 ground truth for vec 0 (ids, true cosines) accumulated
+    during generation — no second full read."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((VEC_CLUSTERS, VEC_DIM))
+    path = os.path.join(tmp, "embeddings.parquet")
+    schema = pa.schema(
+        [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+    )
+    chunk = 100_000
+    q = None
+    best_ids = np.empty(0, dtype=np.int64)
+    best_cos = np.empty(0, dtype=np.float64)
+    hist = np.zeros(4000, dtype=np.int64)  # corpus cos distribution vs q
+    with pq.ParquetWriter(path, schema) as w:
+        for lo in range(0, N_VECS, chunk):
+            n = min(chunk, N_VECS - lo)
+            assign = rng.integers(0, VEC_CLUSTERS, n)
+            vecs = (centers[assign]
+                    + 0.3 * rng.standard_normal((n, VEC_DIM))).astype(
+                        np.float32)
+            if q is None:
+                q = vecs[0].astype(np.float64)  # the query everybody uses
+            # ground truth vs the float32 values actually written
+            v64 = vecs.astype(np.float64)
+            cs = (v64 @ q) / (
+                np.linalg.norm(v64, axis=1) * np.linalg.norm(q))
+            hist += np.histogram(cs, bins=4000, range=(-1.0, 1.0))[0]
+            ids = np.arange(lo, lo + n, dtype=np.int64)
+            best_ids = np.concatenate([best_ids, ids])
+            best_cos = np.concatenate([best_cos, cs])
+            if len(best_cos) > 1000:
+                keep = np.argpartition(-best_cos, 1000)[:1000]
+                best_ids, best_cos = best_ids[keep], best_cos[keep]
+            off = np.arange(n + 1, dtype=np.int32) * VEC_DIM
+            col = pa.ListArray.from_arrays(
+                pa.array(off), pa.array(vecs.ravel(), type=pa.float32())
+            )
+            w.write_table(
+                pa.table({"vec_id": ids, "embedding": col}, schema=schema),
+                row_group_size=25_000,
+            )
+    # the engine emits cos_sim rounded to 6 decimals and tie-breaks by
+    # vec_id asc — use the identical ordering so the exactness assert
+    # cannot trip on a sub-1e-6 tie
+    order = np.lexsort((best_ids, -np.round(best_cos, 6)))
+    return best_ids[order], best_cos[order], hist, q
+
+
+def ann_stress(tmp: str) -> dict:
+    """ann_ivf + ann_pq at 1M vectors (VERDICT r4 #7): proves the IVF
+    probe-escalation stays EXACT past test scale (set-equal to the brute
+    scan) and that the one-byte-per-subspace PQ/ADC scan returns genuinely
+    near vectors, with recall vs brute force and wall times recorded."""
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    truth_ids, truth_cos, hist, q = _build_embeddings(tmp)
+
+    t0 = time.perf_counter()
+    knn = dq.q_knn_cosine(tmp).to_pandas()
+    wall_knn = time.perf_counter() - t0
+    # brute engine path vs numpy ground truth (same float64 cosine)
+    assert list(knn["vec_id"]) == list(truth_ids[:10]), "brute scan wrong"
+
+    t0 = time.perf_counter()
+    ivf = dq.q_ann_ivf(tmp)
+    wall_ivf = time.perf_counter() - t0
+    assert list(ivf["vec_id"]) == list(knn["vec_id"]), (
+        "IVF probe escalation lost exactness at 1M"
+    )
+
+    t0 = time.perf_counter()
+    pq_top = dq.q_ann_pq(tmp)
+    wall_pq = time.perf_counter() - t0
+    assert len(pq_top) == dq.PQ_NN_K
+    pq_ids = [int(i) for i in pq_top["vec_id"].to_numpy()]
+    recall_pq = len(set(pq_ids) & set(knn["vec_id"])) / len(knn)
+    # quality bar robust to the coarse sampled codebook (16 centroids per
+    # subspace): every PQ answer must be a genuinely NEAR vector — its
+    # true cosine must rank inside the corpus's top PQ_NEAR_FRAC. True
+    # cosines of the 10 returned ids come from a pushed-down row read;
+    # their percentile ranks from the histogram accumulated at build time.
+    import pyarrow.compute as pc_
+
+    import ray.data
+
+    rows = ray.data.read_parquet(
+        os.path.join(tmp, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=pc_.field("vec_id").isin(pq_ids),
+    ).take_all()
+    qn = q / np.linalg.norm(q)
+    true_cos = {}
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        true_cos[int(r["vec_id"])] = float(v @ qn / np.linalg.norm(v))
+    pq_true_cos = np.array([true_cos[i] for i in pq_ids])
+    # rank(c) = fraction of the corpus with cosine >= c (histogram tail)
+    total = hist.sum()
+    tail = np.concatenate([np.cumsum(hist[::-1])[::-1][1:], [0]])
+    bins = np.clip(((pq_true_cos + 1.0) / 2.0 * 4000).astype(int), 0, 3999)
+    pq_ranks = tail[bins] / total
+    PQ_NEAR_FRAC = 0.05  # top 5% of 1M — far beyond chance (E[random]=0.5)
+    assert pq_ranks.max() <= PQ_NEAR_FRAC, (
+        f"PQ returned a non-near vector: worst rank {pq_ranks.max():.4f}"
+    )
+    return {
+        "vectors": N_VECS, "dim": VEC_DIM,
+        "knn_brute_wall_s": round(wall_knn, 1),
+        "ivf_wall_s": round(wall_ivf, 1), "ivf_exact": True,
+        "pq_wall_s": round(wall_pq, 1),
+        "pq_recall_at_10": recall_pq,
+        "pq_min_true_cos": round(float(pq_true_cos.min()), 4),
+        "pq_worst_rank_frac": round(float(pq_ranks.max()), 5),
+        "true_cos_rank1000": round(float(truth_cos[-1]), 4),
+    }
+
+
 def main():
     import ray
 
@@ -156,8 +283,8 @@ def main():
                  include_dashboard=False)
     out = {}
     only = os.environ.get("STRESS_ONLY", "")
-    assert only in ("", "simhash", "clean", "cc"), (
-        f"STRESS_ONLY={only!r}: valid values are simhash|clean|cc (or "
+    assert only in ("", "simhash", "clean", "cc", "ann"), (
+        f"STRESS_ONLY={only!r}: valid values are simhash|clean|cc|ann (or "
         "unset for all) — refusing to silently run nothing"
     )
     with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
@@ -167,6 +294,9 @@ def main():
             if only == "clean":  # corpus not built by the simhash leg
                 _build_corpus(tmp)
             out["corpus_clean_1m_docs"] = corpus_clean_stress(tmp)
+    if only in ("", "ann"):
+        with tempfile.TemporaryDirectory(dir="/tmp") as tmp2:
+            out["ann_1m_vectors"] = ann_stress(tmp2)
     if only in ("", "cc"):
         out["cc_6m_edges"] = cc_stress()
     print(json.dumps(out))

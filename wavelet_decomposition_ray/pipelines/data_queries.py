@@ -2664,7 +2664,16 @@ def q_corpus_clean(sf_dir: str):
     note: every predicate is text- or id-deterministic, so computing the
     side sets corpus-wide commutes with the quality filter (duplicate
     texts share verdicts) — which is what lets the sides build
-    independently and the filters fuse into one scan."""
+    independently and the filters fuse into one scan.
+
+    FIXTURE-ONLY caveat (VERDICT r4): the benchmark-gram side here costs a
+    second full corpus pass ONLY because this fixture defines the
+    benchmark as the ``doc_id % 97 == 0`` slice of the corpus table
+    itself.  The real-world shape is a separate small benchmark table —
+    see ``q_decontam_table``, which reads its side from
+    ``benchmark.parquet`` (eval-suite-sized input, no corpus pass); at
+    100 TB you would compose THAT side-build with this capstone's single
+    filter scan."""
     drop_ref = ray.put(_dropped_dup_ids(sf_dir))
 
     def bench_grams(t: pa.Table) -> pa.Table:
