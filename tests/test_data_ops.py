@@ -1142,6 +1142,32 @@ def test_best_shift_full_finds_off_grid_optimum():
     assert grid["energy2"][0].as_py() < out["energy2"][0].as_py()
 
 
+def test_best_shift_family_three_rows_and_week_matches_global():
+    """The per-family calibration (reference: one translation per
+    year/week/day mother) emits one row per family; the W=16 ('week')
+    family must equal the single-family q_best_shift, and a block sized
+    to ONE family's window aligns best in that family."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    n = 256
+    x = np.zeros(n, dtype=np.int64)
+    x[12 : 12 + 16] = 100   # one 'week' window (np/16 = 16) at offset 12
+    t = pa.table({"doc_id": ["planted"], "tokens": [x.tolist()]})
+
+    fam = _capture_batch_fn(cq.q_best_shift_family, "unused")(t).to_pandas()
+    assert sorted(fam["family"]) == ["day", "week", "year"]
+    single = _capture_batch_fn(cq.q_best_shift, "unused")(t)
+    week = fam[fam["family"] == "week"].iloc[0]
+    assert week["best_shift"] == single["best_shift"][0].as_py()
+    assert week["energy2"] == single["energy2"][0].as_py()
+    # grid stride is 4, block offset 12 IS on-grid: the week family
+    # captures the block in one window (full energy); the day family
+    # (8-wide windows) must split it across two windows at every shift
+    assert week["best_shift"] == 12 and week["energy2"] == (16 * 100) ** 2
+    day = fam[fam["family"] == "day"].iloc[0]
+    assert day["energy2"] < (16 * 100) ** 2
+
+
 def test_shift_scan_overflow_guard_bounds_the_energy_sum():
     """ADVICE r4 (medium): the guard must bound |window sum| by
     sqrt((2^63-1)/W), not 2^31 — at the old bound the summed squared

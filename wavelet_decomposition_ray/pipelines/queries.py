@@ -1582,15 +1582,19 @@ SHIFT_SEG_BOUND = math.isqrt((2**63 - 1) // SHIFT_WINDOWS)
 SHIFT_FULL_MAX_LEN = 1024
 
 
-def _shift_scan_doc(x: np.ndarray, grid: int | None) -> tuple[int, int]:
+def _shift_scan_doc(
+    x: np.ndarray, grid: int | None, W: int = SHIFT_WINDOWS
+) -> tuple[int, int]:
     """Score circular shifts of ONE sequence by captured coarse-window
     energy via a circular prefix sum; returns (best_shift, energy2).
 
     ``grid=G`` scores G stride-n'/G candidates; ``grid=None`` scores EVERY
     shift of the W-trimmed length — the reference's exhaustive scan
     (calc_translations.py:29-43), same O(candidates x W) prefix lookups.
+    ``W`` is the projection coarseness (windows per sequence) — the
+    calibration FAMILY knob (reference's year/week/day mother dictionaries,
+    calc_translations.py:62-114).
     """
-    W = SHIFT_WINDOWS
     if grid is None:
         np_ = (len(x) // W) * W
         stride = 1
@@ -1609,7 +1613,7 @@ def _shift_scan_doc(x: np.ndarray, grid: int | None) -> tuple[int, int]:
     wrap = idx > np_
     cpv = cp[np.where(wrap, idx - np_, idx)] + wrap * total
     seg = cpv[:, 1:] - cpv[:, :-1]      # (G, W) window sums
-    if np.abs(seg).max(initial=0) > SHIFT_SEG_BOUND:
+    if np.abs(seg).max(initial=0) > math.isqrt((2**63 - 1) // W):
         raise ValueError(
             "best_shift: |window sum| exceeds sqrt((2^63-1)/W) — the "
             "sum of squared window energies would wrap int64 (the SQL "
@@ -1778,6 +1782,106 @@ BEST_SHIFT_FULL_SQL = (
     " SELECT doc_id, CAST(j AS BIGINT) AS best_shift, e AS energy2"
     " FROM best"
 )
+
+
+# calibration families: the reference fits a best translation per mother
+# dictionary (year / week / day, calc_translations.py:62-114); the
+# coarse-projection analog is the windows-per-sequence knob — coarser
+# family = fewer, longer windows
+SHIFT_FAMILIES = (("year", 8), ("week", 16), ("day", 32))
+
+
+def q_best_shift_family(sf_dir: str):
+    """K2's full calibration entry point: the reference computes a best
+    translation PER DICTIONARY FAMILY (year/week/day mothers,
+    calc_translations.py:62-114), not one global shift. Analog here: the
+    same circular-prefix shift scan at three projection coarsenesses
+    (8 / 16 / 32 windows — the family knob), emitting one
+    (doc_id, family, best_shift, energy2) row per family. All three scans
+    share one prefix sum per sequence; rows = 3 x sequences, still no
+    shuffle. Energies are NOT comparable across families (window counts
+    differ) — exactly like the reference's per-family residuals, which it
+    also never compares across families."""
+    from ..functions.listops import list_to_numpy
+
+    G = SHIFT_GRID
+    fams = SHIFT_FAMILIES
+
+    def family_shift_batch(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        keep = np.diff(off) >= G
+        if not keep.all():
+            t = t.filter(pa.array(keep))
+            vals, off = list_to_numpy(t["tokens"])
+        n_docs = len(off) - 1
+        nf = len(fams)
+        best_d = np.empty(n_docs * nf, dtype=np.int64)
+        best_e = np.empty(n_docs * nf, dtype=np.int64)
+        for i in range(n_docs):
+            x = vals[off[i]:off[i + 1]].astype(np.int64)
+            for f, (_, w) in enumerate(fams):
+                best_d[i * nf + f], best_e[i * nf + f] = _shift_scan_doc(
+                    x, G, W=w
+                )
+        names = pa.array(
+            [name for _ in range(n_docs) for name, _ in fams],
+            type=pa.string(),
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"].take(
+                pa.array(np.repeat(np.arange(n_docs), nf))),
+             "family": names,
+             "best_shift": pa.array(best_d),
+             "energy2": pa.array(best_e)}
+        )
+
+    return _seq_ds(sf_dir).map_batches(
+        family_shift_batch, batch_format="pyarrow", batch_size=128
+    )
+
+
+def _best_shift_family_sql() -> str:
+    fam_vals = ", ".join(f"('{n}', {w})" for n, w in SHIFT_FAMILIES)
+    return (
+        "WITH seq AS (SELECT doc_id, tokens,"
+        f" (n_tok // {SHIFT_GRID}) * {SHIFT_GRID} AS np"
+        f" FROM read_parquet('{SYNTH_GLOB_001}') WHERE n_tok >= {SHIFT_GRID}),"
+        " tok AS (SELECT doc_id, np, generate_subscripts(tokens, 1) - 1 AS pos,"
+        "   unnest(tokens) AS v FROM seq),"
+        " pre AS (SELECT doc_id, np, pos,"
+        "   CAST(sum(v) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS p"
+        "   FROM tok WHERE pos < np),"
+        " cp AS (SELECT doc_id, pos + 1 AS t, p FROM pre"
+        "   UNION ALL SELECT doc_id, 0, 0 FROM seq),"
+        " tot AS (SELECT doc_id, p AS total FROM pre WHERE pos = np - 1),"
+        f" fam(family, w) AS (SELECT * FROM (VALUES {fam_vals})),"
+        " pts AS (SELECT s.doc_id, s.np, f.family, f.w, g.j, t.k,"
+        f"   g.j * (s.np // {SHIFT_GRID}) + t.k * (s.np // f.w) AS a,"
+        f"   g.j * (s.np // {SHIFT_GRID}) + (t.k + 1) * (s.np // f.w) AS b"
+        f"   FROM seq s, (SELECT unnest(range(0, {SHIFT_GRID})) AS j) g,"
+        "   fam f, UNNEST(range(0, f.w)) AS t(k)),"
+        " sums AS (SELECT p.doc_id, p.family, p.j,"
+        "   (cb.p + CASE WHEN p.b > p.np THEN t.total ELSE 0 END)"
+        "   - (ca.p + CASE WHEN p.a > p.np THEN t.total ELSE 0 END) AS s"
+        "   FROM pts p"
+        "   JOIN cp ca ON ca.doc_id = p.doc_id AND ca.t ="
+        "     CASE WHEN p.a <= p.np THEN p.a ELSE p.a - p.np END"
+        "   JOIN cp cb ON cb.doc_id = p.doc_id AND cb.t ="
+        "     CASE WHEN p.b <= p.np THEN p.b ELSE p.b - p.np END"
+        "   JOIN tot t ON t.doc_id = p.doc_id),"
+        " en AS (SELECT doc_id, family, j, CAST(sum(s * s) AS BIGINT) AS e"
+        "   FROM sums GROUP BY doc_id, family, j),"
+        " best AS (SELECT doc_id, family, j, e FROM en QUALIFY"
+        "   row_number() OVER (PARTITION BY doc_id, family"
+        "     ORDER BY e DESC, j) = 1)"
+        f" SELECT b.doc_id, b.family,"
+        f" CAST(b.j * (s.np // {SHIFT_GRID}) AS BIGINT) AS best_shift,"
+        " b.e AS energy2"
+        " FROM best b JOIN seq s USING (doc_id)"
+    )
+
+
+BEST_SHIFT_FAMILY_SQL = _best_shift_family_sql()
 
 
 # --------------------------------------------------------------------------
@@ -4612,6 +4716,7 @@ CORE_QUERIES = {
     "sax_motifs": (q_sax_motifs, SAX_MOTIFS_SQL),
     "best_shift": (q_best_shift, BEST_SHIFT_SQL),
     "best_shift_full": (q_best_shift_full, BEST_SHIFT_FULL_SQL),
+    "best_shift_family": (q_best_shift_family, BEST_SHIFT_FAMILY_SQL),
     "scale_decomposition": (q_scale_decomposition, SCALE_DECOMP_SQL),
     "haar_denoise_l1": (q_haar_denoise_l1, HAAR_DENOISE_SQL),
     "anomaly_mad": (q_anomaly_mad, ANOMALY_MAD_SQL),
