@@ -947,6 +947,98 @@ def test_wav_payloads_flow_through_media_stages(ray_session, docs):
         assert np.array_equal(got, b[::16][:32].astype(np.int32))
 
 
+def test_avi_codec_roundtrip():
+    """Pure-numpy uncompressed-AVI codec: encode/decode round-trips frames
+    bit-exact for RGB and greyscale, including widths that are not a
+    multiple of 4 (exercises the DWORD row padding) and single frames;
+    preserves the frame rate via dwRate/dwScale."""
+    from wavelet_decomposition_ray.functions import avi
+
+    rng = np.random.default_rng(13)
+    cases = [
+        rng.integers(0, 256, (5, 9, 7, 3)).astype(np.uint8),  # stride pad
+        rng.integers(0, 256, (1, 4, 4, 3)).astype(np.uint8),
+        rng.integers(0, 256, (3, 8, 8)).astype(np.uint8),     # greyscale
+    ]
+    for a in cases:
+        dec, fps = avi.decode_avi(avi.encode_avi(a, fps=30))
+        assert fps == 30.0
+        want = np.repeat(a[..., None], 3, axis=3) if a.ndim == 3 else a
+        assert dec.dtype == np.uint8 and np.array_equal(dec, want), a.shape
+
+
+def test_avi_decode_enforces_contract():
+    from wavelet_decomposition_ray.functions import avi
+
+    enc = avi.encode_avi(np.zeros((2, 4, 4), dtype=np.uint8))
+    with pytest.raises(ValueError, match="signature"):
+        avi.decode_avi(b"RIFX" + enc[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        avi.decode_avi(enc[:40])
+    # strf.biCompression -> non-BI_RGB: out of contract
+    strf_off = enc.index(b"strf") + 8
+    bad_comp = bytearray(enc)
+    bad_comp[strf_off + 16] = 1  # BI_RLE8
+    with pytest.raises(NotImplementedError, match="BI_RGB"):
+        avi.decode_avi(bytes(bad_comp))
+    bad_bits = bytearray(enc)
+    bad_bits[strf_off + 14] = 8  # biBitCount
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        avi.decode_avi(bytes(bad_bits))
+    # a frame whose byte count disagrees with the header geometry
+    frame_off = enc.index(b"00db") + 4
+    short = bytearray(enc)
+    short[frame_off : frame_off + 4] = (
+        int.from_bytes(enc[frame_off : frame_off + 4], "little") - 4
+    ).to_bytes(4, "little")
+    with pytest.raises(ValueError):
+        avi.decode_avi(bytes(short))
+
+
+def test_avi_payloads_flow_through_media_stages(ray_session, docs):
+    """Real AVI decode inside the actor plumbing: text -> greyscale-frame
+    AVI payload -> MediaFeatures decodes (the pixel stream is each trimmed
+    text byte x3); VideoFrameStats extracts the decoded FRAME STRUCTURE
+    (every 2nd frame, per-frame sums) — the keyframe-sampling shape."""
+    import ray.data
+
+    t = docs.slice(0, 64).select(["doc_id", "text"])
+    ds = ray.data.from_arrow(t).map_batches(
+        mm.text_to_avi_payload_batch, batch_format="pyarrow"
+    )
+    feats = (
+        ds.map_batches(mm.MediaFeatures(), batch_format="pyarrow",
+                       batch_size=16)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    fstats = (
+        ds.map_batches(mm.VideoFrameStats(stride=2), batch_format="pyarrow",
+                       batch_size=16)
+        .to_pandas()
+        .groupby("doc_id")
+    )
+    for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        b = np.frombuffer(txt.encode(), dtype=np.uint8)
+        n = (len(b) // mm.FRAME_BYTES) * mm.FRAME_BYTES
+        if n == 0:
+            assert did not in feats.index
+            continue
+        row = feats.loc[did]
+        assert row["n_bytes"] == 3 * n
+        assert row["head_byte"] == b[0]
+        assert row["sum_byte"] == 3 * int(b[:n].sum(dtype=np.int64))
+        g = fstats.get_group(did).sort_values("frame_idx")
+        want_idx = np.arange(0, n // mm.FRAME_BYTES, 2)
+        assert np.array_equal(g["frame_idx"].to_numpy(), want_idx)
+        want_sums = [
+            3 * int(b[k * mm.FRAME_BYTES : (k + 1) * mm.FRAME_BYTES]
+                    .sum(dtype=np.int64))
+            for k in want_idx
+        ]
+        assert g["frame_sum"].tolist() == want_sums
+
+
 def test_png_payloads_flow_through_media_stages(ray_session, docs):
     """Real PNG decode inside the actor plumbing: text -> PNG payload ->
     MediaFeatures decodes and the pixel stats equal the trimmed text

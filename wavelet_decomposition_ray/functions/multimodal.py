@@ -3,11 +3,13 @@ metadata, decode / feature-extract / frame-sample as actor-pool stages.
 
 ``image/png`` payloads are decoded for REAL (``functions.png``: pure
 zlib+numpy per the PNG spec, PIL fast path when installed), as are
-``audio/wav`` payloads (``functions.wav``: RIFF/PCM parse, pure numpy).
-Video codecs are absent from this container, so those media types raise a
-clearly-marked NotImplementedError; everything Ray-side — schema,
-zero-copy binary batches, actor signature, batch sizing, output layout —
-is identical for every media type.
+``audio/wav`` payloads (``functions.wav``: RIFF/PCM parse, pure numpy)
+and ``video/avi`` payloads (``functions.avi``: RIFF 'AVI ' container with
+uncompressed 24-bit DIB frames, pure numpy). Compressed video codecs are
+absent from this container, so those media types raise a clearly-marked
+NotImplementedError; everything Ray-side — schema, zero-copy binary
+batches, actor signature, batch sizing, output layout — is identical for
+every media type.
 """
 
 from __future__ import annotations
@@ -50,8 +52,10 @@ def _decode_payload(payload: bytes, media_type: str) -> np.ndarray:
     sampling) is media-agnostic; ``audio/wav`` likewise (``functions.wav``
     — RIFF/PCM parse), flattened to the interleaved sample stream.
     ``text/fake`` returns the byte array (the deterministic stand-in).
-    Video types raise NotImplementedError — swap in pyav on a cluster that
-    has it.
+    ``video/avi`` is a REAL decode too (``functions.avi`` — uncompressed
+    24-bit DIB frames in the RIFF 'AVI ' container), flattened frame-major
+    to the RGB pixel stream. Compressed video types (mp4/h264/vp9) raise
+    NotImplementedError — swap in pyav on a cluster that has it.
     """
     if media_type == "text/fake":
         return np.frombuffer(payload, dtype=np.uint8)
@@ -65,8 +69,12 @@ def _decode_payload(payload: bytes, media_type: str) -> np.ndarray:
         # interleaved sample stream (RIFF/PCM parse, pure numpy) — int16
         # or uint8 depending on bit depth; downstream stages widen anyway
         return wav.decode_wav(payload)[0].reshape(-1)
+    if media_type == "video/avi":
+        from . import avi
+
+        return avi.decode_avi(payload)[0].reshape(-1)
     raise NotImplementedError(
-        f"media decode for {media_type!r} requires video libs "
+        f"media decode for {media_type!r} requires compressed-codec libs "
         "not present in this container"
     )
 
@@ -127,6 +135,44 @@ def text_to_wav_payload_batch(batch: pa.Table) -> pa.Table:
             "doc_id": batch["doc_id"].take(pa.array(ids, type=pa.int64())),
             "payload": pa.array(payloads, type=pa.binary()),
             "media_type": pa.array(["audio/wav"] * len(ids)),
+            "n_bytes": pa.array(np.array(sizes, dtype=np.int64)),
+        }
+    )
+
+
+FRAME_H = 8
+FRAME_W = 8
+FRAME_BYTES = FRAME_H * FRAME_W
+VIDEO_FPS = 25
+
+
+def text_to_avi_payload_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic REAL-video fixtures: each document's utf-8 bytes,
+    trimmed to a multiple of FRAME_BYTES, as greyscale FRAME_H x FRAME_W
+    frames in a full RIFF 'AVI ' container (uncompressed 24-bit DIB
+    frames). Grey replicates to RGB, so the decoded pixel stream is each
+    trimmed text byte repeated 3x — which is what makes the video-decoded
+    features SQL-checkable (the png.py/wav.py fixture pattern). Docs
+    shorter than one frame are skipped (none in the synth corpora)."""
+    from . import avi
+
+    ids, payloads, sizes = [], [], []
+    for i, t in enumerate(batch["text"].to_pylist()):
+        b = t.encode()
+        n = (len(b) // FRAME_BYTES) * FRAME_BYTES
+        if n == 0:
+            continue
+        frames = np.frombuffer(b[:n], dtype=np.uint8).reshape(
+            -1, FRAME_H, FRAME_W
+        )
+        ids.append(i)
+        payloads.append(avi.encode_avi(frames, fps=VIDEO_FPS))
+        sizes.append(len(payloads[-1]))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].take(pa.array(ids, type=pa.int64())),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "media_type": pa.array(["video/avi"] * len(ids)),
             "n_bytes": pa.array(np.array(sizes, dtype=np.int64)),
         }
     )
@@ -203,6 +249,45 @@ class MediaResize:
             {
                 "doc_id": batch["doc_id"].take(pa.array(keep_rows)),
                 "thumb": numpy_to_list(flat, off, pa.int32()),
+            }
+        )
+
+
+class VideoFrameStats:
+    """Actor-pool stage: REAL per-frame extraction — decode the AVI
+    container, keep every ``stride``-th frame (the keyframe-sampling shape
+    of a video curation pipeline), emit long-form per-frame pixel sums.
+    Unlike FrameSampler (which strides the flat byte stream of ANY media
+    type), this stage works on the decoded (n, h, w, 3) frame structure."""
+
+    def __init__(self, stride: int = 2):
+        assert stride >= 1
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from . import avi
+
+        ids, fidx, fsum = [], [], []
+        payloads = batch["payload"].to_pylist()
+        for i, p in enumerate(payloads):
+            frames, _fps = avi.decode_avi(p)
+            kept = np.arange(0, len(frames), self.stride, dtype=np.int64)
+            sums = frames[kept].reshape(len(kept), -1).sum(
+                axis=1, dtype=np.int64
+            )
+            ids.extend([i] * len(kept))
+            fidx.append(kept)
+            fsum.append(sums)
+        n = len(ids)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(pa.array(ids, type=pa.int64())),
+                "frame_idx": pa.array(
+                    np.concatenate(fidx) if n else np.empty(0, dtype=np.int64)
+                ),
+                "frame_sum": pa.array(
+                    np.concatenate(fsum) if n else np.empty(0, dtype=np.int64)
+                ),
             }
         )
 

@@ -1465,6 +1465,84 @@ WAV_FEATURES_SQL = (
 )
 
 
+def q_video_features(sf_dir: str):
+    """REAL video decode in the loop (the last r4 multimodal stub closed):
+    deterministic AVI payloads (each doc's text bytes as greyscale 8x8
+    frames in a full RIFF 'AVI ' container, uncompressed 24-bit DIB) ->
+    MediaFeatures actors decode the AVIs (pure-numpy container parse +
+    DIB unfilter, ``functions.avi``) -> per-clip pixel stats. Grey
+    replicates to RGB, so the decoded stream is each trimmed text byte
+    3x — stats have an exact SQL twin over the text column (the
+    png_features/wav_features pattern)."""
+    ds = _docs(sf_dir).map_batches(
+        mm.text_to_avi_payload_batch, batch_format="pyarrow"
+    )
+    feats = ds.map_batches(
+        mm.MediaFeatures(), batch_format="pyarrow", batch_size=128
+    )
+    return feats.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_pix": t["n_bytes"],
+                "head_pixel": t["head_byte"],
+                "sum_pixel": t["sum_byte"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+VIDEO_FEATURES_SQL = (
+    # the AVI's decoded RGB stream is the text's utf-8 bytes trimmed to a
+    # multiple of FRAME_BYTES, each byte replicated x3 (grey -> RGB);
+    # integer pixel sum, so the comparison is bit-exact
+    f"WITH d AS (SELECT doc_id, text, (strlen(text)//{mm.FRAME_BYTES})"
+    f"*{mm.FRAME_BYTES} AS n FROM documents WHERE strlen(text)"
+    f" >= {mm.FRAME_BYTES}),"
+    " m AS (SELECT doc_id, CAST(3 * sum(ascii(substr(text,"
+    " CAST(i AS INTEGER), 1))) AS BIGINT) AS sum_pixel"
+    "  FROM d, UNNEST(range(1, n + 1)) AS t(i) GROUP BY doc_id)"
+    " SELECT d.doc_id, CAST(3 * d.n AS BIGINT) AS n_pix,"
+    " CAST(ascii(substr(d.text, 1, 1)) AS BIGINT) AS head_pixel,"
+    " m.sum_pixel FROM d JOIN m USING (doc_id)"
+)
+
+
+VIDEO_FRAME_STRIDE = 2
+
+
+def q_video_frames(sf_dir: str):
+    """REAL per-frame video extraction — the keyframe-sampling stage of a
+    video curation pipeline: decode each AVI's frame structure (not just
+    the flat stream), keep every VIDEO_FRAME_STRIDE-th frame, emit
+    long-form per-frame pixel sums. Frame k covers text bytes
+    [k*FRAME_BYTES, (k+1)*FRAME_BYTES), each replicated x3, so every kept
+    frame's sum has an exact SQL twin."""
+    ds = _docs(sf_dir).map_batches(
+        mm.text_to_avi_payload_batch, batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        mm.VideoFrameStats(stride=VIDEO_FRAME_STRIDE),
+        batch_format="pyarrow",
+        batch_size=128,
+    )
+
+
+VIDEO_FRAMES_SQL = (
+    f"WITH d AS (SELECT doc_id, text, strlen(text)//{mm.FRAME_BYTES}"
+    f" AS n_frames FROM documents WHERE strlen(text) >= {mm.FRAME_BYTES}),"
+    " f AS (SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,"
+    " CAST(3 * sum(ascii(substr(text, CAST(i AS INTEGER), 1)))"
+    " AS BIGINT) AS frame_sum"
+    f"  FROM d, UNNEST(range(0, n_frames)) AS tk(k),"
+    f"  UNNEST(range(k*{mm.FRAME_BYTES} + 1, (k+1)*{mm.FRAME_BYTES} + 1))"
+    "  AS ti(i)"
+    f"  WHERE k % {VIDEO_FRAME_STRIDE} = 0 GROUP BY doc_id, k)"
+    " SELECT doc_id, frame_idx, frame_sum FROM f"
+)
+
+
 def q_frame_sample(sf_dir: str):
     """Frame sampling (every 16th payload byte, max 32 frames) in LONG form
     so the byte values are SQL-checkable against the fake payloads."""
@@ -3559,6 +3637,8 @@ DATA_QUERIES = {
     "multimodal_features": (q_multimodal_features, MULTIMODAL_SQL),
     "png_features": (q_png_features, PNG_FEATURES_SQL),
     "wav_features": (q_wav_features, WAV_FEATURES_SQL),
+    "video_features": (q_video_features, VIDEO_FEATURES_SQL),
+    "video_frames": (q_video_frames, VIDEO_FRAMES_SQL),
     "frame_sample": (q_frame_sample, FRAME_SAMPLE_SQL),
     "media_resize": (q_media_resize, MEDIA_RESIZE_SQL),
     "fingerprint_md5": (q_fingerprint, FINGERPRINT_SQL),
