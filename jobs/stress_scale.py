@@ -274,6 +274,90 @@ def ann_stress(tmp: str) -> dict:
     }
 
 
+N_CLIPS = 200_000
+CLIP_FRAMES = 16
+CLIP_H, CLIP_W = 8, 8
+
+
+def video_stress(tmp: str) -> dict:
+    """200k real AVI containers through the decode actor path: build
+    deterministic greyscale clips (16 frames of 8x8, seeded per id) as
+    full RIFF 'AVI ' payloads in parquet, then stream them through
+    MediaFeatures (pure-numpy container parse + DIB unfilter) and verify
+    EVERY clip's decoded pixel sum against the expected value stored at
+    build time — per-row exactness at 200k scale, plus decode throughput."""
+    import ray.data
+    from wavelet_decomposition_ray.functions import avi
+    from wavelet_decomposition_ray.functions import multimodal as mm
+
+    vdir = os.path.join(tmp, "clips")
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        exp = np.empty(len(ids), dtype=np.int64)
+        for j, i in enumerate(ids):
+            rng = np.random.default_rng(int(i))
+            frames = rng.integers(
+                0, 256, (CLIP_FRAMES, CLIP_H, CLIP_W), dtype=np.uint8
+            )
+            payloads.append(avi.encode_avi(frames, fps=25))
+            exp[j] = 3 * int(frames.sum(dtype=np.int64))  # grey -> RGB
+        return pa.table(
+            {
+                "doc_id": pa.array([str(i) for i in ids]),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "media_type": pa.array(["video/avi"] * len(ids)),
+                "exp_sum": pa.array(exp),
+            }
+        )
+
+    (
+        ray.data.range(N_CLIPS)
+        .map_batches(build, batch_format="pyarrow", batch_size=2048)
+        .write_parquet(vdir)
+    )
+
+    class DecodeVerify:
+        def __init__(self):
+            self.mf = mm.MediaFeatures()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            f = self.mf(t.select(["doc_id", "payload", "media_type"]))
+            got = f["sum_byte"].to_numpy()
+            exp = t["exp_sum"].to_numpy()
+            if not (got == exp).all():
+                raise AssertionError("decoded pixel sum mismatch")
+            return pa.table(
+                {
+                    "n": pa.array([len(exp)], type=pa.int64()),
+                    "pix": pa.array(
+                        [int(f["n_bytes"].to_numpy().sum())], type=pa.int64()
+                    ),
+                }
+            )
+
+    t0 = time.perf_counter()
+    agg = (
+        ray.data.read_parquet(vdir)
+        .map_batches(DecodeVerify, batch_format="pyarrow",
+                     batch_size=512, concurrency=16)
+        .sum(["n", "pix"])
+    )
+    wall = time.perf_counter() - t0
+    assert agg["sum(n)"] == N_CLIPS, agg
+    want_pix = N_CLIPS * CLIP_FRAMES * CLIP_H * CLIP_W * 3
+    assert agg["sum(pix)"] == want_pix, agg
+    return {
+        "clips": N_CLIPS,
+        "frames": N_CLIPS * CLIP_FRAMES,
+        "decode_wall_s": round(wall, 1),
+        "clips_per_s": round(N_CLIPS / wall),
+        "decoded_mb_per_s": round(want_pix / wall / 1e6, 1),
+        "all_sums_exact": True,
+    }
+
+
 def main():
     import ray
 
@@ -283,9 +367,9 @@ def main():
                  include_dashboard=False)
     out = {}
     only = os.environ.get("STRESS_ONLY", "")
-    assert only in ("", "simhash", "clean", "cc", "ann"), (
-        f"STRESS_ONLY={only!r}: valid values are simhash|clean|cc|ann (or "
-        "unset for all) — refusing to silently run nothing"
+    assert only in ("", "simhash", "clean", "cc", "ann", "video"), (
+        f"STRESS_ONLY={only!r}: valid values are simhash|clean|cc|ann|video "
+        "(or unset for all) — refusing to silently run nothing"
     )
     with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
         if only in ("", "simhash"):
@@ -297,6 +381,9 @@ def main():
     if only in ("", "ann"):
         with tempfile.TemporaryDirectory(dir="/tmp") as tmp2:
             out["ann_1m_vectors"] = ann_stress(tmp2)
+    if only in ("", "video"):
+        with tempfile.TemporaryDirectory(dir="/tmp") as tmp3:
+            out["video_200k_clips"] = video_stress(tmp3)
     if only in ("", "cc"):
         out["cc_6m_edges"] = cc_stress()
     print(json.dumps(out))
