@@ -1279,6 +1279,52 @@ def test_best_shift_family_three_rows_and_week_matches_global():
     assert day["energy2"] < (16 * 100) ** 2
 
 
+def test_rolling_median_kernel_edges():
+    """Hand-checked sliding medians, short docs excluded, and windows must
+    never straddle a doc boundary (the batch-wide sliding_window_view
+    discards cross-doc windows by index arithmetic)."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    W = cq.ROLL_MED_W
+    fn = _capture_batch_fn(cq.q_rolling_median, "unused")
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 1000, 40).tolist()    # 40 tokens -> 24 windows
+    b = list(range(W - 1))                    # one short of a window
+    c = rng.integers(0, 1000, W).tolist()     # exactly one window
+    t = pa.table(
+        {"doc_id": ["a", "b", "c", "e"], "tokens": [a, b, c, []]}
+    )
+    out = fn(t).to_pandas().set_index("doc_id")
+    assert list(out.index) == ["a", "c"]      # b and the empty doc drop
+    meds = [int(np.median(a[s : s + W])) for s in range(40 - W + 1)]
+    assert out.loc["a", "n_win"] == len(meds)
+    assert out.loc["a", "sum_med"] == sum(meds)
+    assert out.loc["a", "max_med"] == max(meds)
+    assert out.loc["c", "n_win"] == 1
+    assert out.loc["c", "sum_med"] == int(np.median(c))
+
+
+def test_autocorr_lags_kernel_edges():
+    """Hand-checked multi-lag dot products; pairs that straddle a doc
+    boundary must be zeroed (doc b's lag-1 dot is pure, doc a's excludes
+    a[-1] * b[0]); (doc, lag) rows with no pairs are absent."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_autocorr_lags, "unused")
+    a = [3, 1, 4, 1, 5, 9, 2, 6]              # n = 8
+    b = [7, 7]                                # n = 2: only lag 1 pairs
+    t = pa.table({"doc_id": ["a", "b"], "tokens": [a, b]})
+    df = fn(t).to_pandas().set_index(["doc_id", "lag"])
+    for lag in (1, 2, 4):
+        want = sum(x * y for x, y in zip(a, a[lag:]))
+        assert df.loc[("a", lag), "dot"] == want
+        assert df.loc[("a", lag), "n_pairs"] == 8 - lag
+    assert ("a", 8) not in df.index           # n == lag -> no pairs
+    assert df.loc[("b", 1), "dot"] == 49
+    assert df.loc[("b", 1), "n_pairs"] == 1
+    assert ("b", 2) not in df.index
+
+
 def test_shift_scan_overflow_guard_bounds_the_energy_sum():
     """ADVICE r4 (medium): the guard must bound |window sum| by
     sqrt((2^63-1)/W), not 2^31 — at the old bound the summed squared

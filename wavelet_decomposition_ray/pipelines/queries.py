@@ -3728,6 +3728,146 @@ AUTOCORR_SQL = (
 )
 
 
+ROLL_MED_W = 17  # odd, so the median is an element of the window (exact int)
+
+
+def q_rolling_median(sf_dir: str) -> "ray.data.Dataset":
+    """Per-sequence sliding-window median (the robust smoother a
+    denoising/outlier pass runs before thresholding): window ROLL_MED_W
+    tokens, complete windows only, reduced per doc to (n_win, sum_med,
+    max_med) so the output stays sequence-sized. Vectorized across the
+    whole batch: ONE ``sliding_window_view`` + ``np.partition`` over the
+    concatenated token stream scores every window, then windows that
+    straddle a doc boundary are discarded by index arithmetic — no per-row
+    loop, no per-doc loop. W is odd so each median is an element of its
+    window and the DuckDB ``quantile_disc(0.5)`` twin is bit-exact."""
+    ds = _seq_ds(sf_dir)
+    W = ROLL_MED_W
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n = np.diff(off)
+        keep = n >= W  # docs shorter than one window have no output row
+        if len(v) < W or not keep.any():
+            return pa.table(
+                {"doc_id": t["doc_id"].filter(pa.array(np.zeros(len(n), bool))),
+                 "n_win": pa.array([], type=pa.int64()),
+                 "sum_med": pa.array([], type=pa.int64()),
+                 "max_med": pa.array([], type=pa.int64())}
+            )
+        win = np.lib.stride_tricks.sliding_window_view(v, W)
+        med = np.partition(win, W // 2, axis=1)[:, W // 2]
+        # window starting at s is doc-internal iff s in [off[d], off[d+1]-W]
+        n_win = (n - W + 1).clip(min=0)
+        starts = np.repeat(off[:-1][keep], n_win[keep]) + _ranges(n_win[keep])
+        doc = np.repeat(np.arange(len(n), dtype=np.int64)[keep], n_win[keep])
+        m = med[starts]
+        first = np.concatenate(([0], np.cumsum(n_win[keep])[:-1]))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(keep)),
+                "n_win": pa.array(n_win[keep]),
+                "sum_med": np.add.reduceat(m, first),
+                "max_med": np.maximum.reduceat(m, first),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=64)
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (vectorized arange per group)."""
+    total = int(counts.sum())
+    out = np.arange(total, dtype=np.int64)
+    first = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return out - np.repeat(first, counts)
+
+
+ROLLING_MEDIAN_SQL = (
+    f"{_FLAT_CTE},"
+    " m AS (SELECT doc_id, pos, CAST(quantile_disc(tok, 0.5) OVER"
+    f"  (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN {ROLL_MED_W - 1}"
+    "   PRECEDING AND CURRENT ROW) AS BIGINT) AS med"
+    "  FROM flat)"
+    " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_win,"
+    " CAST(sum(med) AS BIGINT) AS sum_med,"
+    " CAST(max(med) AS BIGINT) AS max_med"
+    f" FROM m WHERE pos >= {ROLL_MED_W - 1} GROUP BY doc_id"
+)
+
+
+AUTOCORR_LAGS = (1, 2, 4, 8)
+
+
+def q_autocorr_lags(sf_dir: str) -> "ray.data.Dataset":
+    """Multi-lag autocorrelation ingredients in LONG form — per (doc, lag)
+    the pair count and the integer dot product sum(t[i] * t[i+lag]) for
+    lag in AUTOCORR_LAGS (the ACF evidence a seasonality detector reads).
+    Per batch and per lag, ONE shifted elementwise product over the
+    concatenated stream; pairs that straddle a doc boundary are zeroed by
+    a segment-id comparison and each doc's sum falls out of one
+    ``np.add.reduceat`` — exact int64, no per-row loop."""
+    ds = _seq_ds(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n = np.diff(off)
+        n_docs = len(n)
+        seg = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+        ids, lags, n_pairs, dots = [], [], [], []
+        for lag in AUTOCORR_LAGS:
+            if len(v) > lag:
+                prod = v[:-lag] * v[lag:]
+                prod[seg[:-lag] != seg[lag:]] = 0  # cross-doc pairs
+                prod = np.concatenate(
+                    (prod, np.zeros(lag, dtype=np.int64))
+                )  # pad so reduceat sees every doc's full slice
+                # reduceat needs indices < len and returns the NEXT element
+                # for zero-length slices — empty/short docs are clipped in
+                # bounds here and masked out below by np_ > 0
+                dot = np.add.reduceat(
+                    prod, np.minimum(off[:-1], len(prod) - 1)
+                )
+            else:
+                dot = np.zeros(n_docs, dtype=np.int64)
+            np_ = (n - lag).clip(min=0)
+            keep = np_ > 0
+            ids.append(np.flatnonzero(keep))
+            lags.append(np.full(int(keep.sum()), lag, dtype=np.int64))
+            n_pairs.append(np_[keep])
+            dots.append(dot[keep])
+        take = pa.array(np.concatenate(ids))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(take),
+                "lag": pa.array(np.concatenate(lags)),
+                "n_pairs": pa.array(np.concatenate(n_pairs)),
+                "dot": pa.array(np.concatenate(dots)),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+
+# one lead() window scan per lag (UNION ALL), NOT a lags-table self-join:
+# DuckDB plans the latter as a doc_id-only hash join + filter — billions of
+# intermediate pairs at sf0.01 — while each lead() branch is O(n log n)
+AUTOCORR_LAGS_SQL = (
+    f"{_FLAT_CTE} "
+    + " UNION ALL ".join(
+        f"SELECT doc_id, CAST({lag} AS BIGINT) AS lag,"
+        " CAST(count(nxt) AS BIGINT) AS n_pairs,"
+        " CAST(sum(tok * nxt) AS BIGINT) AS dot FROM"
+        f" (SELECT doc_id, tok, lead(tok, {lag}) OVER"
+        "  (PARTITION BY doc_id ORDER BY pos) AS nxt FROM flat) q"
+        " GROUP BY doc_id HAVING count(nxt) > 0"
+        for lag in AUTOCORR_LAGS
+    )
+)
+
+
 # --------------------------------------------------------------------------
 # Equi-joins: broadcast (map-side) and co-partitioned (shuffle) hash join
 # --------------------------------------------------------------------------
@@ -4708,7 +4848,9 @@ CORE_QUERIES = {
     "type_corr": (q_type_corr, TYPE_CORR_SQL),
     "retention_cohorts": (q_retention_cohorts, RETENTION_SQL),
     "autocorr_lag1": (q_autocorr_lag1, AUTOCORR_SQL),
+    "autocorr_lags": (q_autocorr_lags, AUTOCORR_LAGS_SQL),
     "cusum_flags": (q_cusum_flags, CUSUM_SQL),
+    "rolling_median": (q_rolling_median, ROLLING_MEDIAN_SQL),
     "m4_downsample": (q_m4_downsample, M4_SQL),
     "lttb_downsample": (q_lttb_downsample, LTTB_SQL),
     "corpus_pack512": (q_corpus_pack512, PACK_SQL),
