@@ -262,12 +262,50 @@ def ann_stress(tmp: str) -> dict:
     assert pq_ranks.max() <= PQ_NEAR_FRAC, (
         f"PQ returned a non-near vector: worst rank {pq_ranks.max():.4f}"
     )
+    # PQ shortlist + exact re-rank (the full IVFADC search shape): the
+    # ADC scan only generates candidates; the exact fixed-point L2
+    # re-rank of the top-C shortlist does the ranking
+    t0 = time.perf_counter()
+    rr_top = dq.q_ann_pq_rerank(tmp)
+    wall_rr = time.perf_counter() - t0
+    rr_ids = [int(i) for i in rr_top["vec_id"].to_numpy()]
+    recall_rr = len(set(rr_ids) & set(knn["vec_id"])) / len(knn)
+    # the claim the re-rank CAN make at 1M: it equals the brute-force
+    # quantized-L2 top-10 (its own metric) exactly. These stress vectors
+    # are deliberately UNnormalized, so cosine recall (recall_rr above)
+    # additionally measures the L2-vs-cosine metric gap; on a normalized
+    # corpus the two coincide.
+    from wavelet_decomposition_ray.functions import similarity as sim
+
+    tbl = pq.read_table(
+        os.path.join(tmp, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids_all = tbl["vec_id"].to_numpy()
+    flat = np.asarray(tbl["embedding"].combine_chunks().values,
+                      dtype=np.float64)
+    qq = sim.pq_quantize(q[None, :])[0]
+    d2_all = np.empty(len(ids_all), dtype=np.int64)
+    for lo in range(0, len(ids_all), 100_000):
+        Qc = sim.pq_quantize(
+            flat[lo * VEC_DIM : (lo + 100_000) * VEC_DIM].reshape(-1, VEC_DIM)
+        )
+        d2_all[lo : lo + len(Qc)] = ((Qc - qq) ** 2).sum(axis=1)
+    want = ids_all[np.lexsort((ids_all, d2_all))[: dq.PQ_NN_K]]
+    rr_l2_exact = rr_ids == [int(i) for i in want]
+    assert rr_l2_exact, (rr_ids, list(want))
+
     return {
         "vectors": N_VECS, "dim": VEC_DIM,
         "knn_brute_wall_s": round(wall_knn, 1),
         "ivf_wall_s": round(wall_ivf, 1), "ivf_exact": True,
         "pq_wall_s": round(wall_pq, 1),
         "pq_recall_at_10": recall_pq,
+        "pq_rerank_wall_s": round(wall_rr, 1),
+        "pq_rerank_shortlist": max(
+            dq.PQ_RERANK_FLOOR, int(np.floor(N_VECS * dq.PQ_RERANK_FRAC))
+        ),
+        "pq_rerank_recall_at_10": recall_rr,
+        "pq_rerank_exact_for_its_l2_metric": rr_l2_exact,
         "pq_min_true_cos": round(float(pq_true_cos.min()), 4),
         "pq_worst_rank_frac": round(float(pq_ranks.max()), 5),
         "true_cos_rank1000": round(float(truth_cos[-1]), 4),

@@ -111,6 +111,23 @@ def test_ann_lsh_recall_on_clusters():
     assert recall >= 0.8, recall
 
 
+def test_ann_pq_rerank_recovers_brute_topk(ray_session):
+    """The ADC scan only GENERATES candidates; the exact fixed-point
+    re-rank of the shortlist must recover (near-)brute top-10 where
+    ADC-only ranking can't: recall vs knn_cosine must be >= the ADC-only
+    recall AND >= 0.9 at sf0.001 (the shortlist floor covers the table,
+    so only 2^-20 quantization near-ties could drop a hit)."""
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    sf = "/root/testdata/sf0.001"
+    knn = set(int(i) for i in dq.q_knn_cosine(sf).to_pandas()["vec_id"])
+    adc = set(int(i) for i in dq.q_ann_pq(sf)["vec_id"])
+    rr = set(int(i) for i in dq.q_ann_pq_rerank(sf)["vec_id"])
+    r_adc = len(adc & knn) / len(knn)
+    r_rr = len(rr & knn) / len(knn)
+    assert r_rr >= max(r_adc, 0.9), (r_adc, r_rr)
+
+
 def test_ann_lsh_codes_deterministic(emb):
     m = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
     np.testing.assert_array_equal(sim.hyperplane_codes(m), sim.hyperplane_codes(m))
