@@ -1342,6 +1342,51 @@ def test_autocorr_lags_kernel_edges():
     assert ("b", 2) not in df.index
 
 
+def test_ohlc_rollup_kernel_edges():
+    """Hand-checked OHLC buckets: the final partial bucket carries its own
+    open/high/low/close and true count; empty docs are skipped; buckets
+    never straddle a doc boundary."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    W = cq.OHLC_W
+    fn = _capture_batch_fn(cq.q_ohlc_rollup, "unused")
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 1000, W + 5).tolist()   # full bucket + 5-token tail
+    b = [42]                                    # single-token sequence
+    t = pa.table({"doc_id": ["a", "e", "b"], "tokens": [a, [], b]})
+    df = fn(t).to_pandas().set_index(["doc_id", "bucket"])
+    assert "e" not in {i[0] for i in df.index}
+    r0 = df.loc[("a", 0)]
+    assert (r0["open_v"], r0["close_v"], r0["n"]) == (a[0], a[W - 1], W)
+    assert r0["high_v"] == max(a[:W]) and r0["low_v"] == min(a[:W])
+    r1 = df.loc[("a", 1)]
+    assert (r1["open_v"], r1["close_v"], r1["n"]) == (a[W], a[-1], 5)
+    assert r1["high_v"] == max(a[W:]) and r1["low_v"] == min(a[W:])
+    rb = df.loc[("b", 0)]
+    assert (rb["open_v"], rb["high_v"], rb["low_v"], rb["close_v"],
+            rb["n"]) == (42, 42, 42, 42, 1)
+
+
+def test_seasonal_profile_kernel_edges():
+    """Hand-checked phase sums: phases restart at 0 for EVERY doc (the
+    keyed bincount must not leak phase position across doc boundaries),
+    and docs shorter than one period emit only their occupied phases."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    P = cq.SEASON_P
+    fn = _capture_batch_fn(cq.q_seasonal_profile, "unused")
+    a = list(range(2 * P + 3))     # phases 0..P-1 twice, then 0,1,2 again
+    b = [7, 8]                     # only phases 0 and 1
+    t = pa.table({"doc_id": ["a", "b"], "tokens": [a, b]})
+    df = fn(t).to_pandas().set_index(["doc_id", "phase"])
+    for ph in range(P):
+        want = [x for i, x in enumerate(a) if i % P == ph]
+        assert df.loc[("a", ph), "n"] == len(want)
+        assert df.loc[("a", ph), "s"] == sum(want)
+    assert df.loc[("b", 0), "s"] == 7 and df.loc[("b", 1), "s"] == 8
+    assert ("b", 2) not in df.index
+
+
 def test_shift_scan_overflow_guard_bounds_the_energy_sum():
     """ADVICE r4 (medium): the guard must bound |window sum| by
     sqrt((2^63-1)/W), not 2^31 — at the old bound the summed squared

@@ -3868,6 +3868,123 @@ AUTOCORR_LAGS_SQL = (
 )
 
 
+OHLC_W = 64
+
+
+def q_ohlc_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """OHLC bucket downsample — the financial-rollup shape: per (sequence,
+    tumbling bucket of OHLC_W positions) the first (open), max (high), min
+    (low) and last (close) token plus the bucket count (the final bucket
+    may be partial, like a trading day's tail). One ``tumble_starts`` +
+    two ``reduceat`` calls + two gathers score every bucket of every doc
+    in the batch — segments never cross doc boundaries by construction.
+    All integers, so the arg_min/arg_max SQL twin is bit-exact."""
+    ds = _seq_ds(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        lens = np.diff(off)
+        if (lens == 0).any():  # tumbling rollups skip empty sequences
+            t = t.filter(pa.array(lens > 0))
+            vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        if len(v) == 0:
+            return pa.table(
+                {"doc_id": t["doc_id"],
+                 "bucket": pa.array([], type=pa.int64()),
+                 "open_v": pa.array([], type=pa.int64()),
+                 "high_v": pa.array([], type=pa.int64()),
+                 "low_v": pa.array([], type=pa.int64()),
+                 "close_v": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        starts, new_off, counts = tumble_starts(off, OHLC_W)
+        n_win = np.diff(new_off)
+        rep = pa.array(np.repeat(np.arange(len(n_win), dtype=np.int64), n_win))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(rep),
+                "bucket": pa.array(_ranges(n_win)),
+                "open_v": pa.array(v[starts]),
+                "high_v": pa.array(np.maximum.reduceat(v, starts)),
+                "low_v": pa.array(np.minimum.reduceat(v, starts)),
+                "close_v": pa.array(v[starts + counts - 1]),
+                "n": pa.array(counts),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+
+OHLC_SQL = (
+    f"{_FLAT_CTE}"
+    f" SELECT doc_id, CAST(pos // {OHLC_W} AS BIGINT) AS bucket,"
+    " CAST(arg_min(tok, pos) AS BIGINT) AS open_v,"
+    " CAST(max(tok) AS BIGINT) AS high_v,"
+    " CAST(min(tok) AS BIGINT) AS low_v,"
+    " CAST(arg_max(tok, pos) AS BIGINT) AS close_v,"
+    " CAST(count(*) AS BIGINT) AS n"
+    f" FROM flat GROUP BY doc_id, pos // {OHLC_W}"
+)
+
+
+SEASON_P = 24
+
+
+def q_seasonal_profile(sf_dir: str) -> "ray.data.Dataset":
+    """Seasonal phase profile — the seasonality-decomposition ingredient:
+    per (sequence, phase = pos mod SEASON_P) the count and integer token
+    sum (driver-side division away from the per-phase seasonal means an
+    STL-style decomposition subtracts). Vectorized as one keyed bincount
+    over the concatenated stream (key = seg * P + phase); float64
+    accumulation is exact here because every partial sum stays far below
+    2^53 (guarded per batch)."""
+    ds = _seq_ds(sf_dir)
+    P = SEASON_P
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n = np.diff(off)
+        n_docs = len(n)
+        if len(v) == 0 or n_docs == 0:
+            return pa.table(
+                {"doc_id": t["doc_id"].filter(
+                    pa.array(np.zeros(n_docs, bool))),
+                 "phase": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64()),
+                 "s": pa.array([], type=pa.int64())}
+            )
+        seg = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+        pos = np.arange(len(v), dtype=np.int64) - np.repeat(off[:-1], n)
+        key = seg * P + pos % P
+        cnt = np.bincount(key, minlength=n_docs * P).astype(np.int64)
+        assert int(cnt.max()) * int(v.max(initial=0)) < (1 << 53), (
+            "per-phase sum would exceed float64's exact-integer range"
+        )
+        s = np.bincount(key, weights=v, minlength=n_docs * P).astype(np.int64)
+        keep = cnt > 0
+        idx = np.arange(n_docs * P, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array((idx // P)[keep])),
+                "phase": pa.array((idx % P)[keep]),
+                "n": pa.array(cnt[keep]),
+                "s": pa.array(s[keep]),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+
+SEASONAL_PROFILE_SQL = (
+    f"{_FLAT_CTE}"
+    f" SELECT doc_id, CAST(pos % {SEASON_P} AS BIGINT) AS phase,"
+    " CAST(count(*) AS BIGINT) AS n, CAST(sum(tok) AS BIGINT) AS s"
+    f" FROM flat GROUP BY doc_id, pos % {SEASON_P}"
+)
+
+
 # --------------------------------------------------------------------------
 # Equi-joins: broadcast (map-side) and co-partitioned (shuffle) hash join
 # --------------------------------------------------------------------------
@@ -4851,6 +4968,8 @@ CORE_QUERIES = {
     "autocorr_lags": (q_autocorr_lags, AUTOCORR_LAGS_SQL),
     "cusum_flags": (q_cusum_flags, CUSUM_SQL),
     "rolling_median": (q_rolling_median, ROLLING_MEDIAN_SQL),
+    "ohlc_rollup": (q_ohlc_rollup, OHLC_SQL),
+    "seasonal_profile": (q_seasonal_profile, SEASONAL_PROFILE_SQL),
     "m4_downsample": (q_m4_downsample, M4_SQL),
     "lttb_downsample": (q_lttb_downsample, LTTB_SQL),
     "corpus_pack512": (q_corpus_pack512, PACK_SQL),
