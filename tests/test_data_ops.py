@@ -1387,6 +1387,118 @@ def test_seasonal_profile_kernel_edges():
     assert ("b", 2) not in df.index
 
 
+def test_changepoint_argmax_kernel_edges():
+    """Hand-checked splits: a planted level shift is found exactly; a
+    constant doc ties every split and picks the smallest k; docs with
+    fewer than 2 tokens emit no row."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_changepoint_argmax, "unused")
+    t = pa.table({"doc_id": ["a", "b", "c", "d"],
+                  "tokens": [[0, 0, 1, 1], [5, 5, 5], [7], []]})
+    df = fn(t).to_pandas().set_index("doc_id")
+    # n=4, tot=2: k=1 -> |0-2|=2, k=2 -> |0-4|=4, k=3 -> |4-6|=2
+    assert (df.loc["a", "split_k"], df.loc["a", "score"]) == (2, 4)
+    assert (df.loc["b", "split_k"], df.loc["b", "score"]) == (1, 0)
+    assert "c" not in df.index and "d" not in df.index
+
+
+def test_longest_streak_kernel_edges():
+    """Hand-checked runs: increasing and equal runs measured in tokens;
+    runs must reset at doc boundaries (the accumulate trick treats doc
+    starts as run starts); single-token docs report 1/1."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_longest_streak, "unused")
+    t = pa.table({"doc_id": ["a", "b", "c"],
+                  "tokens": [[1, 2, 3, 1, 1, 1, 1], [4, 5], [9]]})
+    df = fn(t).to_pandas().set_index("doc_id")
+    assert (df.loc["a", "longest_inc"], df.loc["a", "longest_eq"]) == (3, 4)
+    # doc a ends at 1 and doc b starts at 4: a cross-boundary run would
+    # report longest_inc=3 for b (1,4,5); segment-aware gives 2
+    assert (df.loc["b", "longest_inc"], df.loc["b", "longest_eq"]) == (2, 1)
+    assert (df.loc["c", "longest_inc"], df.loc["c", "longest_eq"]) == (1, 1)
+
+
+def test_window_slope_kernel_edges():
+    """Hand-checked OLS buckets: an exact-linear bucket gives num/den ==
+    the slope; the partial tail is scored on its own local positions; a
+    1-token bucket has den == 0 (undefined slope, no division here)."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    W = cq.SLOPE_W
+    fn = _capture_batch_fn(cq.q_window_slope, "unused")
+    a = [3 * i + 7 for i in range(W)] + [10, 20, 30]   # slope 3, then tail
+    b = list(range(W)) + [42]                          # 1-token tail bucket
+    t = pa.table({"doc_id": ["a", "b"], "tokens": [a, b]})
+    df = fn(t).to_pandas().set_index(["doc_id", "bucket"])
+    r = df.loc[("a", 0)]
+    assert r["num"] == 3 * r["den"] and r["den"] > 0
+    rt = df.loc[("a", 1)]   # [10,20,30] at local i=0,1,2: slope 10
+    assert rt["num"] == 10 * rt["den"] and rt["den"] > 0
+    rb = df.loc[("b", 1)]
+    assert (rb["num"], rb["den"]) == (0, 0)
+
+
+def test_pattern_match_kernel_edges():
+    """Brute-force parity per doc plus the boundary guarantees: windows
+    never straddle docs (a cross-boundary window is built to be the
+    global max if leaked) and docs shorter than the pattern emit no
+    row; ties pick the smallest start."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    pat = np.asarray(cq.MATCH_PATTERN, dtype=np.int64)
+    m = len(pat)
+    fn = _capture_batch_fn(cq.q_pattern_match, "unused")
+    # doc a's tail + doc b's head align with the pattern's positive taps
+    # (a leaked cross-doc window would dominate every in-doc score)
+    big = np.where(pat > 0, 1000, 0)
+    a = [5, 1, 4, 1] + big[: m - 2].tolist()
+    b = big[m - 2:].tolist() + [2, 7, 1, 8, 2, 8]
+    c = [3, 3]                                   # shorter than the pattern
+    d = [6] * (m + 4)                            # constant: all scores tie
+    t = pa.table({"doc_id": ["a", "b", "c", "d"],
+                  "tokens": [a, b, c, d]})
+    df = fn(t).to_pandas().set_index("doc_id")
+    for doc_id, toks in (("a", a), ("b", b), ("d", d)):
+        v = np.asarray(toks, dtype=np.int64)
+        scores = np.lib.stride_tricks.sliding_window_view(v, m) @ pat
+        assert df.loc[doc_id, "best_score"] == scores.max()
+        assert df.loc[doc_id, "best_pos"] == int(np.argmax(scores))
+    assert df.loc["d", "best_pos"] == 0          # tie -> smallest start
+    assert "c" not in df.index
+
+
+def test_bollinger_breakouts_kernel_edges():
+    """Brute-force parity on a planted spike, zero windows for short
+    docs, and cross-doc window isolation (each doc's first window starts
+    at its own position 0)."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    W, K = cq.BOLL_W, cq.BOLL_K
+    fn = _capture_batch_fn(cq.q_bollinger_breakouts, "unused")
+    rng = np.random.default_rng(4)
+    a = rng.integers(100, 110, 3 * W).tolist()
+    a[2 * W] = 100000                            # planted breakout spike
+    b = [1] * (W - 1)                            # no complete window
+    t = pa.table({"doc_id": ["a", "b"], "tokens": [a, b]})
+    df = fn(t).to_pandas().set_index("doc_id")
+
+    def brute(toks):
+        v = np.asarray(toks, dtype=np.int64)
+        nb = 0
+        for e in range(W - 1, len(v)):
+            w = v[e - W + 1: e + 1]
+            s, q, x = w.sum(), (w * w).sum(), v[e]
+            nb += int((W * x - s) ** 2 > K * K * (W * q - s * s))
+        return len(v) - W + 1, nb
+
+    nw, nb = brute(a)
+    assert (df.loc["a", "n_win"], df.loc["a", "n_breakout"]) == (nw, nb)
+    assert nb >= 1
+    assert (df.loc["b", "n_win"], df.loc["b", "n_breakout"]) == (0, 0)
+
+
 def test_shift_scan_overflow_guard_bounds_the_energy_sum():
     """ADVICE r4 (medium): the guard must bound |window sum| by
     sqrt((2^63-1)/W), not 2^31 — at the old bound the summed squared

@@ -3985,6 +3985,349 @@ SEASONAL_PROFILE_SQL = (
 )
 
 
+def q_changepoint_argmax(sf_dir: str) -> "ray.data.Dataset":
+    """Single change-point detection (binary-segmentation root step): per
+    sequence the split k in [1, n) maximizing the cross-multiplied
+    mean-shift statistic ``|n*P_k - k*P_n|`` (== n*k*(n-k) * |mean(left)
+    - mean(right)| / ... with the divisions cleared, so it is
+    integer-exact; ties pick the smallest k). One cumsum scores every
+    candidate split of every doc in the batch; the per-doc argmax is two
+    ``reduceat`` passes (max, then first index attaining it). Bounds:
+    P_k < 2^36 and n <= 2^16, so n*P_k < 2^52 — no int64 overflow.
+    Docs with n < 2 have no valid split and emit no row."""
+    ds = _seq_ds(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n = np.diff(off)
+        keep = n >= 2
+        if not keep.any():
+            return pa.table(
+                {"doc_id": t["doc_id"].filter(pa.array(np.zeros(len(n), bool))),
+                 "split_k": pa.array([], type=pa.int64()),
+                 "score": pa.array([], type=pa.int64())}
+            )
+        g = np.cumsum(v)
+        base = np.concatenate(([0], g[off[1:-1] - 1]))
+        # candidate split after local position i (k = i+1), i in [0, n-2]
+        n_cand = (n - 1).clip(min=0)
+        starts = np.repeat(off[:-1][keep], n_cand[keep]) + _ranges(n_cand[keep])
+        doc = np.repeat(np.arange(len(n), dtype=np.int64)[keep], n_cand[keep])
+        k = starts - np.repeat(off[:-1][keep], n_cand[keep]) + 1
+        p = g[starts] - base[doc]
+        tot = g[off[1:] - 1] - base
+        score = np.abs(n[doc] * p - k * tot[doc])
+        first = np.concatenate(([0], np.cumsum(n_cand[keep])[:-1]))
+        mx = np.maximum.reduceat(score, first)
+        seg = np.repeat(np.arange(keep.sum(), dtype=np.int64), n_cand[keep])
+        hit_k = np.where(score == mx[seg], k, np.int64(1) << 62)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(keep)),
+                "split_k": np.minimum.reduceat(hit_k, first),
+                "score": mx,
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+
+CHANGEPOINT_SQL = (
+    f"{_FLAT_CTE},"
+    " s AS (SELECT doc_id, pos,"
+    "  sum(CAST(tok AS BIGINT)) OVER (PARTITION BY doc_id ORDER BY pos"
+    "   ROWS UNBOUNDED PRECEDING) AS pk,"
+    "  count(*) OVER (PARTITION BY doc_id) AS n,"
+    "  sum(CAST(tok AS BIGINT)) OVER (PARTITION BY doc_id) AS tot"
+    "  FROM flat),"
+    " c AS (SELECT doc_id, pos + 1 AS k,"
+    "  abs(n * pk - (pos + 1) * tot) AS sc FROM s WHERE pos < n - 1),"
+    " mx AS (SELECT doc_id, max(sc) AS sc FROM c GROUP BY doc_id)"
+    " SELECT c.doc_id, CAST(min(c.k) AS BIGINT) AS split_k,"
+    " CAST(any_value(mx.sc) AS BIGINT) AS score"
+    " FROM c JOIN mx ON c.doc_id = mx.doc_id AND c.sc = mx.sc"
+    " GROUP BY c.doc_id"
+)
+
+
+def q_longest_streak(sf_dir: str) -> "ray.data.Dataset":
+    """Gaps-and-islands run statistics: per sequence the token length of
+    the longest strictly-increasing contiguous run and the longest
+    equal-value run (data-quality probes: stuck sensors show long equal
+    runs, monotone ramps show long increasing runs). Vectorized without
+    any per-doc loop: run starts (doc boundary or broken condition) are
+    a boolean array; ``np.maximum.accumulate`` of start-indices gives
+    each position's run start, so run length = idx - start + 1; per-doc
+    max is one ``reduceat``. Doc boundaries are run starts, so the
+    accumulate is segment-aware for free."""
+    ds = _seq_ds(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n = np.diff(off)
+        keep = n >= 1
+        if not keep.any():
+            return pa.table(
+                {"doc_id": t["doc_id"].filter(pa.array(np.zeros(len(n), bool))),
+                 "longest_inc": pa.array([], type=pa.int64()),
+                 "longest_eq": pa.array([], type=pa.int64())}
+            )
+        idx = np.arange(len(v), dtype=np.int64)
+        is_start = np.zeros(len(v), dtype=bool)
+        is_start[off[:-1][keep]] = True
+        prev_le = np.concatenate(([True], v[1:] <= v[:-1]))
+        prev_ne = np.concatenate(([True], v[1:] != v[:-1]))
+        run_inc = idx - np.maximum.accumulate(
+            np.where(is_start | prev_le, idx, 0)) + 1
+        run_eq = idx - np.maximum.accumulate(
+            np.where(is_start | prev_ne, idx, 0)) + 1
+        first = off[:-1][keep]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(keep)),
+                "longest_inc": np.maximum.reduceat(run_inc, first),
+                "longest_eq": np.maximum.reduceat(run_eq, first),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+
+LONGEST_STREAK_SQL = (
+    f"{_FLAT_CTE},"
+    " r AS (SELECT doc_id, pos, tok,"
+    "  lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM flat),"
+    " b AS (SELECT doc_id, pos,"
+    "  CASE WHEN prev IS NULL OR tok <= prev THEN 1 ELSE 0 END AS bi,"
+    "  CASE WHEN prev IS NULL OR tok != prev THEN 1 ELSE 0 END AS be"
+    "  FROM r),"
+    " g AS (SELECT doc_id,"
+    "  sum(bi) OVER (PARTITION BY doc_id ORDER BY pos"
+    "   ROWS UNBOUNDED PRECEDING) AS gi,"
+    "  sum(be) OVER (PARTITION BY doc_id ORDER BY pos"
+    "   ROWS UNBOUNDED PRECEDING) AS ge FROM b),"
+    " li AS (SELECT doc_id, max(c) AS longest_inc FROM"
+    "  (SELECT doc_id, count(*) AS c FROM g GROUP BY doc_id, gi)"
+    "  GROUP BY doc_id),"
+    " le AS (SELECT doc_id, max(c) AS longest_eq FROM"
+    "  (SELECT doc_id, count(*) AS c FROM g GROUP BY doc_id, ge)"
+    "  GROUP BY doc_id)"
+    " SELECT li.doc_id, CAST(longest_inc AS BIGINT) AS longest_inc,"
+    " CAST(longest_eq AS BIGINT) AS longest_eq"
+    " FROM li JOIN le ON li.doc_id = le.doc_id"
+)
+
+
+SLOPE_W = 64
+
+
+def q_window_slope(sf_dir: str) -> "ray.data.Dataset":
+    """Tumbling-window OLS trend: per (sequence, bucket of SLOPE_W
+    positions) the integer numerator and denominator of the
+    least-squares slope over (local position, token) pairs —
+    num = c*S(i*y) - S(i)*S(y), den = c*S(i^2) - S(i)^2 with i the
+    0-based position inside the bucket and c the bucket count (the tail
+    bucket may be partial; a 1-token bucket has den = 0). S(i) and
+    S(i^2) are closed forms of c, so the batch kernel needs just two
+    ``reduceat`` passes (sum of i*y and sum of y). Bounds: S(i*y) <
+    64*63*2^20 < 2^32, times c <= 64 -> < 2^38, exact in int64."""
+    ds = _seq_ds(sf_dir)
+    W = SLOPE_W
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        if len(v) == 0:
+            empty = pa.array([], type=pa.int64())
+            return pa.table(
+                {"doc_id": t["doc_id"].filter(
+                    pa.array(np.zeros(len(off) - 1, bool))),
+                 "bucket": empty, "num": empty, "den": empty}
+            )
+        lens = np.diff(off)
+        if (lens == 0).any():
+            t = t.filter(pa.array(lens > 0))
+            vals, off = list_to_numpy(t["tokens"])
+            v = vals.astype(np.int64)
+        starts, new_off, c = tumble_starts(off, W)
+        n_win = np.diff(new_off)
+        i_local = np.arange(len(v), dtype=np.int64) - np.repeat(starts, c)
+        siy = np.add.reduceat(i_local * v, starts)
+        sy = np.add.reduceat(v, starts)
+        si = c * (c - 1) // 2
+        sii = (c - 1) * c * (2 * c - 1) // 6
+        rep = pa.array(np.repeat(np.arange(len(n_win), dtype=np.int64), n_win))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(rep),
+                "bucket": pa.array(_ranges(n_win)),
+                "num": pa.array(c * siy - si * sy),
+                "den": pa.array(c * sii - si * si),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+
+WINDOW_SLOPE_SQL = (
+    f"{_FLAT_CTE},"
+    f" w AS (SELECT doc_id, pos // {SLOPE_W} AS bucket,"
+    f"  CAST(pos % {SLOPE_W} AS BIGINT) AS i, CAST(tok AS BIGINT) AS y"
+    "  FROM flat)"
+    " SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,"
+    " CAST(count(*) * sum(i * y) - sum(i) * sum(y) AS BIGINT) AS num,"
+    " CAST(count(*) * sum(i * i) - sum(i) * sum(i) AS BIGINT) AS den"
+    " FROM w GROUP BY doc_id, bucket"
+)
+
+
+# deterministic 8-tap integer matched filter (a Haar-like edge detector
+# with unequal taps so ties are rare and argmax positions are sharp)
+MATCH_PATTERN = (3, 1, -4, 1, 5, -9, 2, -6)
+
+
+def q_pattern_match(sf_dir: str) -> "ray.data.Dataset":
+    """Matched-filter scan (the exact-integer core of a MASS-style
+    similarity search): slide the fixed MATCH_PATTERN over every
+    sequence, emit per doc the best start position (argmax of the dot
+    product, ties -> smallest pos) and the best score. One
+    ``sliding_window_view`` matmul scores every window in the batch;
+    cross-doc windows are discarded by index arithmetic and the per-doc
+    argmax is the same two-``reduceat`` trick as changepoint_argmax.
+    |score| <= 8*9*2^20 < 2^27 — no overflow. Docs shorter than the
+    pattern emit no row."""
+    ds = _seq_ds(sf_dir)
+    m = len(MATCH_PATTERN)
+    pat = np.asarray(MATCH_PATTERN, dtype=np.int64)
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n = np.diff(off)
+        keep = n >= m
+        if len(v) < m or not keep.any():
+            return pa.table(
+                {"doc_id": t["doc_id"].filter(pa.array(np.zeros(len(n), bool))),
+                 "best_pos": pa.array([], type=pa.int64()),
+                 "best_score": pa.array([], type=pa.int64())}
+            )
+        score = np.lib.stride_tricks.sliding_window_view(v, m) @ pat
+        n_win = (n - m + 1).clip(min=0)
+        starts = np.repeat(off[:-1][keep], n_win[keep]) + _ranges(n_win[keep])
+        pos = starts - np.repeat(off[:-1][keep], n_win[keep])
+        s = score[starts]
+        first = np.concatenate(([0], np.cumsum(n_win[keep])[:-1]))
+        mx = np.maximum.reduceat(s, first)
+        seg = np.repeat(np.arange(keep.sum(), dtype=np.int64), n_win[keep])
+        hit = np.where(s == mx[seg], pos, np.int64(1) << 62)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(keep)),
+                "best_pos": np.minimum.reduceat(hit, first),
+                "best_score": mx,
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=64)
+
+
+_PAT_TERMS = " + ".join(
+    f"({c}) * lead(tok, {j}) OVER d" if j else f"({c}) * tok"
+    for j, c in enumerate(MATCH_PATTERN)
+)
+PATTERN_MATCH_SQL = (
+    f"{_FLAT_CTE},"
+    " s AS (SELECT doc_id, pos,"
+    f"  {_PAT_TERMS} AS sc,"
+    "  count(*) OVER (PARTITION BY doc_id) AS n FROM flat"
+    "  WINDOW d AS (PARTITION BY doc_id ORDER BY pos)),"
+    f" c AS (SELECT doc_id, pos, sc FROM s WHERE pos + {len(MATCH_PATTERN)}"
+    "  <= n),"
+    " mx AS (SELECT doc_id, max(sc) AS sc FROM c GROUP BY doc_id)"
+    " SELECT c.doc_id, CAST(min(c.pos) AS BIGINT) AS best_pos,"
+    " CAST(any_value(mx.sc) AS BIGINT) AS best_score"
+    " FROM c JOIN mx ON c.doc_id = mx.doc_id AND c.sc = mx.sc"
+    " GROUP BY c.doc_id"
+)
+
+
+BOLL_W = 16
+BOLL_K = 2
+
+
+def q_bollinger_breakouts(sf_dir: str) -> "ray.data.Dataset":
+    """Bollinger-band breakout counter: per sequence, over every complete
+    trailing window of BOLL_W tokens, count positions where
+    |x - mean| > K*std — cross-multiplied to the integer-exact test
+    (W*x - S)^2 > K^2 * (W*Q - S^2) with S/Q the window sum and
+    sum-of-squares. Window sums come from cumsum differences computed in
+    uint64 (the global running cumsum of squares can exceed 2^63 in a
+    big batch, but modular differences of any window are exact because
+    each true window sum < 2^44). Emits (doc_id, n_win, n_breakout);
+    docs shorter than one window report zeros."""
+    ds = _seq_ds(sf_dir)
+    W, K2 = BOLL_W, BOLL_K * BOLL_K
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n = np.diff(off)
+        keep = n >= 1
+        if not keep.any():
+            return pa.table(
+                {"doc_id": t["doc_id"].filter(pa.array(np.zeros(len(n), bool))),
+                 "n_win": pa.array([], type=pa.int64()),
+                 "n_breakout": pa.array([], type=pa.int64())}
+            )
+        cs = np.concatenate(([0], np.cumsum(v.astype(np.uint64))))
+        cq = np.concatenate(([0], np.cumsum((v * v).astype(np.uint64))))
+        n_win = (n - W + 1).clip(min=0)
+        out_nw = np.zeros(len(n), dtype=np.int64)
+        out_nb = np.zeros(len(n), dtype=np.int64)
+        out_nw[:] = n_win
+        has = n_win > 0
+        if has.any():
+            # window ends at global index e (inclusive), e local >= W-1
+            ends = (np.repeat(off[:-1][has] + W - 1, n_win[has])
+                    + _ranges(n_win[has]))
+            S = (cs[ends + 1] - cs[ends + 1 - W]).astype(np.int64)
+            Q = (cq[ends + 1] - cq[ends + 1 - W]).astype(np.int64)
+            x = v[ends]
+            d = W * x - S
+            brk = (d * d > K2 * (W * Q - S * S)).astype(np.int64)
+            first = np.concatenate(([0], np.cumsum(n_win[has])[:-1]))
+            out_nb[has] = np.add.reduceat(brk, first)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(keep)),
+                "n_win": pa.array(out_nw[keep]),
+                "n_breakout": pa.array(out_nb[keep]),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=128)
+
+
+BOLLINGER_SQL = (
+    f"{_FLAT_CTE},"
+    " w AS (SELECT doc_id, CAST(tok AS BIGINT) AS x,"
+    "  sum(CAST(tok AS BIGINT)) OVER win AS s,"
+    "  sum(CAST(tok AS BIGINT) * CAST(tok AS BIGINT)) OVER win AS q,"
+    "  count(*) OVER win AS c FROM flat WINDOW win AS"
+    "  (PARTITION BY doc_id ORDER BY pos"
+    f"   ROWS BETWEEN {BOLL_W - 1} PRECEDING AND CURRENT ROW))"
+    " SELECT doc_id,"
+    f" CAST(count(*) FILTER (WHERE c = {BOLL_W}) AS BIGINT) AS n_win,"
+    f" CAST(count(*) FILTER (WHERE c = {BOLL_W} AND"
+    f"  ({BOLL_W} * x - s) * ({BOLL_W} * x - s) >"
+    f"  {BOLL_K * BOLL_K} * ({BOLL_W} * q - s * s)) AS BIGINT)"
+    "  AS n_breakout"
+    " FROM w GROUP BY doc_id"
+)
+
+
 # --------------------------------------------------------------------------
 # Equi-joins: broadcast (map-side) and co-partitioned (shuffle) hash join
 # --------------------------------------------------------------------------
@@ -4970,6 +5313,11 @@ CORE_QUERIES = {
     "rolling_median": (q_rolling_median, ROLLING_MEDIAN_SQL),
     "ohlc_rollup": (q_ohlc_rollup, OHLC_SQL),
     "seasonal_profile": (q_seasonal_profile, SEASONAL_PROFILE_SQL),
+    "changepoint_argmax": (q_changepoint_argmax, CHANGEPOINT_SQL),
+    "longest_streak": (q_longest_streak, LONGEST_STREAK_SQL),
+    "window_slope": (q_window_slope, WINDOW_SLOPE_SQL),
+    "pattern_match": (q_pattern_match, PATTERN_MATCH_SQL),
+    "bollinger_breakouts": (q_bollinger_breakouts, BOLLINGER_SQL),
     "m4_downsample": (q_m4_downsample, M4_SQL),
     "lttb_downsample": (q_lttb_downsample, LTTB_SQL),
     "corpus_pack512": (q_corpus_pack512, PACK_SQL),
