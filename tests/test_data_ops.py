@@ -1499,6 +1499,63 @@ def test_bollinger_breakouts_kernel_edges():
     assert (df.loc["b", "n_win"], df.loc["b", "n_breakout"]) == (0, 0)
 
 
+def test_dtw_query_kernel_edges():
+    """Exact DTW pins: an 8-token doc's PAA is the doc itself, so a doc
+    equal to DTW_QUERY scores 0; an arbitrary doc matches a brute-force
+    reference DP; docs shorter than 8 tokens emit no row."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    q = np.asarray(cq.DTW_QUERY, dtype=np.int64)
+    fn = _capture_batch_fn(cq.q_dtw_query, "unused")
+    b = [7, 120001, 3, 999, 50, 42, 8888, 17]
+    t = pa.table({"doc_id": ["a", "b", "c"],
+                  "tokens": [list(cq.DTW_QUERY), b, [1, 2, 3]]})
+    df = fn(t).to_pandas().set_index("doc_id")
+    assert df.loc["a", "dtw"] == 0
+
+    def brute(a):
+        W = len(q)
+        D = [[0] * W for _ in range(W)]
+        for i in range(W):
+            for j in range(W):
+                c = abs(a[i] - int(q[j]))
+                if i == 0 and j == 0:
+                    D[i][j] = c
+                elif i == 0:
+                    D[i][j] = D[0][j - 1] + c
+                elif j == 0:
+                    D[i][j] = D[i - 1][0] + c
+                else:
+                    D[i][j] = c + min(D[i - 1][j], D[i - 1][j - 1],
+                                      D[i][j - 1])
+        return D[W - 1][W - 1]
+
+    assert df.loc["b", "dtw"] == brute(b)
+    assert "c" not in df.index
+
+
+def test_motif_pair_kernel_edges():
+    """Motif pins: a planted exact repeat (segments 0-3 == segments 8-11)
+    is found with dist 0; a constant doc ties everywhere and picks the
+    lexicographically smallest non-overlapping pair (0, 4); docs shorter
+    than MOTIF_W emit no row."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    shape = [900, 20, 7000, 333]
+    noise = [51, 1062, 93, 14, 40007, 5, 208, 66666]
+    a = shape + noise[:4] + shape + noise[4:]
+    assert len(a) == cq.MOTIF_W
+    t = pa.table({"doc_id": ["a", "b", "c"],
+                  "tokens": [a, [6] * cq.MOTIF_W, [1] * (cq.MOTIF_W - 1)]})
+    fn = _capture_batch_fn(cq.q_motif_pair, "unused")
+    df = fn(t).to_pandas().set_index("doc_id")
+    assert (df.loc["a", "i"], df.loc["a", "j"], df.loc["a", "dist"]) \
+        == (0, 8, 0)
+    assert (df.loc["b", "i"], df.loc["b", "j"], df.loc["b", "dist"]) \
+        == (0, 4, 0)
+    assert "c" not in df.index
+
+
 def test_shift_scan_overflow_guard_bounds_the_energy_sum():
     """ADVICE r4 (medium): the guard must bound |window sum| by
     sqrt((2^63-1)/W), not 2^31 — at the old bound the summed squared

@@ -1326,19 +1326,19 @@ SAX_W = 8          # PAA segments per sequence
 SAX_ALPHABET = "abcd"
 
 
-def _paa_floor_means_batch(t: pa.Table) -> pa.Table:
-    """(doc_id, tokens) -> (doc_id, means list<int64>[SAX_W]): per-segment
+def _paa_floor_means_batch(t: pa.Table, W: int = SAX_W) -> pa.Table:
+    """(doc_id, tokens) -> (doc_id, means list<int64>[W]): per-segment
     FLOOR-means (sum // seg_len, the house integer-exact convention; the
     classic z-normalized float PAA is a lossy rescale of the same sums).
-    Sequences whose length is not a multiple of SAX_W trim the tail
-    tokens, and sequences SHORTER than SAX_W are dropped on both engine
+    Sequences whose length is not a multiple of W trim the tail
+    tokens, and sequences SHORTER than W are dropped on both engine
     and SQL sides (no 8-segment word exists for them). Fully vectorized:
     one reduceat over the batch's flat token buffer with 9 boundaries per
     doc (8 segment starts + the trim point, discarded)."""
     from ..functions.listops import list_to_numpy, numpy_to_list
 
     vals, off = list_to_numpy(t["tokens"])
-    keep = np.diff(off) >= SAX_W
+    keep = np.diff(off) >= W
     if not keep.all():
         t = t.filter(pa.array(keep))
         vals, off = list_to_numpy(t["tokens"])
@@ -1349,16 +1349,16 @@ def _paa_floor_means_batch(t: pa.Table) -> pa.Table:
              "means": pa.array([], type=pa.list_(pa.int64()))}
         )
     lens = np.diff(off)
-    seg_len = lens // SAX_W
-    k = np.arange(SAX_W + 1, dtype=np.int64)
+    seg_len = lens // W
+    k = np.arange(W + 1, dtype=np.int64)
     bounds = (off[:-1, None] + seg_len[:, None] * k[None, :]).ravel()
     flat = np.empty(len(vals) + 1, dtype=np.int64)  # one widening pass
     flat[:-1] = vals
     flat[-1] = 0  # reduceat sentinel for a final trim boundary == len
     sums = np.add.reduceat(flat, bounds)
-    sums = sums.reshape(n_docs, SAX_W + 1)[:, :SAX_W]  # drop trim segment
+    sums = sums.reshape(n_docs, W + 1)[:, :W]  # drop trim segment
     means = sums // seg_len[:, None]
-    out_off = np.arange(n_docs + 1, dtype=np.int64) * SAX_W
+    out_off = np.arange(n_docs + 1, dtype=np.int64) * W
     return pa.table(
         {"doc_id": t["doc_id"],
          "means": numpy_to_list(means.ravel(), out_off, pa.int64())}
@@ -4328,6 +4328,175 @@ BOLLINGER_SQL = (
 )
 
 
+# fixed 8-point integer query shape for the DTW scan (token-range values,
+# deterministic module constant — no runtime randomness)
+DTW_QUERY = (100, 2000, 50000, 800, 120000, 3000, 60, 9000)
+
+
+def q_dtw_query(sf_dir: str) -> "ray.data.Dataset":
+    """Exact integer DTW distance from every sequence's 8-segment PAA to
+    the fixed DTW_QUERY shape (the elastic-similarity search primitive;
+    Sakoe & Chiba 1978 DP, |a_i - q_j| cost, full 8x8 grid). The DP is
+    vectorized ACROSS docs: 64 numpy ops over (n_docs,) vectors per
+    batch, never a per-doc Python loop. PAA floor-means reuse the SAX
+    convention (trim tail, n >= 8 on both sides). Path cost <= 15 cells
+    * 2^21 < 2^25 — exact in int64. The SQL twin unrolls the same 64 DP
+    cells with DuckDB lateral column aliases."""
+    ds = _seq_ds(sf_dir)
+    q = np.asarray(DTW_QUERY, dtype=np.int64)
+    W = len(q)
+
+    def dtw(t: pa.Table) -> pa.Table:
+        m = _paa_floor_means_batch(t, W)
+        vals, off = list_to_numpy(m["means"])
+        n_docs = len(off) - 1
+        if n_docs == 0:
+            return pa.table(
+                {"doc_id": m["doc_id"],
+                 "dtw": pa.array([], type=pa.int64())}
+            )
+        a = vals.astype(np.int64).reshape(n_docs, W)
+        cost = np.abs(a[:, :, None] - q[None, None, :])
+        D = np.empty((n_docs, W, W), dtype=np.int64)
+        D[:, 0, 0] = cost[:, 0, 0]
+        for j in range(1, W):
+            D[:, 0, j] = D[:, 0, j - 1] + cost[:, 0, j]
+        for i in range(1, W):
+            D[:, i, 0] = D[:, i - 1, 0] + cost[:, i, 0]
+            for j in range(1, W):
+                D[:, i, j] = cost[:, i, j] + np.minimum(
+                    D[:, i - 1, j],
+                    np.minimum(D[:, i - 1, j - 1], D[:, i, j - 1]),
+                )
+        return pa.table(
+            {"doc_id": m["doc_id"], "dtw": pa.array(D[:, W - 1, W - 1])}
+        )
+
+    return ds.map_batches(dtw, batch_format="pyarrow", batch_size=256)
+
+
+def _dtw_sql() -> str:
+    """Unrolled 8x8 DTW DP as ONE SELECT with lateral column aliases
+    (each cell r{i}_{j} references already-defined aliases)."""
+    W = len(DTW_QUERY)
+    paa = _paa_sql_ctes(W)
+    pivot = ", ".join(
+        f"max(CASE WHEN k = {k} THEN m END) AS a{k}" for k in range(W)
+    )
+    cells = []
+    for i in range(W):
+        for j in range(W):
+            c = f"abs(a{i} - {DTW_QUERY[j]})"
+            if i == 0 and j == 0:
+                e = c
+            elif i == 0:
+                e = f"r0_{j - 1} + {c}"
+            elif j == 0:
+                e = f"r{i - 1}_0 + {c}"
+            else:
+                e = (f"{c} + least(r{i - 1}_{j}, r{i - 1}_{j - 1},"
+                     f" r{i}_{j - 1})")
+            cells.append(f"{e} AS r{i}_{j}")
+    return (
+        f"{paa},"
+        f" p AS (SELECT doc_id, {pivot} FROM m GROUP BY doc_id),"
+        f" dp AS (SELECT doc_id, {', '.join(cells)} FROM p)"
+        f" SELECT doc_id, CAST(r{W - 1}_{W - 1} AS BIGINT) AS dtw FROM dp"
+    )
+
+
+def _paa_sql_ctes(W: int) -> str:
+    """The SAX PAA pipeline (trim-tail floor-means, n_tok >= W filter) as
+    reusable CTEs ending in m(doc_id, k, m) — the exact twin of
+    ``_paa_floor_means_batch(t, W)``."""
+    return (
+        "WITH seq AS (SELECT doc_id, tokens, n_tok"
+        f" FROM read_parquet('{SYNTH_GLOB_001}') WHERE n_tok >= {W}),"
+        " seg AS (SELECT doc_id,"
+        f"   (generate_subscripts(tokens, 1) - 1) // (n_tok // {W}) AS k,"
+        "   unnest(tokens) AS tok, n_tok FROM seq),"
+        " ms AS (SELECT doc_id, k, sum(tok) AS s,"
+        f"   max(n_tok // {W}) AS d"
+        f"   FROM seg WHERE k < {W} GROUP BY doc_id, k),"
+        " m AS (SELECT doc_id, k,"
+        "   CAST((s - ((s % d) + d) % d) // d AS BIGINT) AS m FROM ms)"
+    )
+
+
+DTW_QUERY_SQL = _dtw_sql()
+
+
+MOTIF_W = 16   # PAA segments for the motif screen
+MOTIF_L = 4    # window length in segments
+MOTIF_GAP = 4  # j >= i + MOTIF_GAP excludes overlapping (trivial) matches
+
+
+def q_motif_pair(sf_dir: str) -> "ray.data.Dataset":
+    """Matrix-profile-style motif discovery at PAA resolution: per
+    sequence, the closest pair of non-overlapping length-MOTIF_L windows
+    over the 16-segment PAA (L1 distance), i.e. the best repeated shape
+    inside each series. All 45 candidate pairs are scored at once by one
+    advanced-indexing subtraction over the (docs, 13, 4) window tensor;
+    ties pick the lexicographically smallest (i, j) via first-argmin.
+    Docs shorter than MOTIF_W tokens emit no row."""
+    ds = _seq_ds(sf_dir)
+    n_win = MOTIF_W - MOTIF_L + 1
+    pairs = [(i, j) for i in range(n_win)
+             for j in range(i + MOTIF_GAP, n_win)]
+    ii = np.array([p[0] for p in pairs])
+    jj = np.array([p[1] for p in pairs])
+
+    def motif(t: pa.Table) -> pa.Table:
+        m = _paa_floor_means_batch(t, MOTIF_W)
+        vals, off = list_to_numpy(m["means"])
+        n_docs = len(off) - 1
+        if n_docs == 0:
+            empty = pa.array([], type=pa.int64())
+            return pa.table({"doc_id": m["doc_id"], "i": empty,
+                             "j": empty, "dist": empty})
+        a = vals.astype(np.int64).reshape(n_docs, MOTIF_W)
+        win = np.lib.stride_tricks.sliding_window_view(a, MOTIF_L, axis=1)
+        d = np.abs(win[:, ii, :] - win[:, jj, :]).sum(axis=2)
+        best = np.argmin(d, axis=1)  # first occurrence = smallest (i, j)
+        rows = np.arange(n_docs)
+        return pa.table(
+            {
+                "doc_id": m["doc_id"],
+                "i": pa.array(ii[best]),
+                "j": pa.array(jj[best]),
+                "dist": pa.array(d[rows, best]),
+            }
+        )
+
+    return ds.map_batches(motif, batch_format="pyarrow", batch_size=256)
+
+
+MOTIF_PAIR_SQL = (
+    f"{_paa_sql_ctes(MOTIF_W)},"
+    " w AS (SELECT doc_id, k AS i, m AS m0,"
+    "  lead(m, 1) OVER d AS m1, lead(m, 2) OVER d AS m2,"
+    "  lead(m, 3) OVER d AS m3 FROM m"
+    "  WINDOW d AS (PARTITION BY doc_id ORDER BY k)),"
+    f" win AS (SELECT * FROM w WHERE i <= {MOTIF_W - MOTIF_L}),"
+    " pr AS (SELECT a.doc_id, a.i, b.i AS j,"
+    "  abs(a.m0 - b.m0) + abs(a.m1 - b.m1) + abs(a.m2 - b.m2)"
+    "  + abs(a.m3 - b.m3) AS dist"
+    "  FROM win a JOIN win b ON a.doc_id = b.doc_id"
+    f"  AND b.i >= a.i + {MOTIF_GAP}),"
+    " mn AS (SELECT doc_id, min(dist) AS dist FROM pr GROUP BY doc_id),"
+    " mi AS (SELECT pr.doc_id, min(pr.i) AS i FROM pr"
+    "  JOIN mn ON pr.doc_id = mn.doc_id AND pr.dist = mn.dist"
+    "  GROUP BY pr.doc_id)"
+    " SELECT pr.doc_id, CAST(mi.i AS BIGINT) AS i,"
+    " CAST(min(pr.j) AS BIGINT) AS j,"
+    " CAST(any_value(pr.dist) AS BIGINT) AS dist"
+    " FROM pr"
+    " JOIN mn ON pr.doc_id = mn.doc_id AND pr.dist = mn.dist"
+    " JOIN mi ON pr.doc_id = mi.doc_id AND pr.i = mi.i"
+    " GROUP BY pr.doc_id, mi.i"
+)
+
+
 # --------------------------------------------------------------------------
 # Equi-joins: broadcast (map-side) and co-partitioned (shuffle) hash join
 # --------------------------------------------------------------------------
@@ -5318,6 +5487,8 @@ CORE_QUERIES = {
     "window_slope": (q_window_slope, WINDOW_SLOPE_SQL),
     "pattern_match": (q_pattern_match, PATTERN_MATCH_SQL),
     "bollinger_breakouts": (q_bollinger_breakouts, BOLLINGER_SQL),
+    "dtw_query": (q_dtw_query, DTW_QUERY_SQL),
+    "motif_pair": (q_motif_pair, MOTIF_PAIR_SQL),
     "m4_downsample": (q_m4_downsample, M4_SQL),
     "lttb_downsample": (q_lttb_downsample, LTTB_SQL),
     "corpus_pack512": (q_corpus_pack512, PACK_SQL),
