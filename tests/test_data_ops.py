@@ -1556,6 +1556,79 @@ def test_motif_pair_kernel_edges():
     assert "c" not in df.index
 
 
+def _brute_seq_neardup(sf):
+    """Independent numpy reimplementation of the SAX-bucketed near-dup
+    (PAA floor-means, rank-convention quartile breakpoints, word buckets,
+    L1 <= TH) straight from the synth parquet."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from wavelet_decomposition_ray import synth
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    d = synth.ensure_sequences(sf)
+    t = pa.concat_tables(
+        [pq.read_table(p, columns=["doc_id", "tokens"])
+         for p in sorted(glob.glob(f"{d}/*.parquet"))]
+    )
+    W = cq.SAX_W
+    rows = []
+    for doc_id, toks in zip(t["doc_id"].to_pylist(), t["tokens"].to_pylist()):
+        v = np.asarray(toks, dtype=np.int64)
+        if len(v) < W:
+            continue
+        sl = len(v) // W
+        means = np.array([v[k * sl:(k + 1) * sl].sum() // sl
+                          for k in range(W)])
+        rows.append((doc_id, means))
+    allm = np.sort(np.concatenate([m for _, m in rows]))
+    n = len(allm)
+    bps = np.array([allm[((n - 1) * q) // 4] for q in (1, 2, 3)])
+    words = {}
+    for doc_id, m in rows:
+        w = "".join("abcd"[int(x)] for x in np.searchsorted(bps, m, side="right"))
+        words.setdefault(w, []).append((doc_id, m))
+    pairs = set()
+    for _, docs in words.items():
+        docs = sorted(docs, key=lambda x: x[0])
+        for x in range(len(docs)):
+            for y in range(x + 1, len(docs)):
+                dist = int(np.abs(docs[x][1] - docs[y][1]).sum())
+                if dist <= cq.SEQ_NEARDUP_TH:
+                    pairs.add((docs[x][0], docs[y][0], dist))
+    return pairs
+
+
+def test_seq_neardup_sax_matches_bruteforce(ray_session):
+    """The full Ray pipeline (PAA -> breakpoint exchange -> word buckets
+    -> capped in-bucket verify) equals an independent numpy
+    reimplementation at sf0.001, pair-for-pair."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["doc_a"], r["doc_b"], int(r["dist"]))
+        for r in cq.q_seq_neardup_sax(sf).to_pandas().to_dict("records")
+    }
+    want = _brute_seq_neardup(sf)
+    assert got == want and len(want) > 0
+
+
+def test_seq_neardup_sax_cap_guard(ray_session, monkeypatch):
+    """With the bucket cap forced to 1, every bucket is oversized and
+    dropped: the result is EMPTY but keeps its schema (the loud-drop
+    contract — recall loss is logged, never a crash)."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    monkeypatch.setattr(cq, "SEQ_BUCKET_CAP", 1)
+    df = cq.q_seq_neardup_sax("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 0
+    # (columns may vanish entirely: Ray drops all-empty map_groups
+    # blocks, the same known quirk as the empty-aggregate schema loss)
+    assert list(sorted(df.columns)) in ([], ["dist", "doc_a", "doc_b"])
+
+
 def test_shift_scan_overflow_guard_bounds_the_energy_sum():
     """ADVICE r4 (medium): the guard must bound |window sum| by
     sqrt((2^63-1)/W), not 2^31 — at the old bound the summed squared

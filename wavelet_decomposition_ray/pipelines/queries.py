@@ -1365,20 +1365,12 @@ def _paa_floor_means_batch(t: pa.Table, W: int = SAX_W) -> pa.Table:
     )
 
 
-def q_sax_symbols(sf_dir: str):
-    """SAX symbols per sequence: PAA floor-means -> global quartile
-    breakpoints -> one letter per segment, concatenated to an 8-char word
-    (the similarity-search / motif-discovery representation). Sequences
-    are one row each, so symbolization needs NO shuffle: the means are
-    computed in-row, the only exchange is the distinct-value histogram
-    that yields the 3 global order-statistic breakpoints (rank
-    ((n-1)*q)//4 + 1, matching the SQL row_number convention), broadcast
-    back into a second streaming pass."""
+def _sax_breakpoints(means_ds) -> "np.ndarray | None":
+    """Global quartile breakpoints over every PAA mean (the distinct-value
+    histogram exchange shared by sax_symbols and seq_neardup_sax): rank
+    ((n-1)*q)//4 + 1 order statistics, matching the SQL row_number
+    convention. Returns None when no sequence was long enough."""
     from ray.data.aggregate import Sum
-
-    means_ds = _seq_ds(sf_dir).map_batches(
-        _paa_floor_means_batch, batch_format="pyarrow", batch_size=256
-    ).materialize()  # 8 ints per doc — tiny next to the token buffers
 
     def vc(t: pa.Table) -> pa.Table:
         from ..functions.listops import list_to_numpy
@@ -1395,23 +1387,41 @@ def q_sax_symbols(sf_dir: str):
         .to_pandas()
     )
     if len(hist) == 0:
-        # every sequence shorter than SAX_W: no 8-segment word exists —
-        # return the empty result instead of crashing on cum[-1]
-        # (ADVICE r4; mirrors the other queries' empty-input paths).
-        # Checked before sort_values: an EMPTY aggregate also loses its
-        # column schema entirely.
-        return pa.table(
-            {"doc_id": pa.array([], type=pa.string()),
-             "sax": pa.array([], type=pa.string())}
-        )
+        # checked before sort_values: an EMPTY aggregate also loses its
+        # column schema entirely
+        return None
     hist = hist.sort_values("m")
     vals_h = hist["m"].to_numpy()
     cum = np.cumsum(hist["n"].to_numpy())
     total = int(cum[-1])
     ranks = [((total - 1) * q) // 4 + 1 for q in (1, 2, 3)]
-    bps = np.array(
+    return np.array(
         [vals_h[np.searchsorted(cum, r)] for r in ranks], dtype=np.int64
     )
+
+
+def q_sax_symbols(sf_dir: str):
+    """SAX symbols per sequence: PAA floor-means -> global quartile
+    breakpoints -> one letter per segment, concatenated to an 8-char word
+    (the similarity-search / motif-discovery representation). Sequences
+    are one row each, so symbolization needs NO shuffle: the means are
+    computed in-row, the only exchange is the distinct-value histogram
+    that yields the 3 global order-statistic breakpoints (rank
+    ((n-1)*q)//4 + 1, matching the SQL row_number convention), broadcast
+    back into a second streaming pass."""
+    means_ds = _seq_ds(sf_dir).map_batches(
+        _paa_floor_means_batch, batch_format="pyarrow", batch_size=256
+    ).materialize()  # 8 ints per doc — tiny next to the token buffers
+
+    bps = _sax_breakpoints(means_ds)
+    if bps is None:
+        # every sequence shorter than SAX_W: no 8-segment word exists —
+        # return the empty result instead of crashing on cum[-1]
+        # (ADVICE r4; mirrors the other queries' empty-input paths).
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.string()),
+             "sax": pa.array([], type=pa.string())}
+        )
     bp_ref = ray.put(bps)
     letters = np.array(list(SAX_ALPHABET))
 
@@ -4497,6 +4507,133 @@ MOTIF_PAIR_SQL = (
 )
 
 
+SEQ_NEARDUP_TH = 200    # max L1 distance between PAA-8 vectors
+SEQ_BUCKET_CAP = 512    # max docs per SAX-word bucket before the O(k^2) guard
+SEQ_NEARDUP_NPARTS = 64
+
+
+def q_seq_neardup_sax(sf_dir: str) -> "ray.data.Dataset":
+    """Sequence near-duplicate detection at scale — the time-series analog
+    of MinHash+LSH: bucket by SAX word (a shape fingerprint; identical
+    words = same coarse shape), then verify candidates inside each bucket
+    with the exact L1 distance between PAA-8 vectors (pairs with dist <=
+    SEQ_NEARDUP_TH survive). The corpus token buffers NEVER shuffle: the
+    only exchange is the ~40-byte (word, means) row per doc, coarse-
+    partitioned by a word hash so one Ray group serves many buckets
+    (micro-groups measured ~100x slower in the LSH dedup, dedup.py:406).
+    Buckets past SEQ_BUCKET_CAP drop with a logged warning and a
+    partition-level dropped-candidate-mass alert, same contract as
+    ``make_partition_pairs``. At sf0.01 the largest bucket is 364 docs,
+    so the driver gate sees the exact (uncapped) answer."""
+    import logging
+
+    log = logging.getLogger("wavelet_decomposition_ray.seq_neardup")
+    means_ds = _seq_ds(sf_dir).map_batches(
+        _paa_floor_means_batch, batch_format="pyarrow", batch_size=256
+    ).materialize()  # 8 ints per doc — tiny next to the token buffers
+    bps = _sax_breakpoints(means_ds)
+    if bps is None:
+        return pa.table(
+            {"doc_a": pa.array([], type=pa.string()),
+             "doc_b": pa.array([], type=pa.string()),
+             "dist": pa.array([], type=pa.int64())}
+        )
+    bp_ref = ray.put(bps)
+    letters = np.array(list(SAX_ALPHABET))
+
+    def wordize(t: pa.Table) -> pa.Table:
+        from ..functions.listops import list_to_numpy
+
+        b = ray.get(bp_ref)
+        flat, off = list_to_numpy(t["means"])
+        sym = letters[np.searchsorted(b, flat, side="right")]
+        n = len(off) - 1
+        words = ["".join(sym[off[i]:off[i + 1]]) for i in range(n)]
+        # 8 ASCII letters == one uint64: the deterministic partition key
+        wu = np.frombuffer(
+            np.array(words, dtype="S8").tobytes(), dtype=np.uint64
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "sax": pa.array(words),
+             "part": pa.array((wu % SEQ_NEARDUP_NPARTS).astype(np.int64)),
+             "means": t["means"]}
+        )
+
+    worded = means_ds.map_batches(wordize, batch_format="pyarrow")
+
+    def part_pairs(df):
+        import pandas as pd
+
+        outs = []
+        kept_mass = dropped_mass = 0
+        for word, sub in df.groupby("sax", sort=False):
+            mass = len(sub) * (len(sub) - 1) // 2
+            if len(sub) > SEQ_BUCKET_CAP:
+                dropped_mass += mass
+                log.warning(
+                    "dropping SAX bucket %r: %d docs > cap %d",
+                    word, len(sub), SEQ_BUCKET_CAP,
+                )
+                continue
+            kept_mass += mass
+            if len(sub) < 2:
+                continue
+            sub = sub.sort_values("doc_id")
+            a = np.stack(sub["means"].to_numpy()).astype(np.int64)
+            i, j = np.triu_indices(len(sub), k=1)
+            d = np.abs(a[i] - a[j]).sum(axis=1)
+            keep = d <= SEQ_NEARDUP_TH
+            ids = sub["doc_id"].to_numpy()
+            outs.append(pd.DataFrame(
+                {"doc_a": ids[i[keep]], "doc_b": ids[j[keep]],
+                 "dist": d[keep]}
+            ))
+        if dropped_mass:
+            frac = dropped_mass / max(1, kept_mass + dropped_mass)
+            lvl = log.error if frac > 0.10 else log.warning
+            lvl("seq_neardup partition dropped %.1f%% of candidate mass",
+                100 * frac)
+        if not outs:
+            import pandas as pd
+
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=object),
+                 "doc_b": pd.Series([], dtype=object),
+                 "dist": pd.Series([], dtype=np.int64)}
+            )
+        import pandas as pd
+
+        return pd.concat(outs, ignore_index=True)
+
+    return worded.groupby("part").map_groups(
+        part_pairs, batch_format="pandas"
+    )
+
+
+SEQ_NEARDUP_SQL = (
+    f"{_paa_sql_ctes(SAX_W)},"
+    " r AS (SELECT m, row_number() OVER (ORDER BY m) AS r FROM m),"
+    " cnt AS (SELECT count(*) AS n FROM m),"
+    " b AS (SELECT"
+    "   max(CASE WHEN r.r = ((cnt.n - 1) * 1) // 4 + 1 THEN r.m END) AS b1,"
+    "   max(CASE WHEN r.r = ((cnt.n - 1) * 2) // 4 + 1 THEN r.m END) AS b2,"
+    "   max(CASE WHEN r.r = ((cnt.n - 1) * 3) // 4 + 1 THEN r.m END) AS b3"
+    "   FROM r CROSS JOIN cnt),"
+    " w AS (SELECT doc_id, string_agg("
+    "   CASE WHEN m < b.b1 THEN 'a' WHEN m < b.b2 THEN 'b'"
+    "        WHEN m < b.b3 THEN 'c' ELSE 'd' END, '' ORDER BY k) AS sax"
+    "   FROM m CROSS JOIN b GROUP BY doc_id),"
+    " pr AS (SELECT wa.doc_id AS doc_a, wb.doc_id AS doc_b,"
+    "   sum(abs(ma.m - mb.m)) AS dist"
+    "   FROM w wa JOIN w wb ON wa.sax = wb.sax AND wa.doc_id < wb.doc_id"
+    "   JOIN m ma ON ma.doc_id = wa.doc_id"
+    "   JOIN m mb ON mb.doc_id = wb.doc_id AND mb.k = ma.k"
+    "   GROUP BY doc_a, doc_b)"
+    " SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist FROM pr"
+    f" WHERE dist <= {SEQ_NEARDUP_TH}"
+)
+
+
 # --------------------------------------------------------------------------
 # Equi-joins: broadcast (map-side) and co-partitioned (shuffle) hash join
 # --------------------------------------------------------------------------
@@ -5489,6 +5626,7 @@ CORE_QUERIES = {
     "bollinger_breakouts": (q_bollinger_breakouts, BOLLINGER_SQL),
     "dtw_query": (q_dtw_query, DTW_QUERY_SQL),
     "motif_pair": (q_motif_pair, MOTIF_PAIR_SQL),
+    "seq_neardup_sax": (q_seq_neardup_sax, SEQ_NEARDUP_SQL),
     "m4_downsample": (q_m4_downsample, M4_SQL),
     "lttb_downsample": (q_lttb_downsample, LTTB_SQL),
     "corpus_pack512": (q_corpus_pack512, PACK_SQL),
