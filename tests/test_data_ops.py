@@ -1615,13 +1615,28 @@ def test_seq_neardup_sax_matches_bruteforce(ray_session):
     assert got == want and len(want) > 0
 
 
-def test_seq_neardup_sax_cap_guard(ray_session, monkeypatch):
-    """With the bucket cap forced to 1, every bucket is oversized and
-    dropped: the result is EMPTY but keeps its schema (the loud-drop
-    contract — recall loss is logged, never a crash)."""
+def test_seq_neardup_sax_sorted_scan_is_exact(ray_session, monkeypatch):
+    """Force EVERY bucket through the sorted-neighborhood path (cap=0):
+    the S-window prune is lossless (L1 >= |S_a - S_b|), so the result
+    must still equal the brute force pair-for-pair."""
     from wavelet_decomposition_ray.pipelines import queries as cq
 
-    monkeypatch.setattr(cq, "SEQ_BUCKET_CAP", 1)
+    monkeypatch.setattr(cq, "SEQ_BUCKET_CAP", 0)
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["doc_a"], r["doc_b"], int(r["dist"]))
+        for r in cq.q_seq_neardup_sax(sf).to_pandas().to_dict("records")
+    }
+    assert got == _brute_seq_neardup(sf)
+
+
+def test_seq_neardup_sax_pair_budget_drops(ray_session, monkeypatch):
+    """With the pruned-pair budget forced to 0, every oversized bucket
+    drops loudly: the result is EMPTY, never a crash."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    monkeypatch.setattr(cq, "SEQ_BUCKET_CAP", 0)
+    monkeypatch.setattr(cq, "SEQ_PAIR_BUDGET", 0)
     df = cq.q_seq_neardup_sax("/root/testdata/sf0.001").to_pandas()
     assert len(df) == 0
     # (columns may vanish entirely: Ray drops all-empty map_groups

@@ -4508,7 +4508,8 @@ MOTIF_PAIR_SQL = (
 
 
 SEQ_NEARDUP_TH = 200    # max L1 distance between PAA-8 vectors
-SEQ_BUCKET_CAP = 512    # max docs per SAX-word bucket before the O(k^2) guard
+SEQ_BUCKET_CAP = 512    # buckets past this switch to the sorted-scan path
+SEQ_PAIR_BUDGET = 4_000_000  # pruned-pair ceiling before a logged drop
 SEQ_NEARDUP_NPARTS = 64
 
 
@@ -4521,10 +4522,15 @@ def q_seq_neardup_sax(sf_dir: str) -> "ray.data.Dataset":
     only exchange is the ~40-byte (word, means) row per doc, coarse-
     partitioned by a word hash so one Ray group serves many buckets
     (micro-groups measured ~100x slower in the LSH dedup, dedup.py:406).
-    Buckets past SEQ_BUCKET_CAP drop with a logged warning and a
-    partition-level dropped-candidate-mass alert, same contract as
-    ``make_partition_pairs``. At sf0.01 the largest bucket is 364 docs,
-    so the driver gate sees the exact (uncapped) answer."""
+
+    Hot buckets stay EXACT: past SEQ_BUCKET_CAP docs the verify switches
+    from the O(k^2) triu to a sorted-neighborhood scan — sort by the
+    PAA-sum S and compare only pairs with |S_a - S_b| <= TH, which is
+    lossless because L1(a, b) >= |S_a - S_b| (any true near-dup pair
+    survives the prune). Only if even the pruned pair count exceeds
+    SEQ_PAIR_BUDGET (a bucket of near-identical sums, the adversarial
+    worst case) does the bucket drop, with the loud candidate-mass alert
+    of ``make_partition_pairs``."""
     import logging
 
     log = logging.getLogger("wavelet_decomposition_ray.seq_neardup")
@@ -4568,25 +4574,43 @@ def q_seq_neardup_sax(sf_dir: str) -> "ray.data.Dataset":
         kept_mass = dropped_mass = 0
         for word, sub in df.groupby("sax", sort=False):
             mass = len(sub) * (len(sub) - 1) // 2
-            if len(sub) > SEQ_BUCKET_CAP:
-                dropped_mass += mass
-                log.warning(
-                    "dropping SAX bucket %r: %d docs > cap %d",
-                    word, len(sub), SEQ_BUCKET_CAP,
-                )
-                continue
-            kept_mass += mass
             if len(sub) < 2:
+                kept_mass += mass
                 continue
-            sub = sub.sort_values("doc_id")
             a = np.stack(sub["means"].to_numpy()).astype(np.int64)
-            i, j = np.triu_indices(len(sub), k=1)
+            ids = sub["doc_id"].to_numpy()
+            if len(sub) <= SEQ_BUCKET_CAP:
+                kept_mass += mass
+                i, j = np.triu_indices(len(sub), k=1)
+            else:
+                # sorted-neighborhood scan: sort by S = sum(means); a
+                # true pair has L1 >= |S_i - S_j|, so only the window
+                # with S_j <= S_i + TH can contain matches
+                s = a.sum(axis=1)
+                order = np.argsort(s, kind="stable")
+                a, ids, s = a[order], ids[order], s[order]
+                ends = np.searchsorted(s, s + SEQ_NEARDUP_TH, side="right")
+                cnt = ends - np.arange(len(s)) - 1
+                n_pairs = int(cnt.sum())
+                if n_pairs > SEQ_PAIR_BUDGET:
+                    dropped_mass += mass
+                    log.warning(
+                        "dropping SAX bucket %r: %d pruned pairs > budget"
+                        " %d", word, n_pairs, SEQ_PAIR_BUDGET,
+                    )
+                    continue
+                kept_mass += mass
+                if n_pairs == 0:
+                    continue
+                i = np.repeat(np.arange(len(s), dtype=np.int64), cnt)
+                j = i + _ranges(cnt) + 1
             d = np.abs(a[i] - a[j]).sum(axis=1)
             keep = d <= SEQ_NEARDUP_TH
-            ids = sub["doc_id"].to_numpy()
+            ia, jb = ids[i[keep]], ids[j[keep]]
+            lo = np.minimum(ia, jb)   # canonical doc_a < doc_b ordering
+            hi = np.maximum(ia, jb)
             outs.append(pd.DataFrame(
-                {"doc_a": ids[i[keep]], "doc_b": ids[j[keep]],
-                 "dist": d[keep]}
+                {"doc_a": lo, "doc_b": hi, "dist": d[keep]}
             ))
         if dropped_mass:
             frac = dropped_mass / max(1, kept_mass + dropped_mass)
