@@ -396,6 +396,88 @@ def video_stress(tmp: str) -> dict:
     }
 
 
+SEQDUP_BG = 1_000_000   # background sequences (random shapes)
+SEQDUP_ORIG = 5_000     # hot-bucket originals (one shared SAX word)
+SEQDUP_VARIED = 1_000   # originals that also get a dist-4 near-copy
+
+
+def seqdup_stress(tmp: str) -> dict:
+    """Sequence near-dup at 1M docs with a 10x-over-cap hot bucket: 1M
+    random 64-token sequences plus a planted family of SEQDUP_ORIG
+    originals (means 26*t*[1..1], all below the global first quartile,
+    so they share SAX word 'aaaaaaaa' — a ~11k-doc bucket vs cap 512,
+    forcing the sorted-neighborhood path). Each original has one exact
+    copy (dist 0) and the first SEQDUP_VARIED get a +1-on-four-coords
+    near-copy (dist 4); distinct originals are 208 apart in L1 (> TH
+    200), so the EXACT expected pair set is 5k + 2k pairs. Verifies the
+    full pair set and reports wall time."""
+    import ray.data
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    sdir = os.path.join(tmp, "seqs")
+    os.makedirs(sdir)
+    SEG = 8  # tokens per PAA segment at 64 tokens / SAX_W=8
+
+    def build_bg(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        rng = np.random.default_rng(int(ids[0]) + 77)
+        means = rng.integers(0, 1 << 20, (len(ids), cq.SAX_W))
+        toks = np.repeat(means, SEG, axis=1).astype(np.int32)
+        off = np.arange(len(ids) + 1, dtype=np.int64) * (cq.SAX_W * SEG)
+        return pa.table({
+            "doc_id": pa.array([f"bg{int(i):07d}" for i in ids]),
+            "tokens": pa.ListArray.from_arrays(off, pa.array(toks.ravel())),
+        })
+
+    t0 = time.perf_counter()
+    (ray.data.range(SEQDUP_BG)
+        .map_batches(build_bg, batch_format="pyarrow", batch_size=4096)
+        .write_parquet(sdir))
+
+    # planted hot family: mean_t = 26*t on every coordinate (<= 150k,
+    # safely under the global first quartile), copies + near-copies
+    rows_id, rows_tok = [], []
+    for t in range(SEQDUP_ORIG):
+        m = np.full(cq.SAX_W, 26 * t, dtype=np.int32)
+        toks = np.repeat(m, SEG)
+        rows_id += [f"hot{t:05d}a", f"hot{t:05d}b"]
+        rows_tok += [toks, toks.copy()]
+        if t < SEQDUP_VARIED:
+            m2 = m.copy()
+            m2[:4] += 1
+            rows_id.append(f"hot{t:05d}c")
+            rows_tok.append(np.repeat(m2, SEG))
+    flat = np.concatenate(rows_tok)
+    off = np.concatenate(([0], np.cumsum([len(x) for x in rows_tok])))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(rows_id),
+        "tokens": pa.ListArray.from_arrays(
+            pa.array(off, type=pa.int64()), pa.array(flat)),
+    }), os.path.join(sdir, "hot.parquet"))
+    build_s = time.perf_counter() - t0
+
+    ds = ray.data.read_parquet(sdir, columns=["doc_id", "tokens"])
+    t0 = time.perf_counter()
+    df = cq.seq_neardup_pairs(ds).to_pandas()
+    wall = time.perf_counter() - t0
+
+    got = {(r.doc_a, r.doc_b, int(r.dist)) for r in df.itertuples()}
+    want = set()
+    for t in range(SEQDUP_ORIG):
+        want.add((f"hot{t:05d}a", f"hot{t:05d}b", 0))
+        if t < SEQDUP_VARIED:
+            want.add((f"hot{t:05d}a", f"hot{t:05d}c", 4))
+            want.add((f"hot{t:05d}b", f"hot{t:05d}c", 4))
+    assert want <= got, f"missing {len(want - got)} planted pairs"
+    extra = got - want
+    assert len(extra) <= 16, f"{len(extra)} unexpected pairs"  # bg noise
+    assert all(d <= cq.SEQ_NEARDUP_TH for _, _, d in got)
+    return {"docs": SEQDUP_BG + len(rows_id),
+            "hot_bucket": 2 * SEQDUP_ORIG + SEQDUP_VARIED,
+            "pairs_found": len(got), "planted": len(want),
+            "build_s": round(build_s, 1), "wall_s": round(wall, 1)}
+
+
 def main():
     import ray
 
@@ -405,8 +487,10 @@ def main():
                  include_dashboard=False)
     out = {}
     only = os.environ.get("STRESS_ONLY", "")
-    assert only in ("", "simhash", "clean", "cc", "ann", "video"), (
-        f"STRESS_ONLY={only!r}: valid values are simhash|clean|cc|ann|video "
+    assert only in ("", "simhash", "clean", "cc", "ann", "video",
+                    "seqdup"), (
+        f"STRESS_ONLY={only!r}: valid values are "
+        "simhash|clean|cc|ann|video|seqdup "
         "(or unset for all) — refusing to silently run nothing"
     )
     with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
@@ -422,6 +506,9 @@ def main():
     if only in ("", "video"):
         with tempfile.TemporaryDirectory(dir="/tmp") as tmp3:
             out["video_200k_clips"] = video_stress(tmp3)
+    if only in ("", "seqdup"):
+        with tempfile.TemporaryDirectory(dir="/tmp") as tmp4:
+            out["seqdup_1m_docs"] = seqdup_stress(tmp4)
     if only in ("", "cc"):
         out["cc_6m_edges"] = cc_stress()
     print(json.dumps(out))

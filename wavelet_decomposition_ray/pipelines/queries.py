@@ -4531,10 +4531,16 @@ def q_seq_neardup_sax(sf_dir: str) -> "ray.data.Dataset":
     SEQ_PAIR_BUDGET (a bucket of near-identical sums, the adversarial
     worst case) does the bucket drop, with the loud candidate-mass alert
     of ``make_partition_pairs``."""
+    return seq_neardup_pairs(_seq_ds(sf_dir))
+
+
+def seq_neardup_pairs(ds: "ray.data.Dataset"):
+    """The SAX-bucketed near-dup over any (doc_id, tokens) Dataset — the
+    library entry point q_seq_neardup_sax and the scale stress share."""
     import logging
 
     log = logging.getLogger("wavelet_decomposition_ray.seq_neardup")
-    means_ds = _seq_ds(sf_dir).map_batches(
+    means_ds = ds.map_batches(
         _paa_floor_means_batch, batch_format="pyarrow", batch_size=256
     ).materialize()  # 8 ints per doc — tiny next to the token buffers
     bps = _sax_breakpoints(means_ds)
