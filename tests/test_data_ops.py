@@ -1644,6 +1644,26 @@ def test_seq_neardup_sax_pair_budget_drops(ray_session, monkeypatch):
     assert list(sorted(df.columns)) in ([], ["dist", "doc_a", "doc_b"])
 
 
+def test_cross_motifs_partials_dedupe_per_doc():
+    """The shape census counts DISTINCT docs: a doc whose 13 windows all
+    collapse to one shape contributes nd=1, and two such docs with the
+    same flat shape yield one partial row with nd=2."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_cross_motifs, "unused")
+    W, Q = cq.MOTIF_W, cq.CROSS_MOTIF_Q
+    flat_a = [5 * Q] * W            # quantizes to 5 everywhere
+    flat_b = [5 * Q + 1] * W        # same quantized shape as a
+    ramp = [k * Q for k in range(W)]  # 13 distinct window shapes
+    t = pa.table({"doc_id": ["a", "b", "r"],
+                  "tokens": [flat_a, flat_b, ramp]})
+    df = fn(t).to_pandas().set_index("shape")
+    flat_shape = ((5 * 256 + 5) * 256 + 5) * 256 + 5
+    assert df.loc[flat_shape, "nd"] == 2
+    assert (df.drop(index=flat_shape)["nd"] == 1).all()
+    assert len(df) == 1 + (W - cq.MOTIF_L + 1)  # 1 flat + 13 ramp shapes
+
+
 def test_shift_scan_overflow_guard_bounds_the_energy_sum():
     """ADVICE r4 (medium): the guard must bound |window sum| by
     sqrt((2^63-1)/W), not 2^31 — at the old bound the summed squared

@@ -4507,6 +4507,81 @@ MOTIF_PAIR_SQL = (
 )
 
 
+CROSS_MOTIF_Q = 4096   # PAA-mean quantization step for shape ids
+CROSS_MOTIF_K = 20
+
+
+def q_cross_motifs(sf_dir: str):
+    """Cross-document motif census: which coarse shapes recur across the
+    corpus. Each doc's PAA-16 means quantize to bytes (m // 4096 < 256
+    for tokens < 2^20), every 4-segment window packs into one int64
+    shape id, and the census counts DISTINCT docs per shape (a doc's
+    internal repeats count once). The exchange is shape-keyed partial
+    counts (per-batch doc-deduped), then local-top-K per block and a
+    bounded driver finish — never the corpus, mirroring vocab_top20.
+    Ties order by shape id ascending for a deterministic top-20."""
+    from ray.data.aggregate import Sum
+
+    L = MOTIF_L
+    n_win = MOTIF_W - L + 1
+
+    def partials(t: pa.Table) -> pa.Table:
+        m = _paa_floor_means_batch(t, MOTIF_W)
+        vals, off = list_to_numpy(m["means"])
+        n_docs = len(off) - 1
+        if n_docs == 0:
+            return pa.table({"shape": pa.array([], type=pa.int64()),
+                             "nd": pa.array([], type=pa.int64())})
+        q = (vals.astype(np.int64) // CROSS_MOTIF_Q).reshape(n_docs, MOTIF_W)
+        win = np.lib.stride_tricks.sliding_window_view(q, L, axis=1)
+        shape = (((win[..., 0] << 8 | win[..., 1]) << 8 | win[..., 2])
+                 << 8 | win[..., 3])
+        # dedupe (doc, shape) before counting: one vote per doc
+        docixd = np.repeat(np.arange(n_docs, dtype=np.int64), n_win)
+        key = np.unique(docixd * (np.int64(1) << 32) + shape.ravel())
+        sh, nd = np.unique(key & ((np.int64(1) << 32) - 1),
+                           return_counts=True)
+        return pa.table({"shape": pa.array(sh),
+                         "nd": pa.array(nd.astype(np.int64))})
+
+    agg = (
+        _seq_ds(sf_dir)
+        .map_batches(partials, batch_format="pyarrow", batch_size=256)
+        .groupby("shape")
+        .aggregate(Sum("nd", alias_name="n_docs"))
+    )
+
+    def local_top(df):
+        return df.sort_values(["n_docs", "shape"],
+                              ascending=[False, True]).head(CROSS_MOTIF_K)
+
+    top = agg.map_batches(
+        local_top, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    return (
+        top.sort_values(["n_docs", "shape"], ascending=[False, True])
+        .head(CROSS_MOTIF_K)
+        .reset_index(drop=True)
+    )
+
+
+CROSS_MOTIFS_SQL = (
+    f"{_paa_sql_ctes(MOTIF_W)},"
+    f" qz AS (SELECT doc_id, k, m // {CROSS_MOTIF_Q} AS q FROM m),"
+    " w AS (SELECT doc_id, k AS i, q AS q0,"
+    "  lead(q, 1) OVER d AS q1, lead(q, 2) OVER d AS q2,"
+    "  lead(q, 3) OVER d AS q3 FROM qz"
+    "  WINDOW d AS (PARTITION BY doc_id ORDER BY k)),"
+    " sh AS (SELECT DISTINCT doc_id,"
+    "  ((q0 * 256 + q1) * 256 + q2) * 256 + q3 AS shape"
+    f"  FROM w WHERE i <= {MOTIF_W - MOTIF_L})"
+    " SELECT CAST(shape AS BIGINT) AS shape,"
+    " CAST(count(*) AS BIGINT) AS n_docs"
+    " FROM sh GROUP BY shape"
+    f" ORDER BY n_docs DESC, shape ASC LIMIT {CROSS_MOTIF_K}"
+)
+
+
 SEQ_NEARDUP_TH = 200    # max L1 distance between PAA-8 vectors
 SEQ_BUCKET_CAP = 512    # buckets past this switch to the sorted-scan path
 SEQ_PAIR_BUDGET = 4_000_000  # pruned-pair ceiling before a logged drop
@@ -5657,6 +5732,7 @@ CORE_QUERIES = {
     "dtw_query": (q_dtw_query, DTW_QUERY_SQL),
     "motif_pair": (q_motif_pair, MOTIF_PAIR_SQL),
     "seq_neardup_sax": (q_seq_neardup_sax, SEQ_NEARDUP_SQL),
+    "cross_motifs": (q_cross_motifs, CROSS_MOTIFS_SQL),
     "m4_downsample": (q_m4_downsample, M4_SQL),
     "lttb_downsample": (q_lttb_downsample, LTTB_SQL),
     "corpus_pack512": (q_corpus_pack512, PACK_SQL),
