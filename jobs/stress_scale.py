@@ -152,7 +152,9 @@ VEC_DIM = 64
 VEC_CLUSTERS = 32
 
 
-def _build_embeddings(tmp: str) -> tuple[np.ndarray, np.ndarray]:
+def _build_embeddings(
+    tmp: str,
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]":
     """1M deterministic synthetic vectors (32-cluster Gaussian mixture,
     float32, the testdata embeddings schema) written as one parquet with
     small row groups so the vec_id pushdown filters actually prune.

@@ -93,10 +93,15 @@ def pairs_within_group(group, threshold: float):
     sims = m @ m.T
     iu = np.triu_indices(len(ids), k=1)
     keep = sims[iu] >= threshold
+    ia, ib = ids[iu[0][keep]], ids[iu[1][keep]]
+    # canonical vec_a < vec_b: group-row order is NOT contracted across
+    # bands, so without this a cross-band duplicate could appear in both
+    # orientations and survive the downstream head(1) dedup twice
+    # (code review, round 5)
     return pd.DataFrame(
         {
-            "vec_a": ids[iu[0][keep]],
-            "vec_b": ids[iu[1][keep]],
+            "vec_a": np.minimum(ia, ib),
+            "vec_b": np.maximum(ia, ib),
             "cos_sim": np.round(sims[iu][keep], 6),
         }
     )

@@ -3608,11 +3608,16 @@ def q_ann_pq_rerank(sf_dir: str):
     candidates (its per-subspace distortion swamps within-cluster margins,
     which is why ``ann_pq``'s recall@10 is honest-but-low); the true
     ranking comes from an exact fixed-point L2 re-rank of the top-C
-    shortlist. C = max(1024, 3% of the corpus) here — at real scale C is a
-    fixed budget and only shortlist rows' full vectors are ever fetched.
-    In this streaming engine the batch already holds the full vectors, so
-    each batch computes exact d2 for its local ADC top-C inline (no second
-    fetch); the driver takes the global ADC top-C, then the exact top-K.
+    shortlist. C = max(1024, 3% of the corpus) here — at real scale C is
+    a fixed budget. In this streaming engine the batch already holds the
+    full vectors, so each batch computes exact d2 for its local ADC
+    top-C inline (no second corpus pass — cheaper at 100 TB than
+    re-reading storage to fetch shortlist vectors; the ADC shortlist's
+    job is bounding what LEAVES the batch). The (vec_id, adc, d2)
+    candidates then shrink through two in-Ray merge-reduction passes
+    (top-C per 4C-row batch — a monotone selection, so the global ADC
+    top-C is exact), and only the reduced shortlist reaches the driver:
+    <= max(4C, N/16) rows, never the corpus (code review, round 5).
     The re-rank is exact for PQ's own metric (quantized L2 == cosine on a
     NORMALIZED corpus). Measured at 1M stress vectors (unnormalized, so
     cosine recall additionally pays the L2-vs-cos metric gap): cosine
@@ -3651,9 +3656,15 @@ def q_ann_pq_rerank(sf_dir: str):
             }
         )
 
-    cand = (
-        _emb(sf_dir).map_batches(score, batch_format="pyarrow").to_pandas()
-    )
+    def top_by_adc(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.sort_values(["adc", "vec_id"], kind="mergesort").head(C)
+
+    cand_ds = _emb(sf_dir).map_batches(score, batch_format="pyarrow")
+    for _ in range(2):  # merge-reduce: each pass shrinks rows >= 4x
+        cand_ds = cand_ds.map_batches(
+            top_by_adc, batch_format="pandas", batch_size=4 * C
+        )
+    cand = cand_ds.to_pandas()
     short = (
         cand.sort_values(["adc", "vec_id"], kind="mergesort").head(C)
     )

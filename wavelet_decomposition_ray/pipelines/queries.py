@@ -1593,7 +1593,8 @@ SHIFT_FULL_MAX_LEN = 1024
 
 
 def _shift_scan_doc(
-    x: np.ndarray, grid: int | None, W: int = SHIFT_WINDOWS
+    x: np.ndarray, grid: int | None, W: int = SHIFT_WINDOWS,
+    cp: "np.ndarray | None" = None,
 ) -> tuple[int, int]:
     """Score circular shifts of ONE sequence by captured coarse-window
     energy via a circular prefix sum; returns (best_shift, energy2).
@@ -1603,7 +1604,9 @@ def _shift_scan_doc(
     (calc_translations.py:29-43), same O(candidates x W) prefix lookups.
     ``W`` is the projection coarseness (windows per sequence) — the
     calibration FAMILY knob (reference's year/week/day mother dictionaries,
-    calc_translations.py:62-114).
+    calc_translations.py:62-114). ``cp`` is an optional precomputed
+    prefix sum of exactly the grid-trimmed sequence (len np_+1) — the
+    trim depends only on ``grid``, so one cp serves every family ``W``.
     """
     if grid is None:
         np_ = (len(x) // W) * W
@@ -1614,8 +1617,11 @@ def _shift_scan_doc(
         stride = np_ // grid
         G = grid
     b = np_ // W
-    cp = np.zeros(np_ + 1, dtype=np.int64)
-    np.cumsum(x[:np_], out=cp[1:])
+    if cp is None:
+        cp = np.zeros(np_ + 1, dtype=np.int64)
+        np.cumsum(x[:np_], out=cp[1:])
+    elif len(cp) != np_ + 1:
+        raise ValueError("precomputed prefix sum length mismatch")
     total = cp[-1]
     d = np.arange(G, dtype=np.int64) * stride
     k = np.arange(W + 1, dtype=np.int64)
@@ -1829,9 +1835,12 @@ def q_best_shift_family(sf_dir: str):
         best_e = np.empty(n_docs * nf, dtype=np.int64)
         for i in range(n_docs):
             x = vals[off[i]:off[i + 1]].astype(np.int64)
+            np_ = (len(x) // G) * G
+            cp = np.zeros(np_ + 1, dtype=np.int64)
+            np.cumsum(x[:np_], out=cp[1:])
             for f, (_, w) in enumerate(fams):
                 best_d[i * nf + f], best_e[i * nf + f] = _shift_scan_doc(
-                    x, G, W=w
+                    x, G, W=w, cp=cp
                 )
         names = pa.array(
             [name for _ in range(n_docs) for name, _ in fams],
@@ -3678,6 +3687,13 @@ def q_cusum_flags(sf_dir: str) -> "ray.data.Dataset":
 
     def stats(t: pa.Table) -> pa.Table:
         vals, off = list_to_numpy(t["tokens"])
+        lens = np.diff(off)
+        if (lens == 0).any():
+            # empty docs would wrap base via off[i] - 1 == -1 AND emit a
+            # garbage reduceat row their SQL twin omits — drop them (the
+            # twin's flat CTE has no rows for an empty doc)
+            t = t.filter(pa.array(lens > 0))
+            vals, off = list_to_numpy(t["tokens"])
         v = vals.astype(np.int64)
         n_docs = len(off) - 1
         if n_docs == 0 or len(v) == 0:
@@ -3969,9 +3985,12 @@ def q_seasonal_profile(sf_dir: str) -> "ray.data.Dataset":
         pos = np.arange(len(v), dtype=np.int64) - np.repeat(off[:-1], n)
         key = seg * P + pos % P
         cnt = np.bincount(key, minlength=n_docs * P).astype(np.int64)
-        assert int(cnt.max()) * int(v.max(initial=0)) < (1 << 53), (
-            "per-phase sum would exceed float64's exact-integer range"
-        )
+        # ValueError, not assert: the guard must survive python -O (it is
+        # the only thing standing between us and silent float64 rounding)
+        if int(cnt.max()) * int(np.abs(v).max(initial=0)) >= (1 << 53):
+            raise ValueError(
+                "per-phase sum would exceed float64's exact-integer range"
+            )
         s = np.bincount(key, weights=v, minlength=n_docs * P).astype(np.int64)
         keep = cnt > 0
         idx = np.arange(n_docs * P, dtype=np.int64)
@@ -4009,6 +4028,12 @@ def q_changepoint_argmax(sf_dir: str) -> "ray.data.Dataset":
 
     def stats(t: pa.Table) -> pa.Table:
         vals, off = list_to_numpy(t["tokens"])
+        lens = np.diff(off)
+        if (lens == 0).any():
+            # an empty doc at a batch head would make off[i] - 1 == -1
+            # wrap base to the grand total (code review, round 5)
+            t = t.filter(pa.array(lens > 0))
+            vals, off = list_to_numpy(t["tokens"])
         v = vals.astype(np.int64)
         n = np.diff(off)
         keep = n >= 2
@@ -4291,8 +4316,12 @@ def q_bollinger_breakouts(sf_dir: str) -> "ray.data.Dataset":
                  "n_win": pa.array([], type=pa.int64()),
                  "n_breakout": pa.array([], type=pa.int64())}
             )
-        cs = np.concatenate(([0], np.cumsum(v.astype(np.uint64))))
-        cq = np.concatenate(([0], np.cumsum((v * v).astype(np.uint64))))
+        # the leading zero MUST be uint64: np.concatenate(([0], uint64))
+        # silently promotes the whole array to float64, voiding the
+        # modular-exactness argument past 2^53 (code review, round 5)
+        z = np.zeros(1, dtype=np.uint64)
+        cs = np.concatenate((z, np.cumsum(v.astype(np.uint64))))
+        cq = np.concatenate((z, np.cumsum((v * v).astype(np.uint64))))
         n_win = (n - W + 1).clip(min=0)
         out_nw = np.zeros(len(n), dtype=np.int64)
         out_nb = np.zeros(len(n), dtype=np.int64)
@@ -4699,15 +4728,11 @@ def seq_neardup_pairs(ds: "ray.data.Dataset"):
             lvl("seq_neardup partition dropped %.1f%% of candidate mass",
                 100 * frac)
         if not outs:
-            import pandas as pd
-
             return pd.DataFrame(
                 {"doc_a": pd.Series([], dtype=object),
                  "doc_b": pd.Series([], dtype=object),
                  "dist": pd.Series([], dtype=np.int64)}
             )
-        import pandas as pd
-
         return pd.concat(outs, ignore_index=True)
 
     return worded.groupby("part").map_groups(
