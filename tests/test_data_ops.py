@@ -1737,3 +1737,88 @@ def test_scale_decomposition_telescopes_to_signal():
         acc += (1 << (L - k)) * rows["num"].to_numpy()
     approx = out[out["level"] == 0].sort_values("pos")["num"].to_numpy()
     assert np.array_equal(acc + approx, (1 << L) * x)
+
+
+def test_token_mode_kernel_edges():
+    """Hand-checked modes: tie breaks to the SMALLEST token even when the
+    larger value appears first; distinct counts are per doc; the packed
+    (doc << 20 | tok) key never crosses docs."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_token_mode, "unused")
+    t = pa.table({"doc_id": ["a", "b", "c"],
+                  "tokens": [[9, 9, 2, 2, 5], [4], [7, 7, 7, 1]]})
+    df = fn(t).to_pandas().set_index("doc_id")
+    # doc a: 9 and 2 both appear twice -> smallest token (2) wins
+    assert (df.loc["a", "mode_tok"], df.loc["a", "mode_count"]) == (2, 2)
+    assert df.loc["a", "n_distinct"] == 3
+    assert (df.loc["b", "mode_tok"], df.loc["b", "n_distinct"]) == (4, 1)
+    assert (df.loc["c", "mode_tok"], df.loc["c", "mode_count"]) == (7, 3)
+    # out-of-domain tokens must raise, not silently alias another doc
+    bad = pa.table({"doc_id": ["x"], "tokens": [[1 << 20]]})
+    with pytest.raises(ValueError):
+        fn(bad)
+
+
+def test_rle_runs_kernel_edges():
+    """Hand-checked run counts: runs reset at doc boundaries (b starting
+    with a's last value still opens a fresh run); constant docs report 1
+    run; alternating docs report n runs."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_rle_runs, "unused")
+    t = pa.table({"doc_id": ["a", "b", "c"],
+                  "tokens": [[3, 3, 5, 5, 5], [5, 5], [1, 2, 1]]})
+    df = fn(t).to_pandas().set_index("doc_id")
+    assert (df.loc["a", "n"], df.loc["a", "n_runs"]) == (5, 2)
+    assert (df.loc["b", "n"], df.loc["b", "n_runs"]) == (2, 1)
+    assert (df.loc["c", "n"], df.loc["c", "n_runs"]) == (3, 3)
+
+
+def test_dod_width_hist_kernel_edges():
+    """Hand-checked Gorilla width classes: a linear doc is all class 0
+    (dod == 0); planted jumps land in the 7/9/12-bit and overflow
+    buckets; cross-doc second differences are masked out (the two docs'
+    counts must equal their standalone values)."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_dod_width_hist, "unused")
+    # doc a: [0, 1, 2, 3] -> dods (0, 0) -> two class-0 points
+    # doc b: [0, 0, 64, 0, 3000, 0] -> dods (64, -128, 3064, -6000)
+    #        -> classes (1, 2, 4, 4)
+    t = pa.table({"doc_id": ["a", "b"],
+                  "tokens": [[0, 1, 2, 3], [0, 0, 64, 0, 3000, 0]],
+                  "source": ["s1", "s1"]})
+    df = fn(t).to_pandas()
+    got = {int(r["width_class"]): int(r["c"]) for _, r in df.iterrows()}
+    assert got == {0: 2, 1: 1, 2: 1, 4: 2}
+    # same docs in separate batches -> identical totals (boundary masked)
+    d1 = fn(t.slice(0, 1)).to_pandas()
+    d2 = fn(t.slice(1, 1)).to_pandas()
+    import pandas as pd
+
+    both = pd.concat([d1, d2]).groupby("width_class")["c"].sum().to_dict()
+    assert {int(k): int(v) for k, v in both.items()} == got
+
+
+def test_token_familiarity_end_to_end(ray_session):
+    """Both passes for real at sf0.001: the probe-const doc (512 tokens,
+    all value 7) must score s_freq == 512 * global_count(7), read
+    directly from the synth parquet."""
+    import pyarrow.dataset as pads
+
+    from wavelet_decomposition_ray import synth
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    sf = "/root/testdata/sf0.001"
+    seq_dir = synth.ensure_sequences(sf)
+    flat = pa.concat_tables(
+        [pads.dataset(seq_dir).to_table(columns=["tokens"])]
+    )
+    vals, _ = __import__(
+        "wavelet_decomposition_ray.functions.listops", fromlist=["listops"]
+    ).list_to_numpy(flat["tokens"])
+    g7 = int((np.asarray(vals) == 7).sum())
+    df = cq.q_token_familiarity(sf).to_pandas().set_index("doc_id")
+    assert df.loc["probe-const", "n"] == 512
+    assert df.loc["probe-const", "s_freq"] == 512 * g7

@@ -5694,6 +5694,273 @@ def _pack_sql() -> str:
 PACK_SQL = _pack_sql()
 
 
+# --------------------------------------------------------------------------
+# Token-distribution statistics and codec-sizing audits
+# --------------------------------------------------------------------------
+
+TOKEN_BITS = 20  # synth quantizes tokens to < 2^20 (synth.MAX_TOKEN)
+
+
+def q_token_mode(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc token-distribution summary: distinct-value count plus the
+    modal token (most frequent value; ties -> smallest token) and its
+    count — the repetitiveness signal a quality filter reads before
+    dropping degenerate sequences (the sequence analog of documents'
+    ``repetition_2gram``). One pass per batch: (seg << 20 | tok) packs
+    doc index and token into one int64 key, ``np.unique`` gives sorted
+    per-(doc, token) counts, and three reduceat passes extract distinct
+    counts, the max count, and the tie-broken argmax — no per-doc loop,
+    no shuffle (row = sequence)."""
+    ds = _seq_ds(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        if n_docs == 0 or len(v) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.string()),
+                 "n_distinct": pa.array([], type=pa.int64()),
+                 "mode_tok": pa.array([], type=pa.int64()),
+                 "mode_count": pa.array([], type=pa.int64())}
+            )
+        if int(v.max()) >= (1 << TOKEN_BITS) or int(v.min()) < 0:
+            raise ValueError(
+                "token_mode packs (doc, token) into one int64 key; tokens "
+                f"must be in [0, 2^{TOKEN_BITS})"
+            )
+        n = np.diff(off)
+        assert (n > 0).all(), "token_mode requires non-empty docs"
+        seg = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+        key = (seg << TOKEN_BITS) | v
+        uk, cnt = np.unique(key, return_counts=True)
+        useg = uk >> TOKEN_BITS
+        utok = uk & ((1 << TOKEN_BITS) - 1)
+        starts = np.flatnonzero(np.r_[True, np.diff(useg) != 0])
+        n_distinct = np.diff(np.r_[starts, len(uk)])
+        mc = np.maximum.reduceat(cnt, starts)
+        # tie -> smallest token: uk is sorted (doc, tok), so the FIRST
+        # index in each doc group hitting the max count wins
+        is_max = cnt == np.repeat(mc, n_distinct)
+        idx = np.where(is_max, np.arange(len(uk)), len(uk))
+        first = np.minimum.reduceat(idx, starts)
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "n_distinct": pa.array(n_distinct.astype(np.int64)),
+             "mode_tok": pa.array(utok[first]),
+             "mode_count": pa.array(mc.astype(np.int64))}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+
+TOKEN_MODE_SQL = (
+    f"{_FLAT_CTE},"
+    " g AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c"
+    "  FROM flat GROUP BY doc_id, tok),"
+    " m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,"
+    "  max(c) AS mc FROM g GROUP BY doc_id)"
+    " SELECT m.doc_id, m.n_distinct,"
+    " CAST(min(g.tok) AS BIGINT) AS mode_tok, m.mc AS mode_count"
+    " FROM m JOIN g ON g.doc_id = m.doc_id AND g.c = m.mc"
+    " GROUP BY m.doc_id, m.n_distinct, m.mc"
+)
+
+
+def q_token_familiarity(sf_dir: str) -> "ray.data.Dataset":
+    """Unigram-LM corpus scoring (the integer-exact core of perplexity
+    filtering): pass 1 builds the GLOBAL token histogram — per-batch
+    bincount partials, one distinct-value-sized groupby (vocab <= 2^20
+    rows, never the corpus) — which lands on the driver as one 8 MiB
+    int64 array and is broadcast once via ``ray.put``; pass 2 streams the
+    corpus again and emits, per doc, n and the sum of each occurrence's
+    global frequency (``s_freq``). High mean frequency = boilerplate-like
+    token stream, low = rare/novel — the familiarity axis an LLM data
+    pipeline scores before mixing. All integer: s_freq <= n_tok * total
+    tokens, guarded against int64 wrap before scoring."""
+    ds = _seq_ds(sf_dir)
+    vocab = 1 << TOKEN_BITS
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        vals, _ = list_to_numpy(t["tokens"])
+        if len(vals) == 0:
+            return pa.table({"tok": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        c = np.bincount(vals, minlength=vocab)
+        nz = np.flatnonzero(c)
+        return pa.table({"tok": pa.array(nz.astype(np.int64)),
+                         "c": pa.array(c[nz].astype(np.int64))})
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("tok").sum("c").to_pandas()  # vocab-sized, bounded 2^20
+    )
+    freq = np.zeros(vocab, dtype=np.int64)
+    freq[hist["tok"].to_numpy()] = hist["sum(c)"].to_numpy()
+    max_len = 1 << 16  # synth's longest sequence (65536 tokens)
+    if int(freq.max(initial=0)) > (2**63 - 1) // max_len:
+        raise ValueError(
+            "token_familiarity: global token frequency too large — a "
+            "per-doc s_freq sum could wrap int64; shard the histogram"
+        )
+    ref = ray.put(freq)
+
+    def score(t: pa.Table) -> pa.Table:
+        f = ray.get(ref)  # zero-copy view from the object store
+        vals, off = list_to_numpy(t["tokens"])
+        if len(off) <= 1 or len(vals) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64()),
+                 "s_freq": pa.array([], type=pa.int64())}
+            )
+        n = np.diff(off)
+        s = np.add.reduceat(f[vals], off[:-1])
+        return pa.table(
+            {"doc_id": t["doc_id"], "n": pa.array(n.astype(np.int64)),
+             "s_freq": pa.array(s)}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=256)
+
+
+TOKEN_FAMILIARITY_SQL = (
+    f"{_FLAT_CTE},"
+    " g AS (SELECT tok, CAST(count(*) AS BIGINT) AS c"
+    "  FROM flat GROUP BY tok)"
+    " SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(sum(g.c) AS BIGINT) AS s_freq"
+    " FROM flat f JOIN g USING (tok) GROUP BY f.doc_id"
+)
+
+
+def q_rle_runs(sf_dir: str) -> "ray.data.Dataset":
+    """Run-length-encoding audit: per doc, the count of equal-value runs
+    (n / n_runs = the compression ratio an RLE retention codec would
+    achieve — the sizing signal read before choosing RLE vs Gorilla for a
+    tier, Gorilla paper §4.1's 'many series are constant' case). One
+    global diff over the batch's flat buffer; cross-doc boundary
+    positions are forced to count as run starts, so n_runs is one
+    reduceat away — no per-doc loop, no shuffle."""
+    ds = _seq_ds(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        if n_docs == 0 or len(v) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64()),
+                 "n_runs": pa.array([], type=pa.int64())}
+            )
+        n = np.diff(off)
+        assert (n > 0).all(), "rle_runs requires non-empty docs"
+        start = np.ones(len(v), dtype=np.int64)
+        start[1:] = (v[1:] != v[:-1]).astype(np.int64)
+        start[off[:-1]] = 1  # every doc's first token starts a run
+        n_runs = np.add.reduceat(start, off[:-1])
+        return pa.table(
+            {"doc_id": t["doc_id"], "n": pa.array(n.astype(np.int64)),
+             "n_runs": pa.array(n_runs)}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+
+RLE_RUNS_SQL = (
+    f"{_FLAT_CTE},"
+    " l AS (SELECT doc_id, tok,"
+    "  lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM flat)"
+    " SELECT doc_id, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(sum(CASE WHEN prev IS NULL OR tok != prev THEN 1 ELSE 0 END)"
+    "  AS BIGINT) AS n_runs"
+    " FROM l GROUP BY doc_id"
+)
+
+
+# Gorilla-style delta-of-delta bit-width classes (Pelkonen 2015 §4.1.1's
+# timestamp buckets, applied to token values): 0 bits for dod == 0, then
+# [-63, 64] / [-255, 256] / [-2047, 2048] / everything else.
+DOD_BOUNDS = ((-63, 64), (-255, 256), (-2047, 2048))
+
+
+def q_dod_width_hist(sf_dir: str) -> "ray.data.Dataset":
+    """Codec-sizing audit: the corpus-wide histogram of delta-of-delta
+    bit-width classes per source — what fraction of a source's points
+    would encode in 0 / 7 / 9 / 12 / 32+ bits under the Gorilla DoD
+    scheme the tier encoder uses (stages/encode.py). Per batch: one
+    second-difference over the flat buffer, doc-boundary positions
+    masked, one keyed bincount over (source, class); the only exchange
+    is the <= sources x 5-row partial groupby."""
+    ds = _seq_ds(sf_dir)
+    n_cls = len(DOD_BOUNDS) + 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        src = t["source"].to_pylist()
+        if n_docs == 0 or len(v) < 3:
+            return pa.table(
+                {"source": pa.array([], type=pa.string()),
+                 "width_class": pa.array([], type=pa.int64()),
+                 "c": pa.array([], type=pa.int64())}
+            )
+        n = np.diff(off)
+        seg = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+        dd = np.diff(v, n=2)
+        valid = seg[: len(dd)] == seg[2:]  # v[i] and v[i+2] in one doc
+        cls = np.full(len(dd), n_cls - 1, dtype=np.int64)
+        for k, (lo, hi) in enumerate(reversed(DOD_BOUNDS)):
+            cls[(dd >= lo) & (dd <= hi)] = len(DOD_BOUNDS) - k
+        cls[dd == 0] = 0
+        # per-source class counts: unique sources per batch are <= 9
+        usrc, sidx = np.unique(np.asarray(src, dtype=object),
+                               return_inverse=True)
+        key = sidx.astype(np.int64)[seg[: len(dd)]] * n_cls + cls
+        cnt = np.bincount(key[valid], minlength=len(usrc) * n_cls)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"source": pa.array(usrc[nz // n_cls].astype(object),
+                                type=pa.string()),
+             "width_class": pa.array((nz % n_cls).astype(np.int64)),
+             "c": pa.array(cnt[nz].astype(np.int64))}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "width_class"]).sum("c")
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["source", "width_class", "c"]),
+        batch_format="pyarrow",
+    )
+
+
+def _dod_sql() -> str:
+    cases = " ".join(
+        f"WHEN dod >= {lo} AND dod <= {hi} THEN {i + 1}"
+        for i, (lo, hi) in enumerate(DOD_BOUNDS)
+    )
+    return (
+        f"{_FLAT_CTE},"
+        " l AS (SELECT source, doc_id, tok,"
+        "  lag(tok) OVER w AS p1, lag(tok, 2) OVER w AS p2 FROM flat"
+        "  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),"
+        " d AS (SELECT source, tok - 2 * p1 + p2 AS dod FROM l"
+        "  WHERE p2 IS NOT NULL)"
+        " SELECT source,"
+        f" CAST(CASE WHEN dod = 0 THEN 0 {cases}"
+        f"  ELSE {len(DOD_BOUNDS) + 1} END AS BIGINT) AS width_class,"
+        " CAST(count(*) AS BIGINT) AS c"
+        " FROM d GROUP BY source, width_class"
+    )
+
+
+DOD_WIDTH_SQL = _dod_sql()
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -5758,6 +6025,10 @@ CORE_QUERIES = {
     "motif_pair": (q_motif_pair, MOTIF_PAIR_SQL),
     "seq_neardup_sax": (q_seq_neardup_sax, SEQ_NEARDUP_SQL),
     "cross_motifs": (q_cross_motifs, CROSS_MOTIFS_SQL),
+    "token_mode": (q_token_mode, TOKEN_MODE_SQL),
+    "token_familiarity": (q_token_familiarity, TOKEN_FAMILIARITY_SQL),
+    "rle_runs": (q_rle_runs, RLE_RUNS_SQL),
+    "dod_width_hist": (q_dod_width_hist, DOD_WIDTH_SQL),
     "m4_downsample": (q_m4_downsample, M4_SQL),
     "lttb_downsample": (q_lttb_downsample, LTTB_SQL),
     "corpus_pack512": (q_corpus_pack512, PACK_SQL),
