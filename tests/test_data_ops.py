@@ -1822,3 +1822,43 @@ def test_token_familiarity_end_to_end(ray_session):
     df = cq.q_token_familiarity(sf).to_pandas().set_index("doc_id")
     assert df.loc["probe-const", "n"] == 512
     assert df.loc["probe-const", "s_freq"] == 512 * g7
+
+
+def test_haar_sparsity_kernel_edges():
+    """Hand-checked flat-coefficient counts: a piecewise-constant doc is
+    flat everywhere except across its one jump; zero padding counts only
+    the windows containing a real token (ceil(n / 2^l) per level)."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_haar_sparsity, "unused")
+    t = pa.table({"doc_id": ["a", "b"],
+                  "tokens": [[4, 4, 4, 4, 100, 0, 0, 0], [10, 10, 10]]})
+    df = fn(t).to_pandas().set_index(["doc_id", "level"])
+    # doc a, level 0: d = (0, 0, 100, 0), thr 16 -> 3 of 4 flat
+    assert (df.loc[("a", 0), "n_coeffs"], df.loc[("a", 0), "n_zero"]) == (4, 3)
+    # level 1: sums (8, 8, 100, 0) -> d = (0, 100), thr 32 -> 1 of 2
+    assert (df.loc[("a", 1), "n_coeffs"], df.loc[("a", 1), "n_zero"]) == (2, 1)
+    # level 2: sums (16, 100) -> d = -84, thr 64 -> 0 of 1
+    assert (df.loc[("a", 2), "n_coeffs"], df.loc[("a", 2), "n_zero"]) == (1, 0)
+    # doc b pads 3 -> 4: level 0 d = (0, 10) both <= 16; level 1 d = 10
+    assert (df.loc[("b", 0), "n_coeffs"], df.loc[("b", 0), "n_zero"]) == (2, 2)
+    assert (df.loc[("b", 1), "n_coeffs"], df.loc[("b", 1), "n_zero"]) == (1, 1)
+
+
+def test_source_profile_corr_partial_kernel():
+    """The per-batch profile partial: phase = position mod P per doc,
+    counts and sums keyed by (source, phase); two docs of one source
+    accumulate into the same phases; a second source stays separate."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_source_profile_corr, "unused")
+    P = cq.PROFILE_P
+    t = pa.table({"doc_id": ["a", "b", "c"],
+                  "tokens": [[5, 7], [1, 1, 1], [100]],
+                  "source": ["s1", "s1", "s2"]})
+    df = fn(t).to_pandas().set_index(["source", "ph"])
+    assert (df.loc[("s1", 0), "c"], df.loc[("s1", 0), "s"]) == (2, 6)
+    assert (df.loc[("s1", 1), "c"], df.loc[("s1", 1), "s"]) == (2, 8)
+    assert (df.loc[("s1", 2), "c"], df.loc[("s1", 2), "s"]) == (1, 1)
+    assert (df.loc[("s2", 0), "c"], df.loc[("s2", 0), "s"]) == (1, 100)
+    assert len(df) == 4 and P == 64

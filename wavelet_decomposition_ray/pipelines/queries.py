@@ -5961,6 +5961,197 @@ def _dod_sql() -> str:
 DOD_WIDTH_SQL = _dod_sql()
 
 
+SPARSITY_TAU = 16  # signal-domain flatness tolerance (token units)
+
+
+def q_haar_sparsity(sf_dir: str) -> "ray.data.Dataset":
+    """Wavelet-codec sizing audit (the Haar-domain complement of
+    ``dod_width_hist``): per (doc, level), how many unnormalized detail
+    coefficients are 'flat' — |d| <= TAU * 2^level, i.e. the two child
+    block SUMS differ by at most TAU per sample — and so would quantize
+    to zero under a signal tolerance of TAU token units. The zero
+    fraction per level IS the compression curve a thresholding wavelet
+    codec achieves. Same zero-padded cascade as ``dwt_haar`` (grouped by
+    padded length, vectorized across the batch), but aggregated in-batch
+    to one row per (doc, level) — details never leave the task, no
+    shuffle."""
+    from ..functions.listops import next_pow2_arr
+
+    def sparsity(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        lens = np.diff(off)
+        padded = next_pow2_arr(lens)
+        docs, levels, ncs, nzs = [], [], [], []
+        for p in np.unique(padded):
+            rows = np.nonzero(padded == p)[0]
+            x = np.zeros((len(rows), int(p)), dtype=np.int64)
+            for j, r in enumerate(rows):
+                n = lens[r]
+                x[j, :n] = v[off[r] : off[r] + n]
+            s = x
+            n_level = int(p).bit_length() - 1
+            for l in range(1, n_level + 1):
+                d = s[:, 0::2] - s[:, 1::2]
+                s = s[:, 0::2] + s[:, 1::2]
+                n_real = -(-lens[rows] // (1 << l))
+                kg = np.arange(d.shape[1], dtype=np.int64)
+                mask = kg[None, :] < n_real[:, None]
+                flat = (np.abs(d) <= (SPARSITY_TAU << (l - 1))) & mask
+                docs.append(rows)
+                levels.append(np.full(len(rows), l - 1, dtype=np.int64))
+                ncs.append(n_real.astype(np.int64))
+                nzs.append(flat.sum(axis=1).astype(np.int64))
+        if not docs:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.string()),
+                 "level": pa.array([], type=pa.int64()),
+                 "n_coeffs": pa.array([], type=pa.int64()),
+                 "n_zero": pa.array([], type=pa.int64())}
+            )
+        idx = np.concatenate(docs)
+        return pa.table(
+            {"doc_id": t["doc_id"].take(pa.array(idx)),
+             "level": pa.array(np.concatenate(levels)),
+             "n_coeffs": pa.array(np.concatenate(ncs)),
+             "n_zero": pa.array(np.concatenate(nzs))}
+        )
+
+    return _seq_ds(sf_dir).map_batches(
+        sparsity, batch_format="pyarrow", batch_size=256
+    )
+
+
+HAAR_SPARSITY_SQL = (
+    f"{_FLAT_CTE},"
+    " n AS (SELECT doc_id, count(*) AS L FROM flat GROUP BY doc_id),"
+    " jj AS (SELECT doc_id, CASE WHEN L = 1 THEN 0"
+    "   ELSE CAST(ceil(log2(CAST(L AS DOUBLE))) AS INTEGER) END AS J FROM n),"
+    " lv AS (SELECT doc_id,"
+    "   CAST(unnest(range(1, J + 1)) AS INTEGER) AS l FROM jj),"
+    " d AS (SELECT f.doc_id, lv.l, f.pos // (1 << lv.l) AS k,"
+    "  CAST(sum(CASE WHEN (f.pos // (1 << (lv.l - 1))) % 2 = 0"
+    "    THEN f.tok ELSE -f.tok END) AS BIGINT) AS d"
+    "  FROM flat f JOIN lv ON lv.doc_id = f.doc_id"
+    "  GROUP BY f.doc_id, lv.l, k)"
+    " SELECT doc_id, CAST(l - 1 AS BIGINT) AS level,"
+    " CAST(count(*) AS BIGINT) AS n_coeffs,"
+    f" CAST(sum(CASE WHEN abs(d) <= {SPARSITY_TAU} * (1 << (l - 1))"
+    "   THEN 1 ELSE 0 END) AS BIGINT) AS n_zero"
+    " FROM d GROUP BY doc_id, l"
+)
+
+
+PROFILE_P = 64  # synth daily period (synth.DAY)
+
+
+def q_source_profile_corr(sf_dir: str) -> "pa.Table":
+    """Cross-source load-profile similarity (the reference compares
+    production vs consumption curves; the analog here correlates every
+    source pair's daily profile): per source, the 64-phase floor-mean
+    profile — built from one keyed bincount per batch and a <= sources x
+    64-row groupby, the corpus never shuffles — then, per source pair,
+    the integer correlation ingredients (p, sab, sa, sb, qa, qb) over
+    the phases BOTH sources cover; Pearson r is one driver-side division
+    away. Floor means keep everything integer-exact (tokens are
+    non-negative, so numpy // == DuckDB //); profile values < 2^20 bound
+    every pair sum far below int64."""
+    ds = _seq_ds(sf_dir)
+    P = PROFILE_P
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        if n_docs == 0 or len(v) == 0:
+            return pa.table(
+                {"source": pa.array([], type=pa.string()),
+                 "ph": pa.array([], type=pa.int64()),
+                 "c": pa.array([], type=pa.int64()),
+                 "s": pa.array([], type=pa.int64())}
+            )
+        if int(v.min()) < 0:
+            raise ValueError(
+                "source_profile_corr needs non-negative tokens (floor "
+                "division parity with the SQL twin)"
+            )
+        n = np.diff(off)
+        pos = np.arange(len(v), dtype=np.int64) - np.repeat(off[:-1], n)
+        usrc, sidx = np.unique(
+            np.asarray(t["source"].to_pylist(), dtype=object),
+            return_inverse=True,
+        )
+        key = sidx.astype(np.int64)[np.repeat(np.arange(n_docs), n)] * P \
+            + pos % P
+        cnt = np.bincount(key, minlength=len(usrc) * P).astype(np.int64)
+        if int(cnt.max()) * int(v.max(initial=0)) >= (1 << 53):
+            raise ValueError(
+                "per-phase sum would exceed float64's exact-integer range"
+            )
+        s = np.bincount(key, weights=v, minlength=len(usrc) * P)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"source": pa.array(usrc[nz // P].astype(object),
+                                type=pa.string()),
+             "ph": pa.array((nz % P).astype(np.int64)),
+             "c": pa.array(cnt[nz]),
+             "s": pa.array(s[nz].astype(np.int64))}
+        )
+
+    prof = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "ph"]).sum(["c", "s"])
+        .to_pandas()  # <= sources x 64 rows — bounded, never the corpus
+    )
+    means: dict[str, np.ndarray] = {}
+    have: dict[str, np.ndarray] = {}
+    for src, grp in prof.groupby("source"):
+        m = np.full(P, -1, dtype=np.int64)
+        m[grp["ph"].to_numpy()] = (
+            grp["sum(s)"].to_numpy() // grp["sum(c)"].to_numpy()
+        )
+        means[src] = m
+        have[src] = m >= 0
+    srcs = sorted(means)
+    rows = {k: [] for k in
+            ("src_a", "src_b", "p", "sab", "sa", "sb", "qa", "qb")}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            both = have[a] & have[b]
+            ma, mb = means[a][both], means[b][both]
+            rows["src_a"].append(a)
+            rows["src_b"].append(b)
+            rows["p"].append(int(both.sum()))
+            rows["sab"].append(int((ma * mb).sum()))
+            rows["sa"].append(int(ma.sum()))
+            rows["sb"].append(int(mb.sum()))
+            rows["qa"].append(int((ma * ma).sum()))
+            rows["qb"].append(int((mb * mb).sum()))
+    return pa.table(
+        {"src_a": pa.array(rows["src_a"], type=pa.string()),
+         "src_b": pa.array(rows["src_b"], type=pa.string()),
+         **{k: pa.array(rows[k], type=pa.int64())
+            for k in ("p", "sab", "sa", "sb", "qa", "qb")}}
+    )
+
+
+SOURCE_PROFILE_CORR_SQL = (
+    f"{_FLAT_CTE},"
+    f" pr AS (SELECT source, pos % {PROFILE_P} AS ph,"
+    "  CAST(count(*) AS BIGINT) AS c, CAST(sum(tok) AS BIGINT) AS s"
+    "  FROM flat GROUP BY source, ph),"
+    " m AS (SELECT source, ph, s // c AS mv FROM pr)"
+    " SELECT a.source AS src_a, b.source AS src_b,"
+    " CAST(count(*) AS BIGINT) AS p,"
+    " CAST(sum(a.mv * b.mv) AS BIGINT) AS sab,"
+    " CAST(sum(a.mv) AS BIGINT) AS sa, CAST(sum(b.mv) AS BIGINT) AS sb,"
+    " CAST(sum(a.mv * a.mv) AS BIGINT) AS qa,"
+    " CAST(sum(b.mv * b.mv) AS BIGINT) AS qb"
+    " FROM m a JOIN m b ON a.ph = b.ph AND a.source < b.source"
+    " GROUP BY a.source, b.source"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -6029,6 +6220,8 @@ CORE_QUERIES = {
     "token_familiarity": (q_token_familiarity, TOKEN_FAMILIARITY_SQL),
     "rle_runs": (q_rle_runs, RLE_RUNS_SQL),
     "dod_width_hist": (q_dod_width_hist, DOD_WIDTH_SQL),
+    "haar_sparsity": (q_haar_sparsity, HAAR_SPARSITY_SQL),
+    "source_profile_corr": (q_source_profile_corr, SOURCE_PROFILE_CORR_SQL),
     "m4_downsample": (q_m4_downsample, M4_SQL),
     "lttb_downsample": (q_lttb_downsample, LTTB_SQL),
     "corpus_pack512": (q_corpus_pack512, PACK_SQL),
