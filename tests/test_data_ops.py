@@ -1862,3 +1862,37 @@ def test_source_profile_corr_partial_kernel():
     assert (df.loc[("s1", 2), "c"], df.loc[("s1", 2), "s"]) == (1, 1)
     assert (df.loc[("s2", 0), "c"], df.loc[("s2", 0), "s"]) == (1, 100)
     assert len(df) == 4 and P == 64
+
+
+def test_source_drift_partial_kernel():
+    """The drift histogram partial: group-A (src-0) and rest counts are
+    split per token; a token seen only in one group still emits a row
+    with the other count at zero."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_source_drift, "unused")
+    t = pa.table({"doc_id": ["a", "b"],
+                  "tokens": [[5, 5, 9], [5, 2]],
+                  "source": ["src-0", "src-3"]})
+    df = fn(t).to_pandas().set_index("tok")
+    assert (df.loc[5, "c_a"], df.loc[5, "c_b"]) == (2, 1)
+    assert (df.loc[9, "c_a"], df.loc[9, "c_b"]) == (1, 0)
+    assert (df.loc[2, "c_a"], df.loc[2, "c_b"]) == (0, 1)
+
+
+def test_window_median_kernel_edges():
+    """Hand-checked tumbling medians: even windows take the LOWER middle
+    (quantile_disc semantics); the ragged tail window is its own group;
+    windows never cross docs."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    W = cq.MED_W
+    fn = _capture_batch_fn(cq.q_window_median, "unused")
+    x = list(range(W))            # median of 0..63 -> lower middle 31
+    y = [10, 2, 99]               # tail window, odd count -> 10
+    z = [7, 3]                    # even count -> lower middle 3
+    t = pa.table({"doc_id": ["a", "b"], "tokens": [x + y, z]})
+    df = fn(t).to_pandas().set_index(["doc_id", "w"])
+    assert (df.loc[("a", 0), "med"], df.loc[("a", 0), "c"]) == (31, W)
+    assert (df.loc[("a", 1), "med"], df.loc[("a", 1), "c"]) == (10, 3)
+    assert (df.loc[("b", 0), "med"], df.loc[("b", 0), "c"]) == (3, 2)

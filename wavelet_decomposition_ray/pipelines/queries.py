@@ -6152,6 +6152,144 @@ SOURCE_PROFILE_CORR_SQL = (
 )
 
 
+DRIFT_TOPK = 20
+DRIFT_GROUP_A = "src-0"  # the largest synth source (p = 0.40)
+
+
+def q_source_drift(sf_dir: str) -> "pa.Table":
+    """Distribution-drift monitor (what a training-data pipeline watches
+    between corpus snapshots or source groups): the top-K tokens whose
+    relative frequency differs most between source ``src-0`` and the
+    rest, scored by the integer cross-multiplied difference
+    |c_a * N_b - c_b * N_a| (== N_a*N_b*|p_a - p_b|, no division). Per
+    batch: two bincounts; one vocab-bounded (<= 2^20 rows, never the
+    corpus) groupby; the driver sees only the summed histogram and
+    returns K rows. Ties -> smallest token."""
+    ds = _seq_ds(sf_dir)
+    vocab = 1 << TOKEN_BITS
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        if len(vals) == 0:
+            return pa.table(
+                {"tok": pa.array([], type=pa.int64()),
+                 "c_a": pa.array([], type=pa.int64()),
+                 "c_b": pa.array([], type=pa.int64())}
+            )
+        n = np.diff(off)
+        is_a = np.asarray(
+            [s == DRIFT_GROUP_A for s in t["source"].to_pylist()]
+        )
+        mask = np.repeat(is_a, n)
+        ca = np.bincount(vals[mask], minlength=vocab)
+        cb = np.bincount(vals[~mask], minlength=vocab)
+        nz = np.flatnonzero(ca | cb)
+        return pa.table(
+            {"tok": pa.array(nz.astype(np.int64)),
+             "c_a": pa.array(ca[nz].astype(np.int64)),
+             "c_b": pa.array(cb[nz].astype(np.int64))}
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("tok").sum(["c_a", "c_b"])
+        .to_pandas()  # vocab-bounded
+    )
+    ca = hist["sum(c_a)"].to_numpy()
+    cb = hist["sum(c_b)"].to_numpy()
+    na, nb = int(ca.sum()), int(cb.sum())
+    if na * nb and int(max(ca.max(), cb.max())) > (2**63 - 1) // max(na, nb):
+        raise ValueError(
+            "source_drift: cross-multiplied drift score would wrap int64 "
+            "at this corpus size; shard the histogram or rescale"
+        )
+    score = np.abs(ca * nb - cb * na)
+    tok = hist["tok"].to_numpy()
+    order = np.lexsort((tok, -score))[:DRIFT_TOPK]
+    return pa.table(
+        {"tok": pa.array(tok[order].astype(np.int64)),
+         "c_a": pa.array(ca[order].astype(np.int64)),
+         "c_b": pa.array(cb[order].astype(np.int64)),
+         "score": pa.array(score[order].astype(np.int64))}
+    )
+
+
+SOURCE_DRIFT_SQL = (
+    f"{_FLAT_CTE},"
+    " h AS (SELECT tok,"
+    f"  CAST(sum(CASE WHEN source = '{DRIFT_GROUP_A}' THEN 1 ELSE 0 END)"
+    "   AS BIGINT) AS c_a,"
+    f"  CAST(sum(CASE WHEN source <> '{DRIFT_GROUP_A}' THEN 1 ELSE 0 END)"
+    "   AS BIGINT) AS c_b"
+    "  FROM flat GROUP BY tok),"
+    " t AS (SELECT CAST(sum(c_a) AS BIGINT) AS na,"
+    "  CAST(sum(c_b) AS BIGINT) AS nb FROM h)"
+    " SELECT h.tok, h.c_a, h.c_b,"
+    " CAST(abs(h.c_a * t.nb - h.c_b * t.na) AS BIGINT) AS score"
+    f" FROM h, t ORDER BY score DESC, tok LIMIT {DRIFT_TOPK}"
+)
+
+
+MED_W = 64       # tumbling window (one synth "day")
+MED_W_BITS = 11  # windows per doc < 2^11 (max len 65536 / 64 = 1024)
+
+
+def q_window_median(sf_dir: str) -> "ray.data.Dataset":
+    """Median retention tier: per (doc, tumbling 64-token window) the
+    EXACT window median (lower-middle for even counts — the element
+    DuckDB's quantile_disc(0.5) picks) plus the window count. A
+    median-downsampled tier resists the outliers that pull min/max/mean
+    rollups (the robust complement of ``ohlc_rollup``). One lexsort per
+    batch over (doc << 11 | window, value) packed keys; per-window
+    medians are then a single gather at start + (count-1)//2 — ragged
+    tail windows fall out of the same index arithmetic, no per-window
+    loop, no shuffle."""
+    ds = _seq_ds(sf_dir)
+
+    def med(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        if n_docs == 0 or len(v) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.string()),
+                 "w": pa.array([], type=pa.int64()),
+                 "med": pa.array([], type=pa.int64()),
+                 "c": pa.array([], type=pa.int64())}
+            )
+        n = np.diff(off)
+        if int(n.max()) > (MED_W << MED_W_BITS):
+            raise ValueError(
+                "window_median: doc longer than the packed-key window "
+                f"budget ({MED_W << MED_W_BITS} tokens); widen MED_W_BITS"
+            )
+        pos = np.arange(len(v), dtype=np.int64) - np.repeat(off[:-1], n)
+        seg = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+        key = (seg << MED_W_BITS) | (pos // MED_W)
+        order = np.lexsort((v, key))
+        sk, sv = key[order], v[order]
+        starts = np.flatnonzero(np.r_[True, np.diff(sk) != 0])
+        cnt = np.diff(np.r_[starts, len(sk)])
+        return pa.table(
+            {"doc_id": t["doc_id"].take(
+                pa.array(sk[starts] >> MED_W_BITS)),
+             "w": pa.array(sk[starts] & ((1 << MED_W_BITS) - 1)),
+             "med": pa.array(sv[starts + (cnt - 1) // 2]),
+             "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    return ds.map_batches(med, batch_format="pyarrow", batch_size=256)
+
+
+WINDOW_MEDIAN_SQL = (
+    f"{_FLAT_CTE}"
+    f" SELECT doc_id, pos // {MED_W} AS w,"
+    " CAST(quantile_disc(tok, 0.5) AS BIGINT) AS med,"
+    " CAST(count(*) AS BIGINT) AS c"
+    " FROM flat GROUP BY doc_id, w"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -6222,6 +6360,8 @@ CORE_QUERIES = {
     "dod_width_hist": (q_dod_width_hist, DOD_WIDTH_SQL),
     "haar_sparsity": (q_haar_sparsity, HAAR_SPARSITY_SQL),
     "source_profile_corr": (q_source_profile_corr, SOURCE_PROFILE_CORR_SQL),
+    "source_drift": (q_source_drift, SOURCE_DRIFT_SQL),
+    "window_median": (q_window_median, WINDOW_MEDIAN_SQL),
     "m4_downsample": (q_m4_downsample, M4_SQL),
     "lttb_downsample": (q_lttb_downsample, LTTB_SQL),
     "corpus_pack512": (q_corpus_pack512, PACK_SQL),
