@@ -1896,3 +1896,24 @@ def test_window_median_kernel_edges():
     assert (df.loc[("a", 0), "med"], df.loc[("a", 0), "c"]) == (31, W)
     assert (df.loc[("a", 1), "med"], df.loc[("a", 1), "c"]) == (10, 3)
     assert (df.loc[("b", 0), "med"], df.loc[("b", 0), "c"]) == (3, 2)
+
+
+def test_tier_error_kernel_edges():
+    """Hand-checked tier loss: a window-constant doc has zero error at
+    the matching tier; a ragged tail window uses its own count c (no
+    padding bias). doc a = [4,4,6,6]: tier 1 (w=2) windows are constant
+    -> err 0; tier 3 (w=8) one window c=4, s=20 -> sum|4x-20| = 16."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_tier_error, "unused")
+    t = pa.table({"doc_id": ["a", "b"], "tokens": [[4, 4, 6, 6], [9, 0, 3]]})
+    df = fn(t).to_pandas().set_index(["doc_id", "tier"])
+    assert df.loc[("a", 1), "abs_err"] == 0
+    assert df.loc[("a", 3), "abs_err"] == 16
+    assert df.loc[("a", 6), "abs_err"] == 16
+    # doc b tier 1: windows [9,0] (c=2, s=9 -> |18-9|+|0-9| = 18) and
+    # tail [3] (c=1, s=3 -> 0); tiers 3/6: one window c=3, s=12 ->
+    # |27-12|+|0-12|+|9-12| = 30
+    assert df.loc[("b", 1), "abs_err"] == 18
+    assert df.loc[("b", 3), "abs_err"] == 30
+    assert df.loc[("b", 6), "abs_err"] == 30

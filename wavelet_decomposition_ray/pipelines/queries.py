@@ -6290,6 +6290,75 @@ WINDOW_MEDIAN_SQL = (
 )
 
 
+TIER_ERR_TIERS = (1, 3, 6)  # the gate's rollup ladder sample
+
+
+def q_tier_error(sf_dir: str) -> "ray.data.Dataset":
+    """Retention-tier information-loss audit: per (doc, tier), the
+    integer L1 reconstruction error of the tier's mean-downsample —
+    err = sum_i |c_w(i) * x_i - s_w(i)| (c_w x the absolute deviation
+    from the window mean, cross-multiplied so ragged tail windows need
+    no division). The per-tier error curve is what a retention policy
+    reads to decide how far each source can be downsampled before the
+    loss budget is hit. One reduceat per tier per batch (windows via
+    ``tumble_starts``), everything int64 (|c*x| <= 64 * 2^20); row =
+    sequence, no shuffle."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        if n_docs == 0 or len(v) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.string()),
+                 "tier": pa.array([], type=pa.int64()),
+                 "abs_err": pa.array([], type=pa.int64())}
+            )
+        cols_doc, cols_tier, cols_err = [], [], []
+        for tier in TIER_ERR_TIERS:
+            w = 1 << tier
+            starts, _, counts = tumble_starts(off, w)
+            s = np.add.reduceat(v, starts)
+            dev = np.abs(np.repeat(counts, counts) * v
+                         - np.repeat(s, counts))
+            err = np.add.reduceat(dev, off[:-1])
+            # reduceat quirk: a start index equal to len(dev) is illegal;
+            # off[:-1] < len(v) == len(dev) always (docs are non-empty)
+            cols_doc.append(np.arange(n_docs, dtype=np.int64))
+            cols_tier.append(np.full(n_docs, tier, dtype=np.int64))
+            cols_err.append(err.astype(np.int64))
+        idx = np.concatenate(cols_doc)
+        return pa.table(
+            {"doc_id": t["doc_id"].take(pa.array(idx)),
+             "tier": pa.array(np.concatenate(cols_tier)),
+             "abs_err": pa.array(np.concatenate(cols_err))}
+        )
+
+    return _seq_ds(sf_dir).map_batches(
+        stats, batch_format="pyarrow", batch_size=256
+    )
+
+
+def _tier_error_sql() -> str:
+    legs = []
+    for tier in TIER_ERR_TIERS:
+        w = 1 << tier
+        legs.append(
+            f"SELECT f.doc_id, CAST({tier} AS BIGINT) AS tier,"
+            " CAST(sum(abs(g.c * f.tok - g.s)) AS BIGINT) AS abs_err"
+            " FROM flat f JOIN ("
+            f"  SELECT doc_id, pos // {w} AS wi,"
+            "   CAST(count(*) AS BIGINT) AS c, CAST(sum(tok) AS BIGINT) AS s"
+            f"  FROM flat GROUP BY doc_id, wi) g"
+            f" ON g.doc_id = f.doc_id AND g.wi = f.pos // {w}"
+            " GROUP BY f.doc_id"
+        )
+    return f"{_FLAT_CTE} " + " UNION ALL ".join(legs)
+
+
+TIER_ERROR_SQL = _tier_error_sql()
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -6362,6 +6431,7 @@ CORE_QUERIES = {
     "source_profile_corr": (q_source_profile_corr, SOURCE_PROFILE_CORR_SQL),
     "source_drift": (q_source_drift, SOURCE_DRIFT_SQL),
     "window_median": (q_window_median, WINDOW_MEDIAN_SQL),
+    "tier_error": (q_tier_error, TIER_ERROR_SQL),
     "m4_downsample": (q_m4_downsample, M4_SQL),
     "lttb_downsample": (q_lttb_downsample, LTTB_SQL),
     "corpus_pack512": (q_corpus_pack512, PACK_SQL),
