@@ -480,6 +480,62 @@ def seqdup_stress(tmp: str) -> dict:
             "build_s": round(build_s, 1), "wall_s": round(wall, 1)}
 
 
+def rollup_stress(tmp: str) -> dict:
+    """The flagship at ~33x the bench corpus: synth sf4.0 (800k
+    sequences, ~0.86B tokens — same generator, same length/skew mix),
+    one full 10-tier rollup + Gorilla encode + staged write + manifest
+    commit, with the in-pipeline reconstruction invariant ON, then a
+    decode-scan over every written block. Proves the adaptive
+    batch-size / staged-write / metadata-commit design holds an order
+    of magnitude past the bench input on this host (the 100-TB design
+    point scales by nodes, not per-node input)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    import ray.data as rd
+    from wavelet_decomposition_ray import synth
+    from wavelet_decomposition_ray.pipelines import rollup_pipeline as rp
+    from wavelet_decomposition_ray.stages.encode import decode_blocks_batch
+
+    t0 = time.time()
+    seq = synth.ensure_sequences("sf4.0", root=tmp)
+    gen_s = time.time() - t0
+    tbl = pads.dataset(seq).to_table(columns=["n_tok"])
+    n_rows = tbl.num_rows
+    n_tokens = int(pc.sum(tbl["n_tok"]).as_py())
+    out_dir = os.path.join(tmp, "rollup_out")
+    t1 = time.time()
+    # n_buckets sized per the run_rollup_job docstring rule (~max(2 x
+    # CPUs, windows/7M) = 128 at 0.86B windows): the small-store default
+    # 16 caps finalize parallelism at half the host and measured 4x
+    # slower (291.6 s vs 73.6 s); 64 measured 169.6 s
+    summary = rp.run_rollup_job(
+        seq, out_dir, bank="haar", n_tiers=10, n_buckets=128,
+        resume=False, verify=True
+    )
+    job_s = time.time() - t1
+    t2 = time.time()
+    n_dec = (
+        rd.read_parquet(os.path.join(out_dir, "data"))
+        .map_batches(decode_blocks_batch, batch_format="pyarrow",
+                     batch_size=2048)
+        .count()
+    )
+    dec_s = time.time() - t2
+    return {
+        "n_rows": n_rows,
+        "n_tokens": n_tokens,
+        "gen_s": round(gen_s, 1),
+        "job_s": round(job_s, 1),
+        "n_windows": summary["n_windows"],
+        "rolled_points_per_s": round(summary["n_windows"] / job_s, 1),
+        "tokens_per_s": round(n_tokens / job_s, 1),
+        "bytes_encoded": summary["bytes_encoded"],
+        "decode_scan_s": round(dec_s, 1),
+        "decoded_rows": n_dec,
+    }
+
+
 def main():
     import ray
 
@@ -490,11 +546,17 @@ def main():
     out = {}
     only = os.environ.get("STRESS_ONLY", "")
     assert only in ("", "simhash", "clean", "cc", "ann", "video",
-                    "seqdup"), (
+                    "seqdup", "rollup"), (
         f"STRESS_ONLY={only!r}: valid values are "
-        "simhash|clean|cc|ann|video|seqdup "
+        "simhash|clean|cc|ann|video|seqdup|rollup "
         "(or unset for all) — refusing to silently run nothing"
     )
+    if only == "rollup":
+        with tempfile.TemporaryDirectory(dir="/tmp") as tmp5:
+            out["rollup_860m_tokens"] = rollup_stress(tmp5)
+        print(json.dumps(out))
+        ray.shutdown()
+        return
     with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
         if only in ("", "simhash"):
             out["simhash_1m_docs"] = simhash_stress(tmp)

@@ -176,11 +176,18 @@ def run_rollup_job(
     refreshed store is byte-identical to a from-scratch build on the new
     input (per-bucket determinism).
 
-    ``n_buckets`` sizing (measured 2026-08-17, 32 cpus): the default 16 is
-    right up to ~25k rows / 26M tokens (sf0.1); at 4x the data 64 buckets
-    beat 16 by ~20% (10.2 s vs 12.4 s — finalize parallelism catches up
-    with encode).  Rule of thumb: grow n_buckets with data so each bucket
-    stays ~5-10 M windows, and keep it FIXED for the life of a store —
+    ``n_buckets`` sizing (measured 2026-08-17/18, 32 cpus): the default 16
+    is right up to ~25k rows / 26M tokens (sf0.1: 16 -> 2.98 s beats
+    64 -> 3.5 s, per-slice overhead dominates); past ~8x the bench corpus
+    the finalize stage's bucket-capped parallelism becomes THE bottleneck
+    — at 200k rows / 216M windows, 16 buckets = 44.9 s, 32 = 19.3 s,
+    64 = **15.0 s (3.0x)**; at 800k rows / 0.86B windows, 16 = 291.6 s,
+    64 = 169.6 s, 128 = **73.6 s (4.0x, 11.7M pts/s — the same per-point
+    rate as the sf0.1 headline, i.e. sized buckets keep the engine
+    compute-bound at 33x the bench input)**.  Rule of thumb: grow
+    n_buckets with data toward ~max(2 x cluster CPUs, windows / 7M) so
+    finalize fills every core and each bucket stays a few M windows, and
+    keep it FIXED for the life of a store —
     resume and the refresh fingerprints key on the bucket layout, so an
     adaptive default would silently invalidate incremental refresh (that
     is why this knob is explicit, not derived).  To re-bucket a finished
