@@ -1917,3 +1917,72 @@ def test_tier_error_kernel_edges():
     assert df.loc[("b", 1), "abs_err"] == 18
     assert df.loc[("b", 3), "abs_err"] == 30
     assert df.loc[("b", 6), "abs_err"] == 30
+
+
+def test_zero_crossings_kernel_edges():
+    """Hand-checked mean crossings: exact zeros break the run (no
+    crossing through a touch); boundary pairs never span docs; 1-token
+    docs report 0."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_zero_crossings, "unused")
+    # doc a = [0, 2, 0, 2]: mean 1, d = (-,+,-,+) -> 3 crossings
+    # doc b = [0, 1, 2]: mean 1, d = (-1, 0, 1) -> sign run -,0,+ -> 0
+    # doc c = [7]: single token -> 0
+    t = pa.table({"doc_id": ["a", "b", "c"],
+                  "tokens": [[0, 2, 0, 2], [0, 1, 2], [7]]})
+    df = fn(t).to_pandas().set_index("doc_id")
+    assert df.loc["a", "n_cross"] == 3
+    assert df.loc["b", "n_cross"] == 0
+    assert df.loc["c", "n_cross"] == 0
+
+
+def test_peak_pos_kernel_edges():
+    """Hand-checked extremum positions: ties take the FIRST occurrence;
+    constant docs report pos 0 for both; per-doc positions restart at 0."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_peak_pos, "unused")
+    t = pa.table({"doc_id": ["a", "b"],
+                  "tokens": [[3, 9, 1, 9, 1], [5, 5]]})
+    df = fn(t).to_pandas().set_index("doc_id")
+    assert (df.loc["a", "max_tok"], df.loc["a", "max_pos"]) == (9, 1)
+    assert (df.loc["a", "min_tok"], df.loc["a", "min_pos"]) == (1, 2)
+    assert (df.loc["b", "max_pos"], df.loc["b", "min_pos"]) == (0, 0)
+
+
+def test_kmeans_update_partial_kernel():
+    """The M-step partial must scatter each vector's quantized values
+    into exactly its assigned cluster's row and carry the member count
+    on every dimension row; empty clusters emit nothing."""
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    import unittest.mock as mock
+
+    captured = {}
+
+    class _Stop(Exception):
+        pass
+
+    class _Probe:
+        def map_batches(self, fn, **kw):
+            captured["fn"] = fn
+            raise _Stop()
+
+    with mock.patch.object(dq, "_emb", return_value=_Probe()):
+        with pytest.raises(_Stop):
+            dq.q_kmeans_update("unused")
+    fn = captured["fn"]
+
+    qc = dq._kmeans_codebook()
+    # two vectors sitting exactly ON codewords 0 and 3 (unquantized)
+    m = np.stack([qc[0], qc[3]]).astype(np.float64) / dq._QSCALE
+    t = pa.table({"vec_id": [10, 11],
+                  "embedding": [m[0].astype(np.float32).tolist(),
+                                m[1].astype(np.float32).tolist()]})
+    df = fn(t).to_pandas()
+    assert sorted(df["cluster"].unique()) == [0, 3]
+    assert (df["cnt"] == 1).all() and len(df) == 2 * 64
+    # float32 round-trip of the codeword re-quantizes within 1 grid step
+    g0 = df[df["cluster"] == 0].sort_values("i")["qsum"].to_numpy()
+    assert np.abs(g0 - qc[0]).max() <= 1

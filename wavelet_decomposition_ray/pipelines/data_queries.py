@@ -2310,6 +2310,66 @@ def _kmeans_sql() -> str:
 KMEANS_ASSIGN_SQL = _kmeans_sql()
 
 
+def q_kmeans_update(sf_dir: str):
+    """The M-step completing distributed Lloyd's iteration
+    (``kmeans_assign`` is the E-step): per (cluster, dimension), the SUM
+    of assigned quantized embeddings plus the member count — the new
+    centroid is ``qsum / cnt / 2^20``, one division away. Per batch: one
+    int64 matmul assigns, one ``np.add.at`` scatter accumulates the
+    K x 64 partial sums; only K x 64 rows per batch reach the groupby
+    (the corpus never shuffles), which is why one Lloyd pass costs one
+    streaming scan at any corpus size. All fixed-point int64, so the
+    oracle is hash-exact."""
+    qc = _kmeans_codebook()
+    nrm = (qc * qc).sum(axis=1)
+    K, D = qc.shape
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = sim.embedding_matrix(t).astype(np.float64)
+        qx = np.floor(m * float(_QSCALE) + 0.5).astype(np.int64)
+        cl = np.argmin(nrm[None, :] - 2 * (qx @ qc.T), axis=1)
+        sums = np.zeros((K, D), dtype=np.int64)
+        np.add.at(sums, cl, qx)
+        cnt = np.bincount(cl, minlength=K).astype(np.int64)
+        keep = np.repeat(cnt > 0, D)
+        return pa.table(
+            {"cluster": pa.array(np.repeat(np.arange(K, dtype=np.int64),
+                                           D)[keep]),
+             "i": pa.array(np.tile(np.arange(1, D + 1, dtype=np.int64),
+                                   K)[keep]),
+             "qsum": pa.array(sums.ravel()[keep]),
+             "cnt": pa.array(np.repeat(cnt, D)[keep])}
+        )
+
+    agg = (
+        _emb(sf_dir).map_batches(partial, batch_format="pyarrow",
+                                 batch_size=1024)
+        .groupby(["cluster", "i"]).sum(["qsum", "cnt"])
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["cluster", "i", "qsum", "cnt"]),
+        batch_format="pyarrow",
+    )
+
+
+def _kmeans_update_sql() -> str:
+    base = _kmeans_sql()
+    return (
+        "WITH a AS (" + base + "),"
+        " e AS (SELECT vec_id,"
+        f" CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_QSCALE}.0 + 0.5)"
+        "   AS BIGINT) AS qv,"
+        " CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i"
+        " FROM embeddings)"
+        " SELECT a.cluster, e.i, CAST(sum(e.qv) AS BIGINT) AS qsum,"
+        " CAST(count(*) AS BIGINT) AS cnt"
+        " FROM e JOIN a USING (vec_id) GROUP BY a.cluster, e.i"
+    )
+
+
+KMEANS_UPDATE_SQL = _kmeans_update_sql()
+
+
 # --------------------------------------------------------------------------
 # HyperLogLog distinct-count sketch
 # --------------------------------------------------------------------------
@@ -3773,6 +3833,7 @@ DATA_QUERIES = {
     "repetition_2gram": (q_repetition_2gram, REPETITION_SQL),
     "quality_deciles": (q_quality_deciles, QUALITY_DECILES_SQL),
     "kmeans_assign": (q_kmeans_assign, KMEANS_ASSIGN_SQL),
+    "kmeans_update": (q_kmeans_update, KMEANS_UPDATE_SQL),
     "hll_users": (q_hll_users, HLL_SQL),
     "hll_by_type": (q_hll_by_type, HLL_BY_TYPE_SQL),
     "cms_words": (q_cms_words, CMS_SQL),

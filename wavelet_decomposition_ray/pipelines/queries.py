@@ -6290,6 +6290,121 @@ WINDOW_MEDIAN_SQL = (
 )
 
 
+def q_zero_crossings(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc mean-crossing count — the cheapest oscillation-rate
+    signal (a load curve crossing its own mean ~2x per day has a clean
+    daily period; a trending one barely crosses). Cross-multiplied to
+    stay integer: d_i = n * x_i - S flips sign exactly where x crosses
+    the doc mean; a crossing is sign(d_i) * sign(d_{i+1}) == -1 (exact
+    zeros break the run, matching the SQL twin). Signs first, THEN the
+    product — d_i * d_{i+1} itself could reach 2^72. One global diff
+    per batch, doc-boundary pairs masked; row = sequence, no shuffle."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        if n_docs == 0 or len(v) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64()),
+                 "n_cross": pa.array([], type=pa.int64())}
+            )
+        n = np.diff(off)
+        assert (n > 0).all(), "zero_crossings requires non-empty docs"
+        s = np.add.reduceat(v, off[:-1])
+        d = np.repeat(n, n) * v - np.repeat(s, n)  # |d| <= 2^36
+        sg = np.sign(d)
+        cross = (sg[:-1] * sg[1:] == -1).astype(np.int64)
+        if len(cross):
+            cross[off[1:-1] - 1] = 0  # pairs never span docs
+        n_cross = (
+            np.add.reduceat(cross, np.minimum(off[:-1], len(cross) - 1))
+            if len(cross) else np.zeros(n_docs, dtype=np.int64)
+        )
+        n_cross[n == 1] = 0  # a 1-token doc aliases its neighbor's segment
+        return pa.table(
+            {"doc_id": t["doc_id"], "n": pa.array(n.astype(np.int64)),
+             "n_cross": pa.array(n_cross)}
+        )
+
+    return _seq_ds(sf_dir).map_batches(
+        stats, batch_format="pyarrow", batch_size=256
+    )
+
+
+ZERO_CROSS_SQL = (
+    f"{_FLAT_CTE},"
+    " agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,"
+    "  CAST(sum(tok) AS BIGINT) AS s FROM flat GROUP BY doc_id),"
+    " d AS (SELECT f.doc_id, a.n,"
+    "  sign(a.n * f.tok - a.s) AS sg,"
+    "  lead(sign(a.n * f.tok - a.s)) OVER"
+    "   (PARTITION BY f.doc_id ORDER BY f.pos) AS sg2"
+    "  FROM flat f JOIN agg a USING (doc_id))"
+    " SELECT doc_id, max(n) AS n,"
+    " CAST(sum(CASE WHEN sg * sg2 = -1 THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS n_cross"
+    " FROM d GROUP BY doc_id"
+)
+
+
+def q_peak_pos(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc extremum locator: the FIRST position of the max and of the
+    min token (the peak/trough a load-profile report pins), plus the
+    values. One maximum/minimum.reduceat pair and two first-index
+    reduceats per batch (the argmax-with-tie trick shared with
+    token_mode); row = sequence, no shuffle."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        if n_docs == 0 or len(v) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.string()),
+                 "max_tok": pa.array([], type=pa.int64()),
+                 "max_pos": pa.array([], type=pa.int64()),
+                 "min_tok": pa.array([], type=pa.int64()),
+                 "min_pos": pa.array([], type=pa.int64())}
+            )
+        n = np.diff(off)
+        assert (n > 0).all(), "peak_pos requires non-empty docs"
+        mx = np.maximum.reduceat(v, off[:-1])
+        mn = np.minimum.reduceat(v, off[:-1])
+        idx = np.arange(len(v), dtype=np.int64)
+        pos = idx - np.repeat(off[:-1], n)
+        big = np.int64(len(v))
+        is_mx = v == np.repeat(mx, n)
+        is_mn = v == np.repeat(mn, n)
+        first_mx = np.minimum.reduceat(np.where(is_mx, pos, big), off[:-1])
+        first_mn = np.minimum.reduceat(np.where(is_mn, pos, big), off[:-1])
+        return pa.table(
+            {"doc_id": t["doc_id"], "max_tok": pa.array(mx),
+             "max_pos": pa.array(first_mx), "min_tok": pa.array(mn),
+             "min_pos": pa.array(first_mn)}
+        )
+
+    return _seq_ds(sf_dir).map_batches(
+        stats, batch_format="pyarrow", batch_size=256
+    )
+
+
+PEAK_POS_SQL = (
+    f"{_FLAT_CTE},"
+    " agg AS (SELECT doc_id, CAST(max(tok) AS BIGINT) AS max_tok,"
+    "  CAST(min(tok) AS BIGINT) AS min_tok FROM flat GROUP BY doc_id)"
+    " SELECT f.doc_id, a.max_tok,"
+    " CAST(min(f.pos) FILTER (WHERE f.tok = a.max_tok) AS BIGINT)"
+    "  AS max_pos,"
+    " a.min_tok,"
+    " CAST(min(f.pos) FILTER (WHERE f.tok = a.min_tok) AS BIGINT)"
+    "  AS min_pos"
+    " FROM flat f JOIN agg a USING (doc_id)"
+    " GROUP BY f.doc_id, a.max_tok, a.min_tok"
+)
+
+
 TIER_ERR_TIERS = (1, 3, 6)  # the gate's rollup ladder sample
 
 
@@ -6432,6 +6547,8 @@ CORE_QUERIES = {
     "source_drift": (q_source_drift, SOURCE_DRIFT_SQL),
     "window_median": (q_window_median, WINDOW_MEDIAN_SQL),
     "tier_error": (q_tier_error, TIER_ERROR_SQL),
+    "zero_crossings": (q_zero_crossings, ZERO_CROSS_SQL),
+    "peak_pos": (q_peak_pos, PEAK_POS_SQL),
     "m4_downsample": (q_m4_downsample, M4_SQL),
     "lttb_downsample": (q_lttb_downsample, LTTB_SQL),
     "corpus_pack512": (q_corpus_pack512, PACK_SQL),
