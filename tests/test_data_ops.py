@@ -1986,3 +1986,42 @@ def test_kmeans_update_partial_kernel():
     # float32 round-trip of the codeword re-quantizes within 1 grid step
     g0 = df[df["cluster"] == 0].sort_values("i")["qsum"].to_numpy()
     assert np.abs(g0 - qc[0]).max() <= 1
+
+
+def test_period_detect_recovers_planted_period():
+    """A pure period-64 comb (no weekly component) must pick lag 64; a
+    period-32 comb picks 32 (and 64, its harmonic, loses only by the
+    tie rule? no — 64 is ALSO a perfect alignment for period 32, so the
+    tie goes to the SMALLEST lag = 32). Short docs drop."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_period_detect, "unused")
+    L = 1024
+    comb64 = [1000 if i % 64 == 0 else 0 for i in range(L)]
+    comb32 = [1000 if i % 32 == 0 else 0 for i in range(L)]
+    t = pa.table({"doc_id": ["p64", "p32", "short"],
+                  "tokens": [comb64, comb32, [5, 5, 5]]})
+    df = fn(t).to_pandas().set_index("doc_id")
+    assert df.loc["p64", "best_lag"] == 64
+    assert df.loc["p32", "best_lag"] == 32
+    assert "short" not in df.index
+
+
+def test_peak_windows_partial_kernel():
+    """The per-batch partial: only complete 64-token windows compete,
+    local top-K per source, ties broken by (doc_id, w)."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    W, K = cq.PEAK_W, cq.PEAK_TOPK
+    fn = _capture_batch_fn(cq.q_peak_windows, "unused")
+    # doc a: two full windows (sums 64, 6400) + a 3-token tail (ignored)
+    a = [1] * W + [100] * W + [9, 9, 9]
+    # doc b (other source): one full window, sum 640
+    b = [10] * W
+    t = pa.table({"doc_id": ["a", "b"], "tokens": [a, b],
+                  "source": ["s1", "s2"]})
+    df = fn(t)
+    got = {(r["source"], r["doc_id"], int(r["w"])): int(r["wsum"])
+           for _, r in df.iterrows()}
+    assert got == {("s1", "a", 0): W, ("s1", "a", 1): 100 * W,
+                   ("s2", "b", 0): 10 * W}

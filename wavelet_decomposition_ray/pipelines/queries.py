@@ -6405,6 +6405,167 @@ PEAK_POS_SQL = (
 )
 
 
+# candidate periods: half-day, day (the synth's planted 64), two days, week
+PERIOD_LAGS = (32, 64, 128, 448)
+
+
+def q_period_detect(sf_dir: str) -> "ray.data.Dataset":
+    """Dominant-period detector: per doc, the candidate lag with the
+    highest mean lagged product floor(sum(x_i * x_{i+lag}) / (n - lag))
+    — the raw-autocorrelation period pick (the floor-mean normalizes
+    away the shrinking overlap so long lags compete fairly; floor
+    division matches DuckDB ``//`` on the non-negative domain). On the
+    synth corpus lag 448 = 7 x 64 wins on most long docs — it aligns
+    BOTH planted cycles (daily sine and weekly square wave) at once,
+    which is exactly the harmonic-capture behaviour raw autocorrelation
+    should show. One
+    shifted elementwise product per candidate lag per batch with
+    cross-doc pairs zeroed by segment compare (the ``autocorr_lags``
+    kernel), then an integer argmax; ties -> smallest lag. Docs shorter
+    than max(lag)+1 drop (no overlap at every candidate)."""
+    lags = PERIOD_LAGS
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        keep = np.diff(off) > max(lags)
+        if not keep.all():
+            t = t.filter(pa.array(keep))
+            vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        if n_docs == 0 or len(v) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.string()),
+                 "best_lag": pa.array([], type=pa.int64()),
+                 "mean_prod": pa.array([], type=pa.int64())}
+            )
+        n = np.diff(off)
+        seg = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+        scores = np.empty((len(lags), n_docs), dtype=np.int64)
+        for li, lag in enumerate(lags):
+            prod = v[:-lag] * v[lag:]
+            prod[seg[:-lag] != seg[lag:]] = 0  # pairs never span docs
+            # reduceat segment starts clipped like autocorr (every doc
+            # has n > max(lags) >= lag, so no doc aliases another)
+            dot = np.add.reduceat(prod, np.minimum(off[:-1],
+                                                   len(prod) - 1))
+            scores[li] = dot // (n - lag)
+        best = np.argmax(scores, axis=0)  # first max -> smallest lag
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "best_lag": pa.array(np.asarray(lags, dtype=np.int64)[best]),
+             "mean_prod": pa.array(scores[best, np.arange(n_docs)])}
+        )
+
+    return _seq_ds(sf_dir).map_batches(
+        stats, batch_format="pyarrow", batch_size=128
+    )
+
+
+def _period_sql() -> str:
+    legs = " UNION ALL ".join(
+        f"SELECT doc_id, CAST({lag} AS BIGINT) AS lag,"
+        " CAST(sum(tok * nxt) // (max(n) - "
+        f"{lag}) AS BIGINT) AS mp"
+        " FROM (SELECT doc_id, n, tok,"
+        f"  lead(tok, {lag}) OVER (PARTITION BY doc_id ORDER BY pos)"
+        "   AS nxt FROM fl)"
+        " WHERE nxt IS NOT NULL GROUP BY doc_id"
+        for lag in PERIOD_LAGS
+    )
+    return (
+        f"{_FLAT_CTE},"
+        " ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM flat"
+        f"  GROUP BY doc_id HAVING count(*) > {max(PERIOD_LAGS)}),"
+        " fl AS (SELECT f.doc_id, a.n, f.tok, f.pos"
+        "  FROM flat f JOIN ag a USING (doc_id)),"
+        f" sc AS ({legs})"
+        " SELECT doc_id, CAST(lag AS BIGINT) AS best_lag,"
+        " CAST(mp AS BIGINT) AS mean_prod FROM"
+        " (SELECT doc_id, lag, mp,"
+        "  row_number() OVER (PARTITION BY doc_id ORDER BY mp DESC, lag)"
+        "   AS rn FROM sc) WHERE rn = 1"
+    )
+
+
+PERIOD_DETECT_SQL = _period_sql()
+
+
+PEAK_TOPK = 5   # windows reported per source
+PEAK_W = 64     # one synth day
+
+
+def q_peak_windows(sf_dir: str) -> "pa.Table":
+    """Peak-demand report: the PEAK_TOPK highest-sum complete 64-token
+    windows per source (where and how high the per-day peaks are — the
+    capacity-planning readout of a load store). Per batch: one tumble
+    reduceat for window sums, a LOCAL top-K per source present in the
+    batch (<= sources x K rows leave each task); the driver folds the
+    bounded partials to the global top-K. Ties -> smallest (doc_id, w).
+    Partial tail windows are excluded so every sum spans exactly
+    PEAK_W tokens."""
+    ds = _seq_ds(sf_dir)
+    K, W = PEAK_TOPK, PEAK_W
+
+    def partial(t: pa.Table) -> "object":
+        import pandas as pd
+
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        cols = ("source", "doc_id", "w", "wsum")
+        if n_docs == 0 or len(v) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        starts, _, counts = tumble_starts(off, W)
+        s = np.add.reduceat(v, starts)
+        full = counts == W
+        n_win = -(-np.diff(off) // W)
+        doc_of = np.repeat(np.arange(n_docs), n_win)
+        w_idx = (starts - off[:-1][doc_of]) // W
+        src = np.asarray(t["source"].to_pylist(), dtype=object)[doc_of]
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=object)[doc_of]
+        df = pd.DataFrame(
+            {"source": src[full], "doc_id": ids[full],
+             "w": w_idx[full].astype(np.int64), "wsum": s[full]}
+        )
+        return (
+            df.sort_values(["source", "wsum", "doc_id", "w"],
+                           ascending=[True, False, True, True],
+                           kind="mergesort")
+            .groupby("source", sort=False).head(K)
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=256
+    ).to_pandas()  # bounded: sources x K rows per task
+    top = (
+        parts.sort_values(["source", "wsum", "doc_id", "w"],
+                          ascending=[True, False, True, True],
+                          kind="mergesort")
+        .groupby("source", sort=False).head(K)
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {"source": pa.array(top["source"].tolist(), type=pa.string()),
+         "doc_id": pa.array(top["doc_id"].tolist(), type=pa.string()),
+         "w": pa.array(top["w"].to_numpy()),
+         "wsum": pa.array(top["wsum"].to_numpy())}
+    )
+
+
+PEAK_WINDOWS_SQL = (
+    f"{_FLAT_CTE},"
+    f" ws AS (SELECT doc_id, source, pos // {PEAK_W} AS w,"
+    "  CAST(sum(tok) AS BIGINT) AS wsum, count(*) AS c"
+    f"  FROM flat GROUP BY doc_id, source, w HAVING count(*) = {PEAK_W})"
+    " SELECT source, doc_id, CAST(w AS BIGINT) AS w, wsum FROM"
+    " (SELECT source, doc_id, w, wsum,"
+    "  row_number() OVER (PARTITION BY source"
+    "   ORDER BY wsum DESC, doc_id, w) AS rn FROM ws)"
+    f" WHERE rn <= {PEAK_TOPK}"
+)
+
+
 TIER_ERR_TIERS = (1, 3, 6)  # the gate's rollup ladder sample
 
 
@@ -6549,6 +6710,8 @@ CORE_QUERIES = {
     "tier_error": (q_tier_error, TIER_ERROR_SQL),
     "zero_crossings": (q_zero_crossings, ZERO_CROSS_SQL),
     "peak_pos": (q_peak_pos, PEAK_POS_SQL),
+    "period_detect": (q_period_detect, PERIOD_DETECT_SQL),
+    "peak_windows": (q_peak_windows, PEAK_WINDOWS_SQL),
     "m4_downsample": (q_m4_downsample, M4_SQL),
     "lttb_downsample": (q_lttb_downsample, LTTB_SQL),
     "corpus_pack512": (q_corpus_pack512, PACK_SQL),
