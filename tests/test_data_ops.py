@@ -1937,6 +1937,65 @@ def test_zero_crossings_kernel_edges():
     assert df.loc["c", "n_cross"] == 0
 
 
+def test_drawdown_kernel_edges():
+    """Hand-checked max drawdown: the lift trick resets the running max
+    at every doc boundary; dd_pos is the FIRST position realizing the
+    max; monotone-rising docs report dd 0 at pos 0."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_drawdown, "unused")
+    # doc a: runmax = [5,5,5,9,9], dd = [0,4,2,0,6] -> max 6 at pos 4
+    # doc b rising: dd = 0 everywhere -> pos 0
+    # doc c: starts high (checks the reset: a's peak 9 must not leak)
+    t = pa.table({"doc_id": ["a", "b", "c"],
+                  "tokens": [[5, 1, 3, 9, 3], [1, 2, 3], [2, 2]]})
+    df = fn(t).to_pandas().set_index("doc_id")
+    assert (df.loc["a", "max_dd"], df.loc["a", "dd_pos"]) == (6, 4)
+    assert (df.loc["b", "max_dd"], df.loc["b", "dd_pos"]) == (0, 0)
+    assert (df.loc["c", "max_dd"], df.loc["c", "dd_pos"]) == (0, 0)
+    # tie on the max dd -> first position wins
+    t2 = pa.table({"doc_id": ["d"], "tokens": [[9, 2, 5, 2]]})
+    df2 = fn(t2).to_pandas().set_index("doc_id")
+    assert (df2.loc["d", "max_dd"], df2.loc["d", "dd_pos"]) == (7, 1)
+
+
+def test_sma_cross_kernel_edges():
+    """Hand-checked fast/slow crossovers: docs shorter than SMA_SLOW are
+    dropped; a step change flips d's sign exactly once; a constant doc
+    has d == 0 everywhere (no crossings, nothing above)."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    assert (cq.SMA_FAST, cq.SMA_SLOW) == (8, 32)
+    fn = _capture_batch_fn(cq.q_sma_cross, "unused")
+    # doc a: 32 low then 32 high. After the step the fast MA rises ahead
+    # of the slow MA (d > 0) until the slow window fills with highs and
+    # d returns to 0 — sign runs +..+0..0 with no -1 products -> exactly
+    # the transitions where sign(d) goes -/+ through nonzero values.
+    a = [0] * 32 + [100] * 32
+    # doc b constant: d = 0 at every valid position
+    b = [7] * 40
+    # doc c too short for the slow window
+    c = [1] * 31
+    t = pa.table({"doc_id": ["a", "b", "c"], "tokens": [a, b, c]})
+    df = fn(t).to_pandas().set_index("doc_id")
+    assert "c" not in df.index
+    assert df.loc["b", "n_valid"] == 9
+    assert df.loc["b", "n_above"] == 0 and df.loc["b", "n_cross"] == 0
+    # doc a: valid positions 31..63 (33 of them). d = 0 at pos 31 (all
+    # low), d > 0 for pos 32..62 (fast saturates while slow still holds
+    # lows), d = 0 at pos 63 (both saturated) -> 31 above, 0 strict
+    # crossings (zeros break the run).
+    assert df.loc["a", "n_valid"] == 33
+    assert df.loc["a", "n_above"] == 31
+    assert df.loc["a", "n_cross"] == 0
+    # a genuine sign flip: low ramp, spike, collapse -> fast dips below
+    # then above. Construct: 32 mid tokens, 8 high, 8 low -> d>0 then d<0.
+    d_doc = [50] * 32 + [100] * 8 + [0] * 16
+    t2 = pa.table({"doc_id": ["d"], "tokens": [d_doc]})
+    df2 = fn(t2).to_pandas().set_index("doc_id")
+    assert df2.loc["d", "n_cross"] >= 1
+
+
 def test_peak_pos_kernel_edges():
     """Hand-checked extremum positions: ties take the FIRST occurrence;
     constant docs report pos 0 for both; per-doc positions restart at 0."""

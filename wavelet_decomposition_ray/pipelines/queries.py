@@ -6635,6 +6635,146 @@ def _tier_error_sql() -> str:
 TIER_ERROR_SQL = _tier_error_sql()
 
 
+def q_drawdown(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc maximum drawdown — the classic peak-to-trough loss over a
+    token stream (how far the series fell below its running maximum),
+    plus the FIRST position realizing it. A per-segment running max is
+    one global ``np.maximum.accumulate`` via the lift trick: adding
+    ``seg << TOKEN_BITS`` makes every token of doc i strictly dominate
+    every token of doc i-1, so the accumulate resets itself at each doc
+    boundary — no per-doc loop, no shuffle (row = sequence). All int64
+    (dd < 2^20), bit-exact vs the running-max window SQL twin."""
+    ds = _seq_ds(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        if n_docs == 0 or len(v) == 0:
+            e = pa.array([], type=pa.int64())
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.string()),
+                 "n": e, "max_dd": e, "dd_pos": e}
+            )
+        if int(v.max()) >= (1 << TOKEN_BITS) or int(v.min()) < 0:
+            raise ValueError(
+                "drawdown's lift trick needs tokens in "
+                f"[0, 2^{TOKEN_BITS})"
+            )
+        n = np.diff(off)
+        assert (n > 0).all(), "drawdown requires non-empty docs"
+        seg = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+        lift = seg << TOKEN_BITS
+        runmax = np.maximum.accumulate(v + lift) - lift
+        dd = runmax - v
+        max_dd = np.maximum.reduceat(dd, off[:-1])
+        pos_local = np.arange(len(v), dtype=np.int64) - np.repeat(off[:-1], n)
+        cand = np.where(dd == np.repeat(max_dd, n), pos_local,
+                        np.iinfo(np.int64).max)
+        dd_pos = np.minimum.reduceat(cand, off[:-1])
+        return pa.table(
+            {"doc_id": t["doc_id"], "n": pa.array(n.astype(np.int64)),
+             "max_dd": pa.array(max_dd), "dd_pos": pa.array(dd_pos)}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+
+DRAWDOWN_SQL = (
+    f"{_FLAT_CTE},"
+    " r AS (SELECT doc_id, pos,"
+    "  max(tok) OVER (PARTITION BY doc_id ORDER BY pos"
+    "   ROWS UNBOUNDED PRECEDING) - tok AS dd FROM flat),"
+    " m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,"
+    "  CAST(max(dd) AS BIGINT) AS max_dd FROM r GROUP BY doc_id)"
+    " SELECT m.doc_id, m.n, m.max_dd,"
+    " CAST(min(r.pos) AS BIGINT) AS dd_pos"
+    " FROM r JOIN m ON r.doc_id = m.doc_id AND r.dd = m.max_dd"
+    " GROUP BY m.doc_id, m.n, m.max_dd"
+)
+
+
+SMA_FAST = 8    # fast moving-average window
+SMA_SLOW = 32   # slow moving-average window (must be a multiple of FAST)
+
+
+def q_sma_cross(sf_dir: str) -> "ray.data.Dataset":
+    """Fast/slow moving-average crossover census — per doc (with at
+    least SMA_SLOW tokens) the number of valid positions, how many sit
+    above the slow average, and how many fast/slow crossovers occur.
+    Cross-multiplied to stay integer: with SLOW = 4*FAST, fast > slow
+    iff 4*sum8 > sum32, so d = 4*sum8 - sum32 (|d| < 2^26) flips sign
+    exactly at a crossover; exact zeros break the run (same convention
+    as zero_crossings). Both trailing sums come from ONE global prefix
+    sum — valid positions (local pos >= SLOW-1) never reach across a
+    doc boundary, so no reset logic is needed. No per-doc loop, no
+    shuffle (row = sequence)."""
+    ds = _seq_ds(sf_dir)
+    ratio = SMA_SLOW // SMA_FAST
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        e = pa.array([], type=pa.int64())
+        empty = pa.table(
+            {"doc_id": pa.array([], type=pa.string()),
+             "n_valid": e, "n_above": e, "n_cross": e}
+        )
+        if n_docs == 0 or len(v) == 0:
+            return empty
+        n = np.diff(off)
+        assert (n > 0).all(), "sma_cross requires non-empty docs"
+        n_valid = np.maximum(n - (SMA_SLOW - 1), 0)
+        kept = n_valid > 0
+        if not kept.any():
+            return empty
+        pos_local = np.arange(len(v), dtype=np.int64) - np.repeat(off[:-1], n)
+        g = np.flatnonzero(pos_local >= SMA_SLOW - 1)
+        pref = np.concatenate(([0], np.cumsum(v)))
+        s_fast = pref[g + 1] - pref[g + 1 - SMA_FAST]
+        s_slow = pref[g + 1] - pref[g + 1 - SMA_SLOW]
+        sg = np.sign(ratio * s_fast - s_slow)
+        nv = n_valid[kept]
+        voff = np.concatenate(([0], np.cumsum(nv)))
+        n_above = np.add.reduceat((sg > 0).astype(np.int64), voff[:-1])
+        doc_of = np.repeat(np.arange(len(nv)), nv)
+        cross = ((sg[:-1] * sg[1:] == -1)
+                 & (doc_of[:-1] == doc_of[1:])).astype(np.int64)
+        cross = np.concatenate((cross, [0]))  # pad to len(g) for reduceat
+        n_cross = np.add.reduceat(cross, voff[:-1])
+        return pa.table(
+            {"doc_id": t["doc_id"].filter(pa.array(kept)),
+             "n_valid": pa.array(nv.astype(np.int64)),
+             "n_above": pa.array(n_above),
+             "n_cross": pa.array(n_cross)}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+
+SMA_CROSS_SQL = (
+    f"{_FLAT_CTE},"
+    " w AS (SELECT doc_id, pos,"
+    "  sum(tok) OVER (PARTITION BY doc_id ORDER BY pos"
+    f"   ROWS BETWEEN {SMA_FAST - 1} PRECEDING AND CURRENT ROW) AS sf,"
+    "  sum(tok) OVER (PARTITION BY doc_id ORDER BY pos"
+    f"   ROWS BETWEEN {SMA_SLOW - 1} PRECEDING AND CURRENT ROW) AS ss"
+    "  FROM flat),"
+    " d AS (SELECT doc_id, pos,"
+    f"  sign({SMA_SLOW // SMA_FAST} * sf - ss) AS sg,"
+    f"  lead(sign({SMA_SLOW // SMA_FAST} * sf - ss)) OVER"
+    "   (PARTITION BY doc_id ORDER BY pos) AS sg2"
+    f"  FROM w WHERE pos >= {SMA_SLOW - 1})"
+    " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_valid,"
+    " CAST(coalesce(sum(CASE WHEN sg > 0 THEN 1 END), 0) AS BIGINT)"
+    "  AS n_above,"
+    " CAST(coalesce(sum(CASE WHEN sg * sg2 = -1 THEN 1 END), 0) AS BIGINT)"
+    "  AS n_cross"
+    " FROM d GROUP BY doc_id"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -6709,6 +6849,8 @@ CORE_QUERIES = {
     "window_median": (q_window_median, WINDOW_MEDIAN_SQL),
     "tier_error": (q_tier_error, TIER_ERROR_SQL),
     "zero_crossings": (q_zero_crossings, ZERO_CROSS_SQL),
+    "drawdown": (q_drawdown, DRAWDOWN_SQL),
+    "sma_cross": (q_sma_cross, SMA_CROSS_SQL),
     "peak_pos": (q_peak_pos, PEAK_POS_SQL),
     "period_detect": (q_period_detect, PERIOD_DETECT_SQL),
     "peak_windows": (q_peak_windows, PEAK_WINDOWS_SQL),
