@@ -1996,6 +1996,48 @@ def test_sma_cross_kernel_edges():
     assert df2.loc["d", "n_cross"] >= 1
 
 
+def test_lag_features_kernel_edges():
+    """Hand-checked feature rows: only positions with a full context
+    window (pos >= 8, a lead in-doc, pos % stride == 0) emit; gathers
+    never cross doc boundaries."""
+    import unittest.mock as mock
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_lag_features, "unused")
+    with mock.patch.object(cq, "LAGF_STRIDE", 509):
+        # doc a: 600 tokens = local positions; pos 0 fails pos>=8,
+        # pos 509 qualifies (lead at 510 exists)
+        a = list(range(600))
+        # doc b: exactly 510 tokens -> pos 509 is the LAST token, no
+        # lead -> no rows
+        b = list(range(510))
+        t = pa.table({"doc_id": ["a", "b"], "tokens": [a, b]})
+        df = fn(t).to_pandas()
+    assert list(df["doc_id"]) == ["a"]
+    r = df.iloc[0]
+    assert (r["pos"], r["tok"], r["lag1"], r["lag8"], r["lead1"]) == (
+        509, 509, 508, 501, 510)
+
+
+def test_xcorr_sources_partial_kernel():
+    """The profile partial must bucket by (source, pos // W), clip at
+    XCORR_SPAN, and report exact integer sums and counts."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_xcorr_sources, "unused")
+    t = pa.table({
+        "doc_id": ["a", "b"],
+        "source": ["s1", "s2"],
+        "tokens": [[10] * 70, [3] * 64],
+    })
+    df = fn(t).to_pandas().set_index(["source", "b"])
+    # s1: bucket 0 holds 64 tens, bucket 1 the remaining 6
+    assert (df.loc[("s1", 0), "s"], df.loc[("s1", 0), "c"]) == (640, 64)
+    assert (df.loc[("s1", 1), "s"], df.loc[("s1", 1), "c"]) == (60, 6)
+    assert (df.loc[("s2", 0), "s"], df.loc[("s2", 0), "c"]) == (192, 64)
+
+
 def test_peak_pos_kernel_edges():
     """Hand-checked extremum positions: ties take the FIRST occurrence;
     constant docs report pos 0 for both; per-doc positions restart at 0."""

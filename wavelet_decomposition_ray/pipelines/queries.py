@@ -6775,6 +6775,165 @@ SMA_CROSS_SQL = (
 )
 
 
+LAGF_STRIDE = 509  # prime stride so sampled positions don't alias buckets
+
+
+def q_lag_features(sf_dir: str) -> "ray.data.Dataset":
+    """Supervised-learning feature extraction — per doc, every
+    LAGF_STRIDE-th position (with full context: local pos >= 8 and a
+    successor in-doc) emits the training row (tok, lag1, lag8, lead1)
+    a next-token / forecasting model consumes. Pure index gathers on
+    the flat token array (g-1, g-8, g+1 never cross a doc boundary by
+    the mask's construction) — no per-row loop, no shuffle, and the
+    output is a ~1/509 sample of the corpus so the sink stays small.
+    All int64, bit-exact vs the LAG/LEAD window SQL twin."""
+    ds = _seq_ds(sf_dir)
+
+    def feats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        e = pa.array([], type=pa.int64())
+        empty = pa.table(
+            {"doc_id": pa.array([], type=pa.string()), "pos": e,
+             "tok": e, "lag1": e, "lag8": e, "lead1": e}
+        )
+        if n_docs == 0 or len(v) == 0:
+            return empty
+        n = np.diff(off)
+        assert (n > 0).all(), "lag_features requires non-empty docs"
+        pos_local = np.arange(len(v), dtype=np.int64) - np.repeat(off[:-1], n)
+        mask = ((pos_local % LAGF_STRIDE == 0) & (pos_local >= 8)
+                & (pos_local < np.repeat(n, n) - 1))
+        g = np.flatnonzero(mask)
+        if len(g) == 0:
+            return empty
+        row_of = np.repeat(np.arange(n_docs, dtype=np.int64), n)[g]
+        return pa.table(
+            {"doc_id": t["doc_id"].take(pa.array(row_of)),
+             "pos": pa.array(pos_local[g]), "tok": pa.array(v[g]),
+             "lag1": pa.array(v[g - 1]), "lag8": pa.array(v[g - 8]),
+             "lead1": pa.array(v[g + 1])}
+        )
+
+    return ds.map_batches(feats, batch_format="pyarrow", batch_size=256)
+
+
+LAG_FEATURES_SQL = (
+    f"{_FLAT_CTE},"
+    " l AS (SELECT doc_id, pos, tok,"
+    "  lag(tok, 1) OVER w AS lag1, lag(tok, 8) OVER w AS lag8,"
+    "  lead(tok, 1) OVER w AS lead1 FROM flat"
+    "  WINDOW w AS (PARTITION BY doc_id ORDER BY pos))"
+    " SELECT doc_id, CAST(pos AS BIGINT) AS pos,"
+    " CAST(tok AS BIGINT) AS tok, CAST(lag1 AS BIGINT) AS lag1,"
+    " CAST(lag8 AS BIGINT) AS lag8, CAST(lead1 AS BIGINT) AS lead1"
+    f" FROM l WHERE pos % {LAGF_STRIDE} = 0 AND pos >= 8"
+    " AND lead1 IS NOT NULL"
+)
+
+
+XCORR_W = 64       # bucket width (one synth day)
+XCORR_SPAN = 4096  # profile the first 64 buckets of every doc
+XCORR_MAX_LAG = 4  # bucket lags scored (0..4)
+
+
+def q_xcorr_sources(sf_dir: str) -> "pa.Table":
+    """Cross-source lead/lag correlation — does source A's load shape
+    anticipate source B's? Per source, an integer 64-bucket profile
+    (floor-mean token per XCORR_W-position bucket over the first
+    XCORR_SPAN positions of every doc), then for every ordered source
+    pair and bucket lag 0..XCORR_MAX_LAG the dot product of the
+    aligned profiles plus the overlap count. The corpus-sized work is
+    ONE partial groupby (distinct (source, bucket) pairs, <= 8*64 rows
+    out); the pair x lag finish runs on that tiny table. Floor-means
+    keep every value < 2^20, so the dot (< 64 * 2^40) is exact int64
+    at ANY corpus size — bucket SUMS would overflow at 10^12 docs.
+    Tokens are non-negative, so numpy floor division == DuckDB's
+    truncating // (the sax ADVICE pitfall doesn't apply)."""
+    import pandas as pd
+
+    ds = _seq_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        e = pa.array([], type=pa.int64())
+        if n_docs == 0 or len(v) == 0:
+            return pa.table(
+                {"source": pa.array([], type=pa.string()),
+                 "b": e, "s": e, "c": e}
+            )
+        n = np.diff(off)
+        pos_local = np.arange(len(v), dtype=np.int64) - np.repeat(off[:-1], n)
+        keep = pos_local < XCORR_SPAN
+        srcs = sorted(set(t["source"].to_pylist()))
+        src_idx = pc.index_in(
+            t["source"], value_set=pa.array(srcs)
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        key = (np.repeat(src_idx, n)[keep] << 8) | (pos_local[keep] // XCORR_W)
+        uk, inv = np.unique(key, return_inverse=True)
+        # bincount sums in float64: per-batch bucket sums stay < 2^34
+        # (256 docs x 64 positions x 2^20), far inside float64's 2^53
+        # exact-integer range, so the int64 cast is lossless
+        s = np.bincount(inv, weights=v[keep]).astype(np.int64)
+        c = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {"source": pa.array([srcs[int(k >> 8)] for k in uk]),
+             "b": pa.array((uk & 255).astype(np.int64)),
+             "s": pa.array(s), "c": pa.array(c)}
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=256)
+        .groupby(["source", "b"])
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+        .to_pandas()  # tiny: sources x 64 buckets
+    )
+    hist["avg"] = hist["s"].to_numpy() // hist["c"].to_numpy()
+    prof = {
+        src: dict(zip(h["b"].to_numpy(), h["avg"].to_numpy()))
+        for src, h in hist.groupby("source")
+    }
+    out = []
+    for src_a in sorted(prof):
+        for src_b in sorted(prof):
+            if src_b <= src_a:
+                continue
+            pa_, pb_ = prof[src_a], prof[src_b]
+            for lag in range(XCORR_MAX_LAG + 1):
+                common = [b for b in pa_ if b + lag in pb_]
+                if not common:
+                    continue
+                dot = int(sum(pa_[b] * pb_[b + lag] for b in common))
+                out.append((src_a, src_b, lag, len(common), dot))
+    return pa.table(
+        {"src_a": pa.array([r[0] for r in out], type=pa.string()),
+         "src_b": pa.array([r[1] for r in out], type=pa.string()),
+         "lag": pa.array([r[2] for r in out], type=pa.int64()),
+         "n_overlap": pa.array([r[3] for r in out], type=pa.int64()),
+         "dot": pa.array([r[4] for r in out], type=pa.int64())}
+    )
+
+
+XCORR_SOURCES_SQL = (
+    f"{_FLAT_CTE},"
+    " prof AS (SELECT source, pos // " + str(XCORR_W) + " AS b,"
+    "  CAST(sum(tok) // count(*) AS BIGINT) AS avg FROM flat"
+    f"  WHERE pos < {XCORR_SPAN} GROUP BY source, b)"
+    " SELECT a.source AS src_a, c.source AS src_b, l.lag,"
+    " CAST(count(*) AS BIGINT) AS n_overlap,"
+    " CAST(sum(a.avg * c.avg) AS BIGINT) AS dot"
+    " FROM prof a CROSS JOIN"
+    f" (SELECT unnest(range(0, {XCORR_MAX_LAG + 1})) AS lag) l"
+    " JOIN prof c ON c.source > a.source AND c.b = a.b + l.lag"
+    " GROUP BY src_a, src_b, l.lag"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -6851,6 +7010,8 @@ CORE_QUERIES = {
     "zero_crossings": (q_zero_crossings, ZERO_CROSS_SQL),
     "drawdown": (q_drawdown, DRAWDOWN_SQL),
     "sma_cross": (q_sma_cross, SMA_CROSS_SQL),
+    "lag_features": (q_lag_features, LAG_FEATURES_SQL),
+    "xcorr_sources": (q_xcorr_sources, XCORR_SOURCES_SQL),
     "peak_pos": (q_peak_pos, PEAK_POS_SQL),
     "period_detect": (q_period_detect, PERIOD_DETECT_SQL),
     "peak_windows": (q_peak_windows, PEAK_WINDOWS_SQL),
