@@ -2038,6 +2038,47 @@ def test_xcorr_sources_partial_kernel():
     assert (df.loc[("s2", 0), "s"], df.loc[("s2", 0), "c"]) == (192, 64)
 
 
+def test_source_token_hist_partial_kernel():
+    """The shared histogram partial must count per (source, token) with
+    the packed-key unique — exact counts, no cross-source bleed."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_gini_tokens, "unused")
+    t = pa.table({
+        "doc_id": ["a", "b", "c"],
+        "source": ["s1", "s2", "s1"],
+        "tokens": [[5, 5, 7], [5], [7, 5]],
+    })
+    df = fn(t).to_pandas().set_index(["source", "tok"])
+    assert df.loc[("s1", 5), "cnt"] == 3
+    assert df.loc[("s1", 7), "cnt"] == 2
+    assert df.loc[("s2", 5), "cnt"] == 1
+
+
+def test_winsorize_and_gini_finish():
+    """Hand-checked finishes over a planted histogram: rank-ceil
+    percentile selection, clipped sum from counts (no second pass),
+    and the Simpson numerator."""
+    import unittest.mock as mock
+
+    import pandas as pd
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    # source s: value 0 x5, 10 x90, 100 x5 -> n=100, p05 rank 5 -> tok 0,
+    # p95 rank 95 -> tok 10; wsum = 5*0 + 90*10 + 5*10 = 950;
+    # n_low = 0 (nothing strictly below p05), n_high = 5
+    hist = pd.DataFrame(
+        {"source": ["s"] * 3, "tok": [0, 10, 100], "cnt": [5, 90, 5]}
+    )
+    with mock.patch.object(cq, "_source_token_hist", return_value=hist):
+        w = cq.q_winsorize_stats("unused").to_pandas().iloc[0]
+        g = cq.q_gini_tokens("unused").to_pandas().iloc[0]
+    assert (w["p05"], w["p95"]) == (0, 10)
+    assert (w["n"], w["wsum"], w["n_low"], w["n_high"]) == (100, 950, 0, 5)
+    assert (g["n"], g["sum_sq"], g["n_distinct"]) == (100, 25 + 8100 + 25, 3)
+
+
 def test_peak_pos_kernel_edges():
     """Hand-checked extremum positions: ties take the FIRST occurrence;
     constant docs report pos 0 for both; per-doc positions restart at 0."""

@@ -6934,6 +6934,160 @@ XCORR_SOURCES_SQL = (
 )
 
 
+def _source_token_hist(sf_dir: str):
+    """Global (source, token-value) count histogram as a small pandas
+    frame — ONE corpus pass of per-batch ``np.unique`` partials packed
+    into a single int64 key, then ONE distinct-value-sized groupby
+    exchange (<= sources x 2^TOKEN_BITS rows, never corpus-sized).
+    Shared by gini_tokens and winsorize_stats, both of which finish on
+    this tiny table."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        if n_docs == 0 or len(v) == 0:
+            return pa.table(
+                {"source": pa.array([], type=pa.string()),
+                 "tok": pa.array([], type=pa.int64()),
+                 "cnt": pa.array([], type=pa.int64())}
+            )
+        if int(v.max()) >= (1 << TOKEN_BITS) or int(v.min()) < 0:
+            raise ValueError(
+                "token histogram packs (source, token) into one int64 "
+                f"key; tokens must be in [0, 2^{TOKEN_BITS})"
+            )
+        n = np.diff(off)
+        srcs = sorted(set(t["source"].to_pylist()))
+        src_idx = pc.index_in(
+            t["source"], value_set=pa.array(srcs)
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        key = (np.repeat(src_idx, n) << TOKEN_BITS) | v
+        uk, cnt = np.unique(key, return_counts=True)
+        src_names = np.array(srcs, dtype=object)[uk >> TOKEN_BITS]
+        return pa.table(
+            {"source": pa.array(src_names, type=pa.string()),
+             "tok": pa.array(uk & ((1 << TOKEN_BITS) - 1)),
+             "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _seq_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", batch_size=256)
+        .groupby(["source", "tok"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # distinct (source, value) pairs only
+    )
+
+
+def q_gini_tokens(sf_dir: str) -> "pa.Table":
+    """Per-source token-concentration audit — total count n, Simpson
+    collision numerator sum(cnt^2) and distinct-value count, the exact
+    ingredients of Gini impurity 1 - sum((cnt/n)^2) and collision
+    probability (how skewed is each source's vocabulary; a near-
+    degenerate source is a dedup/quality red flag). Runs entirely on
+    the shared distinct-value histogram. Exact int64 while every
+    per-(source, value) count stays < 3.0e9 (cnt^2 < 2^63 / 2^20
+    distinct values) — at larger scale promote the finish to object
+    ints; the histogram pass itself is scale-safe."""
+    import pandas as pd
+
+    hist = _source_token_hist(sf_dir)
+    out = []
+    for src, h in hist.groupby("source"):
+        c = h["cnt"].to_numpy().astype(np.int64)
+        out.append((src, int(c.sum()), int((c * c).sum()), len(c)))
+    res = pd.DataFrame(out, columns=["source", "n", "sum_sq", "n_distinct"])
+    return pa.Table.from_pandas(
+        res.astype({"n": np.int64, "sum_sq": np.int64,
+                    "n_distinct": np.int64}),
+        preserve_index=False,
+    )
+
+
+GINI_TOKENS_SQL = (
+    f"{_FLAT_CTE},"
+    " c AS (SELECT source, tok, count(*) AS cnt FROM flat"
+    "  GROUP BY source, tok)"
+    " SELECT source, CAST(sum(cnt) AS BIGINT) AS n,"
+    " CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,"
+    " CAST(count(*) AS BIGINT) AS n_distinct"
+    " FROM c GROUP BY source"
+)
+
+
+WINSOR_LO = 5    # lower winsorization percentile
+WINSOR_HI = 95   # upper winsorization percentile
+
+
+def q_winsorize_stats(sf_dir: str) -> "pa.Table":
+    """Per-source winsorized statistics — exact p05/p95 token values
+    (rank = ceil(q*n/100), the quality_deciles convention) from the
+    shared value histogram, then the clipped sum and the clipped-tail
+    counts WITHOUT a second corpus pass: sum(cnt * clip(tok)) over the
+    histogram equals the row-level clipped sum. The robust-moments
+    pass an outlier-resistant monitor wants before alerting on a
+    source's level shift. All integers; wsum stays exact int64 while a
+    source's token count is < 2^43 (n * 2^20 < 2^63)."""
+    import pandas as pd
+
+    hist = _source_token_hist(sf_dir)
+    out = []
+    for src, h in hist.groupby("source"):
+        h = h.sort_values("tok")
+        vals = h["tok"].to_numpy().astype(np.int64)
+        c = h["cnt"].to_numpy().astype(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        p05 = int(vals[np.searchsorted(
+            cum, int(np.ceil(WINSOR_LO * n / 100.0)))])
+        p95 = int(vals[np.searchsorted(
+            cum, int(np.ceil(WINSOR_HI * n / 100.0)))])
+        clipped = np.clip(vals, p05, p95)
+        wsum = int((c * clipped).sum())
+        n_low = int(c[vals < p05].sum())
+        n_high = int(c[vals > p95].sum())
+        out.append((src, p05, p95, n, wsum, n_low, n_high))
+    res = pd.DataFrame(
+        out, columns=["source", "p05", "p95", "n", "wsum",
+                      "n_low", "n_high"]
+    )
+    return pa.Table.from_pandas(
+        res.astype({k: np.int64 for k in res.columns if k != "source"}),
+        preserve_index=False,
+    )
+
+
+WINSORIZE_SQL = (
+    f"{_FLAT_CTE},"
+    " c AS (SELECT source, tok, count(*) AS cnt FROM flat"
+    "  GROUP BY source, tok),"
+    " r AS (SELECT source, tok, cnt,"
+    "  sum(cnt) OVER (PARTITION BY source ORDER BY tok) AS cum,"
+    "  sum(cnt) OVER (PARTITION BY source) AS n FROM c),"
+    " q AS (SELECT source,"
+    "  min(CASE WHEN cum >="
+    f"   CAST(ceil({WINSOR_LO} * n / 100.0) AS BIGINT)"
+    "   THEN tok END) AS p05,"
+    "  min(CASE WHEN cum >="
+    f"   CAST(ceil({WINSOR_HI} * n / 100.0) AS BIGINT)"
+    "   THEN tok END) AS p95"
+    "  FROM r GROUP BY source)"
+    " SELECT c.source, CAST(max(q.p05) AS BIGINT) AS p05,"
+    " CAST(max(q.p95) AS BIGINT) AS p95,"
+    " CAST(sum(c.cnt) AS BIGINT) AS n,"
+    " CAST(sum(c.cnt * CASE WHEN c.tok < q.p05 THEN q.p05"
+    "  WHEN c.tok > q.p95 THEN q.p95 ELSE c.tok END) AS BIGINT) AS wsum,"
+    " CAST(coalesce(sum(CASE WHEN c.tok < q.p05 THEN c.cnt END), 0)"
+    "  AS BIGINT) AS n_low,"
+    " CAST(coalesce(sum(CASE WHEN c.tok > q.p95 THEN c.cnt END), 0)"
+    "  AS BIGINT) AS n_high"
+    " FROM c JOIN q ON c.source = q.source GROUP BY c.source"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -7012,6 +7166,8 @@ CORE_QUERIES = {
     "sma_cross": (q_sma_cross, SMA_CROSS_SQL),
     "lag_features": (q_lag_features, LAG_FEATURES_SQL),
     "xcorr_sources": (q_xcorr_sources, XCORR_SOURCES_SQL),
+    "gini_tokens": (q_gini_tokens, GINI_TOKENS_SQL),
+    "winsorize_stats": (q_winsorize_stats, WINSORIZE_SQL),
     "peak_pos": (q_peak_pos, PEAK_POS_SQL),
     "period_detect": (q_period_detect, PERIOD_DETECT_SQL),
     "peak_windows": (q_peak_windows, PEAK_WINDOWS_SQL),
