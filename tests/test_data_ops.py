@@ -2079,6 +2079,79 @@ def test_winsorize_and_gini_finish():
     assert (g["n"], g["sum_sq"], g["n_distinct"]) == (100, 25 + 8100 + 25, 3)
 
 
+def test_mann_kendall_kernel_edges():
+    """Hand-checked MK statistic: a rising doc scores +pairs, a falling
+    one -pairs, ties contribute 0; single-bucket docs emit nothing."""
+    import unittest.mock as mock
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_mann_kendall, "unused")
+    assert (cq.MK_W, cq.MK_SPAN) == (64, 1024)
+    # doc a: 3 buckets with means 1, 2, 3 -> all 3 pairs rising -> S=3
+    a = [1] * 64 + [2] * 64 + [3] * 64
+    # doc b: means 5, 5 -> one tied pair -> S=0
+    b = [5] * 128
+    # doc c: one bucket only -> dropped
+    c = [9] * 64
+    # doc d: means 4, 1 -> S=-1
+    d = [4] * 64 + [1] * 64
+    t = pa.table({"doc_id": ["a", "b", "c", "d"], "tokens": [a, b, c, d]})
+    df = fn(t).to_pandas().set_index("doc_id")
+    assert "c" not in df.index
+    assert (df.loc["a", "n_buckets"], df.loc["a", "s"]) == (3, 3)
+    assert (df.loc["b", "n_buckets"], df.loc["b", "s"]) == (2, 0)
+    assert (df.loc["d", "n_buckets"], df.loc["d", "s"]) == (2, -1)
+
+
+def test_dedup_incremental_bucket_join():
+    """The per-bucket hash-join must match new docs against the MIN old
+    doc id per fingerprint and pass non-matching new docs through."""
+    import pandas as pd
+
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    # reach the inner join through the query's closure via a tiny run:
+    # emulate one bucket's frame directly
+    import unittest.mock as mock
+
+    captured = {}
+
+    class _Stop(Exception):
+        pass
+
+    class _Probe:
+        def map_batches(self, fn, **kw):
+            captured["tag"] = fn
+            return self
+
+        def groupby(self, key):
+            return self
+
+        def map_groups(self, fn, **kw):
+            captured["join"] = fn
+            raise _Stop()
+
+    with mock.patch.object(dq, "_docs", return_value=_Probe()):
+        with pytest.raises(_Stop):
+            dq.q_dedup_incremental("unused")
+    tag, join = captured["tag"], captured["join"]
+
+    # tag: old/new flags and prefix fingerprints
+    t = pa.table({"doc_id": [0, 1, 4, 7],
+                  "text": ["xx", "xx", "yy", "xx"]})
+    tagged = tag(t).to_pandas()
+    assert list(tagged["is_old"]) == [True, False, True, False]
+    assert tagged["h"][0] == tagged["h"][1] == tagged["h"][3]
+    assert tagged["h"][0] != tagged["h"][2]
+
+    # join: docs 1 and 7 (new, fingerprint xx) match old docs {0};
+    # doc with unique fingerprint passes
+    out = join(tagged).sort_values("doc_id")
+    assert list(out["doc_id"]) == [1, 7]
+    assert list(out["old_id"]) == [0, 0]
+
+
 def test_peak_pos_kernel_edges():
     """Hand-checked extremum positions: ties take the FIRST occurrence;
     constant docs report pos 0 for both; per-doc positions restart at 0."""

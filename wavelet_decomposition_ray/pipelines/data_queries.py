@@ -3807,6 +3807,80 @@ ANN_PQ_RERANK_SQL = (
 )
 
 
+INCR_OLD_MOD = 4        # doc_id % 4 == 0 plays the existing snapshot
+INCR_BUCKETS = 64       # hash-partition fan-out for the local hash-join
+INCR_PREFIX = 64        # fingerprint the first N chars (boilerplate id)
+
+
+def q_dedup_incremental(sf_dir: str) -> "ray.data.Dataset":
+    """Incremental (snapshot-vs-delta) dedup — the shape every refreshed
+    corpus needs: which NEW documents (doc_id % 4 != 0) duplicate the
+    EXISTING snapshot (doc_id % 4 == 0)? Identity here is the md5 of
+    the first INCR_PREFIX chars (the boilerplate/header fingerprint an
+    incremental crawl prescreens on; full-text md5 is the same code
+    with prefix = len). Output = dropped new docs with the matching
+    old doc (min old id). Neither side is broadcastable (both are
+    corpus-sized), so this is ONE hash-partitioned exchange of compact
+    (md5, doc_id, is_old) rows — text never shuffles — followed by a
+    vectorized per-bucket hash-join (sorted old hashes + searchsorted,
+    min-old-id per hash via the sorted-first trick). INCR_BUCKETS
+    scales with corpus size so each bucket fits a worker; matching at
+    md5 identity is the standard 100-TB trade (the oracle joins on
+    md5(prefix) too)."""
+    import hashlib
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = [hashlib.md5(s[:INCR_PREFIX].encode()).hexdigest()
+             for s in t["text"].to_pylist()]
+        bucket = np.array([int(x[:4], 16) % INCR_BUCKETS for x in h],
+                          dtype=np.int64)
+        return pa.table(
+            {"h": pa.array(h, type=pa.string()),
+             "doc_id": pa.array(ids),
+             "is_old": pa.array((ids % INCR_OLD_MOD == 0)),
+             "bucket": pa.array(bucket)}
+        )
+
+    def bucket_join(df):
+        import pandas as pd
+
+        old = df[df["is_old"]]
+        new = df[~df["is_old"]]
+        if old.empty or new.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "old_id": pd.Series([], dtype=np.int64)})
+        o = old.sort_values(["h", "doc_id"], kind="mergesort")
+        oh = o["h"].to_numpy()
+        first = np.r_[True, oh[1:] != oh[:-1]]  # min doc_id per hash
+        oh, oid = oh[first], o["doc_id"].to_numpy()[first]
+        nh = new["h"].to_numpy()
+        i = np.minimum(np.searchsorted(oh, nh), len(oh) - 1)
+        hit = oh[i] == nh
+        return pd.DataFrame(
+            {"doc_id": new["doc_id"].to_numpy()[hit].astype(np.int64),
+             "old_id": oid[i[hit]].astype(np.int64)}
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_join, batch_format="pandas")
+    )
+
+
+DEDUP_INCREMENTAL_SQL = (
+    "SELECT n.doc_id AS doc_id, CAST(min(o.doc_id) AS BIGINT) AS old_id"
+    " FROM documents n JOIN documents o"
+    f" ON o.doc_id % {INCR_OLD_MOD} = 0"
+    f" AND n.doc_id % {INCR_OLD_MOD} <> 0"
+    f" AND md5(substr(n.text, 1, {INCR_PREFIX}))"
+    f"  = md5(substr(o.text, 1, {INCR_PREFIX}))"
+    " GROUP BY n.doc_id"
+)
+
+
 DATA_QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "token_count_bpe": (q_token_count_bpe, TOKEN_COUNT_BPE_SQL),
@@ -3829,6 +3903,7 @@ DATA_QUERIES = {
     "tfdf_top3": (q_tfdf_top3, TFDF_SQL),
     "props_extract": (q_props_extract, PROPS_EXTRACT_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_incremental": (q_dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "dedup_exact_keep": (q_dedup_exact_keep, DEDUP_EXACT_KEEP_SQL),
     "dup_cluster_hist": (q_dup_cluster_hist, DUP_CLUSTER_HIST_SQL),
     "dedup_minhash": (q_dedup_minhash, DEDUP_MINHASH_SQL),

@@ -7088,6 +7088,78 @@ WINSORIZE_SQL = (
 )
 
 
+MK_W = 64        # PAA bucket width for the trend test
+MK_SPAN = 1024   # buckets come from the first MK_SPAN positions (<= 16)
+
+
+def q_mann_kendall(sf_dir: str) -> "ray.data.Dataset":
+    """Mann-Kendall trend statistic — the standard non-parametric
+    monotone-trend test, per doc over <= 16 PAA floor-mean buckets of
+    the first MK_SPAN positions: S = sum over bucket pairs i < j of
+    sign(m_j - m_i); |S| near the pair count = strong trend. Buckets
+    cut per-batch with ``tumble_starts`` on the per-doc clipped
+    prefix; the pair sum is <= 15 vectorized shifted-sign passes over
+    the concatenated bucket means (never a per-doc loop). Floor-means
+    of non-negative tokens make numpy // == DuckDB //, so the
+    self-join SQL twin is bit-exact. Docs with a single bucket emit
+    nothing (no pairs), matching the SQL's inner join."""
+    ds = _seq_ds(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        e = pa.array([], type=pa.int64())
+        empty = pa.table(
+            {"doc_id": pa.array([], type=pa.string()),
+             "n_buckets": e, "s": e}
+        )
+        if n_docs == 0 or len(v) == 0:
+            return empty
+        n = np.diff(off)
+        assert (n > 0).all(), "mann_kendall requires non-empty docs"
+        pos_local = np.arange(len(v), dtype=np.int64) - np.repeat(off[:-1], n)
+        kept = pos_local < MK_SPAN
+        kv = v[kept]
+        kn = np.minimum(n, MK_SPAN)
+        koff = np.concatenate(([0], np.cumsum(kn)))
+        starts, boff, cnt = tumble_starts(koff, MK_W)
+        m = np.add.reduceat(kv, starts) // cnt
+        nb = np.diff(boff)
+        keep_doc = nb >= 2
+        if not keep_doc.any():
+            return empty
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), nb)
+        s = np.zeros(n_docs, dtype=np.int64)
+        max_nb = int(nb.max())
+        for lag in range(1, max_nb):
+            sg = np.sign(m[lag:] - m[:-lag])
+            same = doc_of[lag:] == doc_of[:-lag]
+            np.add.at(s, doc_of[:-lag][same], sg[same])
+        return pa.table(
+            {"doc_id": t["doc_id"].filter(pa.array(keep_doc)),
+             "n_buckets": pa.array(nb[keep_doc].astype(np.int64)),
+             "s": pa.array(s[keep_doc])}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+
+MANN_KENDALL_SQL = (
+    f"{_FLAT_CTE},"
+    f" p AS (SELECT doc_id, pos // {MK_W} AS b,"
+    "  CAST(sum(tok) // count(*) AS BIGINT) AS m FROM flat"
+    f"  WHERE pos < {MK_SPAN} GROUP BY doc_id, b),"
+    " nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_buckets"
+    "  FROM p GROUP BY doc_id)"
+    " SELECT a.doc_id, CAST(max(nb.n_buckets) AS BIGINT) AS n_buckets,"
+    " CAST(sum(sign(c.m - a.m)) AS BIGINT) AS s"
+    " FROM p a JOIN p c ON c.doc_id = a.doc_id AND c.b > a.b"
+    " JOIN nb ON nb.doc_id = a.doc_id"
+    " GROUP BY a.doc_id"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -7168,6 +7240,7 @@ CORE_QUERIES = {
     "xcorr_sources": (q_xcorr_sources, XCORR_SOURCES_SQL),
     "gini_tokens": (q_gini_tokens, GINI_TOKENS_SQL),
     "winsorize_stats": (q_winsorize_stats, WINSORIZE_SQL),
+    "mann_kendall": (q_mann_kendall, MANN_KENDALL_SQL),
     "peak_pos": (q_peak_pos, PEAK_POS_SQL),
     "period_detect": (q_period_detect, PERIOD_DETECT_SQL),
     "peak_windows": (q_peak_windows, PEAK_WINDOWS_SQL),
