@@ -2152,6 +2152,47 @@ def test_dedup_incremental_bucket_join():
     assert list(out["old_id"]) == [0, 0]
 
 
+def test_interarrival_kernel_edges():
+    """Hand-checked spike gaps: the exceedance test is n*tok > 2*S
+    (strictly above twice the mean); single-spike docs report max_gap
+    0; cross-doc gaps never leak; spike-free docs emit nothing."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_interarrival_stats, "unused")
+    # doc a: [0,10,0,0,10,0] mean 10/3; spikes where tok > 20/3: pos 1,4
+    # -> n=2, first=1, last=4, gap 3
+    # doc b: [5,5,5] no spikes (5 = mean, not > 2*mean)
+    # doc c: [0,0,9] one spike at 2 -> max_gap 0
+    t = pa.table({"doc_id": ["a", "b", "c"],
+                  "tokens": [[0, 10, 0, 0, 10, 0], [5, 5, 5], [0, 0, 9]]})
+    df = fn(t).to_pandas().set_index("doc_id")
+    assert "b" not in df.index
+    assert (df.loc["a", "n_spikes"], df.loc["a", "first_pos"],
+            df.loc["a", "last_pos"], df.loc["a", "max_gap"]) == (2, 1, 4, 3)
+    assert (df.loc["c", "n_spikes"], df.loc["c", "max_gap"]) == (1, 0)
+
+
+def test_rare_token_docs_planted():
+    """End-to-end over a planted corpus: global counts 7->2, 100->1,
+    3->3, 4->1 with RARE_MAX_COUNT=2 make {4, 7, 100} rare; per-doc
+    position counts and distinct-rare counts are hand-checked."""
+    import unittest.mock as mock
+
+    import ray as _ray
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    t = pa.table({"doc_id": ["a", "b"],
+                  "source": ["s", "s"],
+                  "tokens": [[7, 7, 100, 3], [3, 4, 3]]})
+
+    with mock.patch.object(cq, "_seq_ds",
+                           side_effect=lambda sf: _ray.data.from_arrow(t)):
+        df = cq.q_rare_token_docs("unused").to_pandas().set_index("doc_id")
+    assert (df.loc["a", "n_rare"], df.loc["a", "n_distinct_rare"]) == (3, 2)
+    assert (df.loc["b", "n_rare"], df.loc["b", "n_distinct_rare"]) == (1, 1)
+
+
 def test_peak_pos_kernel_edges():
     """Hand-checked extremum positions: ties take the FIRST occurrence;
     constant docs report pos 0 for both; per-doc positions restart at 0."""

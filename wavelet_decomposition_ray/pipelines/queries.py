@@ -7160,6 +7160,155 @@ MANN_KENDALL_SQL = (
 )
 
 
+def q_interarrival_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Spike inter-arrival statistics — per doc, positions where the
+    token exceeds TWICE the doc mean (cross-multiplied integer test
+    n*tok > 2*S) are 'spikes'; report how many, where the first and
+    last sit, and the longest quiet gap between consecutive spikes
+    (the burstiness profile an alerting pipeline reads). One global
+    exceedance mask per batch, then count/min/max/gap all fall out of
+    reduceat over the spike subsequence; cross-doc gaps are zeroed by
+    a segment-id comparison. Docs with no spikes emit nothing
+    (matching the SQL's join); a single-spike doc reports max_gap 0
+    (the SQL's coalesce)."""
+    ds = _seq_ds(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        e = pa.array([], type=pa.int64())
+        empty = pa.table(
+            {"doc_id": pa.array([], type=pa.string()), "n_spikes": e,
+             "first_pos": e, "last_pos": e, "max_gap": e}
+        )
+        if n_docs == 0 or len(v) == 0:
+            return empty
+        n = np.diff(off)
+        assert (n > 0).all(), "interarrival_stats requires non-empty docs"
+        s = np.add.reduceat(v, off[:-1])
+        seg = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+        pos_local = np.arange(len(v), dtype=np.int64) - np.repeat(off[:-1], n)
+        spike = np.repeat(n, n) * v > 2 * np.repeat(s, n)  # |n*tok| < 2^37
+        g = np.flatnonzero(spike)
+        if len(g) == 0:
+            return empty
+        seg_sp, pos_sp = seg[g], pos_local[g]
+        counts = np.bincount(seg_sp, minlength=n_docs)
+        kept = counts > 0
+        soff = np.concatenate(([0], np.cumsum(counts[kept])))
+        first = np.minimum.reduceat(pos_sp, soff[:-1])
+        last = np.maximum.reduceat(pos_sp, soff[:-1])
+        gaps = np.where(seg_sp[1:] == seg_sp[:-1],
+                        pos_sp[1:] - pos_sp[:-1], 0)
+        max_gap = np.maximum.reduceat(np.concatenate((gaps, [0])),
+                                      soff[:-1])
+        return pa.table(
+            {"doc_id": t["doc_id"].filter(pa.array(kept)),
+             "n_spikes": pa.array(counts[kept].astype(np.int64)),
+             "first_pos": pa.array(first), "last_pos": pa.array(last),
+             "max_gap": pa.array(max_gap)}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+
+INTERARRIVAL_SQL = (
+    f"{_FLAT_CTE},"
+    " agg AS (SELECT doc_id, count(*) AS n, sum(tok) AS s FROM flat"
+    "  GROUP BY doc_id),"
+    " sp AS (SELECT f.doc_id, f.pos,"
+    "  lead(f.pos) OVER (PARTITION BY f.doc_id ORDER BY f.pos) AS nxt"
+    "  FROM flat f JOIN agg a ON f.doc_id = a.doc_id"
+    "  WHERE a.n * f.tok > 2 * a.s)"
+    " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spikes,"
+    " CAST(min(pos) AS BIGINT) AS first_pos,"
+    " CAST(max(pos) AS BIGINT) AS last_pos,"
+    " CAST(coalesce(max(nxt - pos), 0) AS BIGINT) AS max_gap"
+    " FROM sp GROUP BY doc_id"
+)
+
+
+RARE_MAX_COUNT = 2   # a token value is 'rare' if its GLOBAL count <= this
+
+
+def q_rare_token_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Rare-token audit — which docs carry token values whose GLOBAL
+    corpus count is <= RARE_MAX_COUNT (OOV-ish outliers: encoding
+    glitches, PII-like uniques, or genuinely novel content worth
+    up- or down-sampling)? Two passes: (1) a distinct-value-sized
+    global histogram (per-batch np.unique partials + one groupby),
+    filtered to the rare set — bounded by the 2^TOKEN_BITS vocab, so
+    it broadcasts at ANY corpus size even though it must not be
+    computed driver-side from raw rows; (2) one streaming scan
+    counting rare positions and distinct rare values per doc via
+    searchsorted against the broadcast sorted array. Docs without
+    rare tokens emit nothing (matching the SQL join)."""
+    from ray.data.aggregate import Sum
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        vals, _ = list_to_numpy(t["tokens"])
+        uk, cnt = np.unique(vals.astype(np.int64), return_counts=True)
+        return pa.table(
+            {"tok": pa.array(uk), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    hist = (
+        _seq_ds(sf_dir)
+        .map_batches(hist_partial, batch_format="pyarrow", batch_size=256)
+        .groupby("tok")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # vocab-bounded: <= 2^TOKEN_BITS rows
+    )
+    rare = np.sort(
+        hist.loc[hist["cnt"].to_numpy() <= RARE_MAX_COUNT, "tok"]
+        .to_numpy().astype(np.int64)
+    )
+    rare_ref = ray.put(rare)
+
+    def scan(t: pa.Table) -> pa.Table:
+        r = ray.get(rare_ref)
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        e = pa.array([], type=pa.int64())
+        empty = pa.table(
+            {"doc_id": pa.array([], type=pa.string()),
+             "n_rare": e, "n_distinct_rare": e}
+        )
+        if n_docs == 0 or len(v) == 0 or len(r) == 0:
+            return empty
+        n = np.diff(off)
+        i = np.minimum(np.searchsorted(r, v), len(r) - 1)
+        is_rare = r[i] == v
+        seg = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+        counts = np.bincount(seg[is_rare], minlength=n_docs)
+        kept = counts > 0
+        if not kept.any():
+            return empty
+        key = (seg[is_rare] << TOKEN_BITS) | v[is_rare]
+        useg = np.unique(key) >> TOKEN_BITS
+        nd = np.bincount(useg, minlength=n_docs)
+        return pa.table(
+            {"doc_id": t["doc_id"].filter(pa.array(kept)),
+             "n_rare": pa.array(counts[kept].astype(np.int64)),
+             "n_distinct_rare": pa.array(nd[kept].astype(np.int64))}
+        )
+
+    return _seq_ds(sf_dir).map_batches(scan, batch_format="pyarrow",
+                                       batch_size=256)
+
+
+RARE_TOKEN_SQL = (
+    f"{_FLAT_CTE},"
+    " g AS (SELECT tok, count(*) AS c FROM flat GROUP BY tok),"
+    f" r AS (SELECT tok FROM g WHERE c <= {RARE_MAX_COUNT})"
+    " SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_rare,"
+    " CAST(count(DISTINCT f.tok) AS BIGINT) AS n_distinct_rare"
+    " FROM flat f JOIN r ON f.tok = r.tok GROUP BY f.doc_id"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -7241,6 +7390,8 @@ CORE_QUERIES = {
     "gini_tokens": (q_gini_tokens, GINI_TOKENS_SQL),
     "winsorize_stats": (q_winsorize_stats, WINSORIZE_SQL),
     "mann_kendall": (q_mann_kendall, MANN_KENDALL_SQL),
+    "interarrival_stats": (q_interarrival_stats, INTERARRIVAL_SQL),
+    "rare_token_docs": (q_rare_token_docs, RARE_TOKEN_SQL),
     "peak_pos": (q_peak_pos, PEAK_POS_SQL),
     "period_detect": (q_period_detect, PERIOD_DETECT_SQL),
     "peak_windows": (q_peak_windows, PEAK_WINDOWS_SQL),
