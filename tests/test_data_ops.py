@@ -2193,6 +2193,35 @@ def test_rare_token_docs_planted():
     assert (df.loc["b", "n_rare"], df.loc["b", "n_distinct_rare"]) == (1, 1)
 
 
+def test_zipf_and_vocab_overlap_finish():
+    """Hand-checked finishes over a planted histogram: bit-length
+    bucketing (cnt 1 -> bl 1, cnt 2..3 -> bl 2) and pairwise distinct-
+    set intersection with zero-overlap pairs omitted."""
+    import unittest.mock as mock
+
+    import pandas as pd
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    hist = pd.DataFrame({
+        "source": ["s1", "s1", "s1", "s2", "s2", "s3"],
+        "tok": [10, 20, 30, 20, 40, 99],
+        "cnt": [1, 3, 4, 2, 1, 5],
+    })
+    with mock.patch.object(cq, "_source_token_hist", return_value=hist):
+        z = cq.q_zipf_hist("unused").to_pandas().set_index(["source", "bl"])
+        v = cq.q_vocab_overlap("unused").to_pandas().set_index(
+            ["src_a", "src_b"])
+    # s1: cnt 1 -> bl 1 (1 value), cnt 3 -> bl 2, cnt 4 -> bl 3
+    assert (z.loc[("s1", 1), "n_values"], z.loc[("s1", 1), "n_tokens"]) == (1, 1)
+    assert (z.loc[("s1", 2), "n_values"], z.loc[("s1", 2), "n_tokens"]) == (1, 3)
+    assert (z.loc[("s1", 3), "n_values"], z.loc[("s1", 3), "n_tokens"]) == (1, 4)
+    # s1 {10,20,30} vs s2 {20,40}: common {20}; s3 {99} overlaps nothing
+    assert (v.loc[("s1", "s2"), "n_common"], v.loc[("s1", "s2"), "n_a"],
+            v.loc[("s1", "s2"), "n_b"]) == (1, 3, 2)
+    assert ("s1", "s3") not in v.index and ("s2", "s3") not in v.index
+
+
 def test_peak_pos_kernel_edges():
     """Hand-checked extremum positions: ties take the FIRST occurrence;
     constant docs report pos 0 for both; per-doc positions restart at 0."""

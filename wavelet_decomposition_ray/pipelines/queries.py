@@ -7309,6 +7309,94 @@ RARE_TOKEN_SQL = (
 )
 
 
+def q_zipf_hist(sf_dir: str) -> "pa.Table":
+    """Count-of-counts (Zipf tail) audit — per source, bucket the
+    distinct token values by the BIT LENGTH of their global-in-source
+    count and report how many values and how many token occurrences
+    each doubling bucket holds. The log-log shape this table draws is
+    the standard check that a corpus' vocabulary follows the expected
+    power law (a missing tail = over-aggressive filtering; a fat head
+    = degenerate repetition). Runs on the shared distinct-value
+    histogram; bit_length is exact integer math on both sides (the
+    SQL twin uses length(bin(cnt)) — no float log2 anywhere)."""
+    import pandas as pd
+
+    hist = _source_token_hist(sf_dir)
+    c = hist["cnt"].to_numpy().astype(np.int64)
+    bl = np.array([int(x).bit_length() for x in c], dtype=np.int64)
+    df = pd.DataFrame({"source": hist["source"], "bl": bl, "cnt": c})
+    out = (
+        df.groupby(["source", "bl"], as_index=False)
+        .agg(n_values=("cnt", "size"), n_tokens=("cnt", "sum"))
+    )
+    return pa.Table.from_pandas(
+        out.astype({"bl": np.int64, "n_values": np.int64,
+                    "n_tokens": np.int64}),
+        preserve_index=False,
+    )
+
+
+ZIPF_HIST_SQL = (
+    f"{_FLAT_CTE},"
+    " c AS (SELECT source, tok, count(*) AS cnt FROM flat"
+    "  GROUP BY source, tok)"
+    " SELECT source, CAST(length(bin(cnt)) AS BIGINT) AS bl,"
+    " CAST(count(*) AS BIGINT) AS n_values,"
+    " CAST(sum(cnt) AS BIGINT) AS n_tokens"
+    " FROM c GROUP BY source, bl"
+)
+
+
+def q_vocab_overlap(sf_dir: str) -> "pa.Table":
+    """Cross-source vocabulary overlap — for every ordered source pair
+    the intersection size of their DISTINCT token-value sets plus both
+    set sizes (the exact Jaccard ingredients). The domain-similarity
+    audit that decides whether two sources can share a tokenizer /
+    mixture bucket. Finishes on the shared vocab-bounded histogram:
+    per source a sorted distinct-value array, pairwise intersection
+    via np.intersect1d — never a corpus-sized join (the SQL twin's
+    self-join is the semantics, not the plan)."""
+    import pandas as pd
+
+    hist = _source_token_hist(sf_dir)
+    vocab = {
+        src: np.sort(h["tok"].to_numpy().astype(np.int64))
+        for src, h in hist.groupby("source")
+    }
+    out = []
+    for a in sorted(vocab):
+        for b in sorted(vocab):
+            if b <= a:
+                continue
+            inter = len(np.intersect1d(vocab[a], vocab[b],
+                                       assume_unique=True))
+            if inter == 0:
+                continue  # the SQL's inner join emits no zero-overlap row
+            out.append((a, b, inter, len(vocab[a]), len(vocab[b])))
+    res = pd.DataFrame(
+        out, columns=["src_a", "src_b", "n_common", "n_a", "n_b"]
+    )
+    return pa.Table.from_pandas(
+        res.astype({"n_common": np.int64, "n_a": np.int64,
+                    "n_b": np.int64}),
+        preserve_index=False,
+    )
+
+
+VOCAB_OVERLAP_SQL = (
+    f"{_FLAT_CTE},"
+    " v AS (SELECT DISTINCT source, tok FROM flat),"
+    " n AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM v"
+    "  GROUP BY source)"
+    " SELECT a.source AS src_a, b.source AS src_b,"
+    " CAST(count(*) AS BIGINT) AS n_common,"
+    " CAST(max(na.nv) AS BIGINT) AS n_a, CAST(max(nb.nv) AS BIGINT) AS n_b"
+    " FROM v a JOIN v b ON b.source > a.source AND b.tok = a.tok"
+    " JOIN n na ON na.source = a.source JOIN n nb ON nb.source = b.source"
+    " GROUP BY src_a, src_b"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -7392,6 +7480,8 @@ CORE_QUERIES = {
     "mann_kendall": (q_mann_kendall, MANN_KENDALL_SQL),
     "interarrival_stats": (q_interarrival_stats, INTERARRIVAL_SQL),
     "rare_token_docs": (q_rare_token_docs, RARE_TOKEN_SQL),
+    "zipf_hist": (q_zipf_hist, ZIPF_HIST_SQL),
+    "vocab_overlap": (q_vocab_overlap, VOCAB_OVERLAP_SQL),
     "peak_pos": (q_peak_pos, PEAK_POS_SQL),
     "period_detect": (q_period_detect, PERIOD_DETECT_SQL),
     "peak_windows": (q_peak_windows, PEAK_WINDOWS_SQL),
