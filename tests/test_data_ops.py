@@ -2222,6 +2222,35 @@ def test_zipf_and_vocab_overlap_finish():
     assert ("s1", "s3") not in v.index and ("s2", "s3") not in v.index
 
 
+def test_total_variation_kernel_edges():
+    """Hand-checked TV: |diffs| sum and max, boundary pairs masked,
+    1-token docs dropped."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_total_variation, "unused")
+    t = pa.table({"doc_id": ["a", "b", "c"],
+                  "tokens": [[1, 4, 2], [9], [5, 5]]})
+    df = fn(t).to_pandas().set_index("doc_id")
+    assert "b" not in df.index
+    assert (df.loc["a", "tv"], df.loc["a", "max_step"]) == (5, 3)
+    assert (df.loc["c", "tv"], df.loc["c", "max_step"]) == (0, 0)
+
+
+def test_doc_compress_bits_kernel_edges():
+    """Hand-checked Gorilla bit budget: dod 0 -> 1 bit, small dod -> 9,
+    huge dod -> 36; docs without a second difference emit nothing."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_doc_compress_bits, "unused")
+    # doc a = [0, 0, 0, 10, 10000]: dods = 0, 10, 9980 -> 1 + 9 + 36
+    # (9980 > 2048 -> fallback class)
+    t = pa.table({"doc_id": ["a", "b"],
+                  "tokens": [[0, 0, 0, 10, 10000], [1, 2]]})
+    df = fn(t).to_pandas().set_index("doc_id")
+    assert "b" not in df.index
+    assert (df.loc["a", "n_dod"], df.loc["a", "dod_bits"]) == (3, 46)
+
+
 def test_peak_pos_kernel_edges():
     """Hand-checked extremum positions: ties take the FIRST occurrence;
     constant docs report pos 0 for both; per-doc positions restart at 0."""

@@ -7397,6 +7397,131 @@ VOCAB_OVERLAP_SQL = (
 )
 
 
+def q_total_variation(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc total variation — sum and max of |first difference|, the
+    signal-roughness pair (a flat retention tier compresses a low-TV
+    doc to nothing; a high max_step flags discontinuities the gap-fill
+    stage should not interpolate across). One global diff per batch,
+    doc-boundary pairs masked, two reduceat passes. TV < n * 2^20 so
+    int64 is exact for any doc length < 2^43. Docs with one token emit
+    nothing (no pairs, matching the SQL's non-null lag filter)."""
+    ds = _seq_ds(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        e = pa.array([], type=pa.int64())
+        empty = pa.table(
+            {"doc_id": pa.array([], type=pa.string()), "n": e,
+             "tv": e, "max_step": e}
+        )
+        if n_docs == 0 or len(v) == 0:
+            return empty
+        n = np.diff(off)
+        assert (n > 0).all(), "total_variation requires non-empty docs"
+        kept = n >= 2
+        if not kept.any():
+            return empty
+        seg = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+        d = np.abs(v[1:] - v[:-1])
+        d = np.where(seg[1:] == seg[:-1], d, 0)
+        d = np.concatenate((d, [0]))  # pad to len(v) for reduceat
+        tv = np.add.reduceat(d, off[:-1])
+        ms = np.maximum.reduceat(d, off[:-1])
+        return pa.table(
+            {"doc_id": t["doc_id"].filter(pa.array(kept)),
+             "n": pa.array(n[kept].astype(np.int64)),
+             "tv": pa.array(tv[kept]), "max_step": pa.array(ms[kept])}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+
+TOTAL_VARIATION_SQL = (
+    f"{_FLAT_CTE},"
+    " l AS (SELECT doc_id, abs(tok - lag(tok) OVER"
+    "  (PARTITION BY doc_id ORDER BY pos)) AS d FROM flat)"
+    " SELECT doc_id, CAST(count(*) + 1 AS BIGINT) AS n,"
+    " CAST(sum(d) AS BIGINT) AS tv, CAST(max(d) AS BIGINT) AS max_step"
+    " FROM l WHERE d IS NOT NULL GROUP BY doc_id"
+)
+
+
+# Gorilla §4.1.1 total cost per timestamp: 1 control bit for dod == 0,
+# else control prefix + value bits per DOD_BOUNDS class, else 4 + 32
+DOD_CLASS_BITS = (1, 9, 12, 16, 36)
+
+
+def q_doc_compress_bits(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc compressibility forecast — the exact delta-of-delta
+    payload size (in bits) each sequence would occupy under the
+    Gorilla budget the tier encoder uses, BEFORE encoding anything:
+    classify every second difference into its DOD_BOUNDS width class
+    and sum DOD_CLASS_BITS per doc. The sizing signal a placement
+    planner reads to pack cold tiers. Same one-pass masked
+    second-difference as dod_width_hist, finished per doc (reduceat)
+    instead of per source. Docs with fewer than 3 tokens emit nothing
+    (no second difference exists, matching the SQL's lag filter)."""
+    ds = _seq_ds(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        e = pa.array([], type=pa.int64())
+        empty = pa.table(
+            {"doc_id": pa.array([], type=pa.string()), "n_dod": e,
+             "dod_bits": e}
+        )
+        if n_docs == 0 or len(v) < 3:
+            return empty
+        n = np.diff(off)
+        kept = n >= 3
+        if not kept.any():
+            return empty
+        seg = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+        dd = np.diff(v, n=2)
+        valid = seg[: len(dd)] == seg[2:]
+        bits = np.full(len(dd), DOD_CLASS_BITS[-1], dtype=np.int64)
+        for k, (lo, hi) in enumerate(reversed(DOD_BOUNDS)):
+            idx = len(DOD_BOUNDS) - k
+            bits[(dd >= lo) & (dd <= hi)] = DOD_CLASS_BITS[idx]
+        bits[dd == 0] = DOD_CLASS_BITS[0]
+        bits = np.where(valid, bits, 0)
+        bits = np.concatenate((bits, [0, 0]))  # pad to len(v)
+        total = np.add.reduceat(bits, off[:-1])
+        return pa.table(
+            {"doc_id": t["doc_id"].filter(pa.array(kept)),
+             "n_dod": pa.array((n[kept] - 2).astype(np.int64)),
+             "dod_bits": pa.array(total[kept])}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+
+def _doc_compress_sql() -> str:
+    cases = " ".join(
+        f"WHEN dod >= {lo} AND dod <= {hi} THEN {DOD_CLASS_BITS[i + 1]}"
+        for i, (lo, hi) in enumerate(DOD_BOUNDS)
+    )
+    return (
+        f"{_FLAT_CTE},"
+        " l AS (SELECT doc_id, tok,"
+        "  lag(tok) OVER w AS p1, lag(tok, 2) OVER w AS p2 FROM flat"
+        "  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),"
+        " d AS (SELECT doc_id, tok - 2 * p1 + p2 AS dod FROM l"
+        "  WHERE p2 IS NOT NULL)"
+        " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dod,"
+        f" CAST(sum(CASE WHEN dod = 0 THEN {DOD_CLASS_BITS[0]} {cases}"
+        f"  ELSE {DOD_CLASS_BITS[-1]} END) AS BIGINT) AS dod_bits"
+        " FROM d GROUP BY doc_id"
+    )
+
+
+DOC_COMPRESS_SQL = _doc_compress_sql()
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -7482,6 +7607,8 @@ CORE_QUERIES = {
     "rare_token_docs": (q_rare_token_docs, RARE_TOKEN_SQL),
     "zipf_hist": (q_zipf_hist, ZIPF_HIST_SQL),
     "vocab_overlap": (q_vocab_overlap, VOCAB_OVERLAP_SQL),
+    "total_variation": (q_total_variation, TOTAL_VARIATION_SQL),
+    "doc_compress_bits": (q_doc_compress_bits, DOC_COMPRESS_SQL),
     "peak_pos": (q_peak_pos, PEAK_POS_SQL),
     "period_detect": (q_period_detect, PERIOD_DETECT_SQL),
     "peak_windows": (q_peak_windows, PEAK_WINDOWS_SQL),
