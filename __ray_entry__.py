@@ -44,6 +44,10 @@ def entry() -> Any:
 # sax_symbols, best_shift, best_shift_full, scale_decomposition,
 # event_transitions, hll_by_type, ann_pq, clean_text, wav_features,
 # decontam_table.
+# Round 5 late additions: three more twice-★ slots (top_orders_q3,
+# order_priority_skewjoin, corpus_pack512) swapped for this round's new
+# drawdown / mann_kendall / dedup_incremental so they get driver-grade
+# evidence too; profit_by_nation_year keeps the join family in the gate.
 _PRIORITY = [
     # core §2 pins
     "rollup_t1", "rollup_t3", "rollup_t6", "source_stats", "store_stats",
@@ -56,8 +60,8 @@ _PRIORITY = [
     "sax_symbols", "best_shift", "best_shift_full", "scale_decomposition",
     "event_transitions",
     # late core additions + the join family
-    "store_refresh", "corpus_pack512",
-    "top_orders_q3", "profit_by_nation_year", "order_priority_skewjoin",
+    "store_refresh", "drawdown",
+    "mann_kendall", "profit_by_nation_year", "dedup_incremental",
     # data-pipeline family
     "dedup_exact", "dedup_minhash", "dedup_simhash",
     "dedup_keep", "ann_ivf", "ann_lsh", "lang_id",
