@@ -2339,3 +2339,49 @@ def test_peak_windows_partial_kernel():
            for _, r in df.iterrows()}
     assert got == {("s1", "a", 0): W, ("s1", "a", 1): 100 * W,
                    ("s2", "b", 0): 10 * W}
+
+
+def test_hurst_rs_kernel_edges():
+    """Hand-checked rescaled-range ingredients: r_scaled == n * R where
+    R is the range of cumulative deviations from the doc mean; constant
+    docs score 0; a monotone trend outscores an alternator of the same
+    sum; the global-cumsum base subtraction resets at doc boundaries."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_hurst_rs, "unused")
+    # trend [0,1,2,3]: prefix=[0,1,3,6], term=4*p-(k+1)*6 ->
+    # [-6,-8,-6,0] -> r=8.  alternator [0,3,0,3]: term=[-6,0,-6,0] -> 6.
+    t = pa.table({"doc_id": ["t", "a", "c"],
+                  "tokens": [[0, 1, 2, 3], [0, 3, 0, 3], [7, 7]]})
+    df = fn(t).to_pandas().set_index("doc_id")
+    assert (df.loc["t", "n"], df.loc["t", "s"], df.loc["t", "q"]) == (4, 6, 14)
+    assert df.loc["t", "r_scaled"] == 8
+    assert df.loc["a", "r_scaled"] == 6
+    assert df.loc["c", "r_scaled"] == 0
+    # boundary reset: doc c must not inherit t/a's running cumsum
+    assert df.loc["c", "s"] == 14 and df.loc["c", "q"] == 98
+
+
+def test_benford_digits_finish():
+    """Hand-checked leading-digit finish over a planted histogram:
+    multi-step //10 reduction, occurrence weighting, tok 0 excluded."""
+    import unittest.mock as mock
+
+    import pandas as pd
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    hist = pd.DataFrame({
+        "source": ["x", "x", "x", "x", "x", "y"],
+        "tok": [0, 1, 19, 234, 950, 5],
+        "cnt": [7, 2, 3, 4, 5, 6],
+    })
+    with mock.patch.object(cq, "_source_token_hist", return_value=hist):
+        b = cq.q_benford_digits("unused").to_pandas().set_index(
+            ["source", "digit"])
+    # x: digits 1 (tok 1, 19), 2 (234), 9 (950); tok 0 dropped
+    assert (b.loc[("x", 1), "n_values"], b.loc[("x", 1), "n_tokens"]) == (2, 5)
+    assert (b.loc[("x", 2), "n_values"], b.loc[("x", 2), "n_tokens"]) == (1, 4)
+    assert (b.loc[("x", 9), "n_values"], b.loc[("x", 9), "n_tokens"]) == (1, 5)
+    assert ("x", 0) not in b.index
+    assert (b.loc[("y", 5), "n_values"], b.loc[("y", 5), "n_tokens"]) == (1, 6)

@@ -7522,6 +7522,113 @@ def _doc_compress_sql() -> str:
 DOC_COMPRESS_SQL = _doc_compress_sql()
 
 
+def q_benford_digits(sf_dir: str) -> "pa.Table":
+    """Benford first-digit audit — per source, the leading-digit
+    histogram of the token values, both over distinct values
+    (n_values) and occurrence-weighted (n_tokens). A synthetic or
+    duplicated corpus whose digit distribution collapses to a few
+    spikes fails the naturalness check real measurement data passes.
+    Finishes on the shared vocab-bounded (source, tok, cnt) histogram
+    — no extra corpus pass; the leading digit is exact integer math
+    (repeated //10, at most 7 steps for tok < 2^20) on the engine
+    side and substr on the SQL side. Zero tokens carry no leading
+    digit and are excluded on both sides."""
+    import pandas as pd
+
+    hist = _source_token_hist(sf_dir)
+    hist = hist[hist["tok"] >= 1]
+    d = hist["tok"].to_numpy().astype(np.int64).copy()
+    while (d >= 10).any():
+        big = d >= 10
+        d[big] //= 10
+    df = pd.DataFrame(
+        {"source": hist["source"], "digit": d,
+         "cnt": hist["cnt"].to_numpy().astype(np.int64)}
+    )
+    out = (
+        df.groupby(["source", "digit"], as_index=False)
+        .agg(n_values=("cnt", "size"), n_tokens=("cnt", "sum"))
+    )
+    return pa.Table.from_pandas(
+        out.astype({"digit": np.int64, "n_values": np.int64,
+                    "n_tokens": np.int64}),
+        preserve_index=False,
+    )
+
+
+BENFORD_SQL = (
+    f"{_FLAT_CTE},"
+    " c AS (SELECT source, tok, count(*) AS cnt FROM flat"
+    "  WHERE tok >= 1 GROUP BY source, tok)"
+    " SELECT source,"
+    " CAST(substr(CAST(tok AS VARCHAR), 1, 1) AS BIGINT) AS digit,"
+    " CAST(count(*) AS BIGINT) AS n_values,"
+    " CAST(sum(cnt) AS BIGINT) AS n_tokens"
+    " FROM c GROUP BY source, digit"
+)
+
+
+def q_hurst_rs(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc rescaled-range (Hurst) ingredients — the R/S statistic's
+    exact integer numerator and the variance ingredients, so the
+    consumer computes H = log(R/S)/log(n) with one division away from
+    BIGINT-exact inputs. R is the range of cumulative deviations from
+    the doc mean; scaling by n keeps it integral:
+    n * prefix_k - (k+1) * sum == n * (prefix_k - (k+1) * mean).
+    Magnitudes: n < 2^16, prefix < 2^36, so both products < 2^52 —
+    int64-safe. One pass per batch: a global cumsum with per-doc bases
+    subtracted (no per-doc loop), max/min via reduceat. Long-memory
+    (trending) token streams score H near 1, i.i.d. streams near 0.5
+    — the persistence audit a retention planner reads to pick tier
+    depth per source."""
+    ds = _seq_ds(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        e = pa.array([], type=pa.int64())
+        if n_docs == 0 or len(v) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.string()),
+                 "n": e, "s": e, "q": e, "r_scaled": e}
+            )
+        n = np.diff(off)
+        assert (n > 0).all(), "hurst_rs requires non-empty docs"
+        c = np.cumsum(v)
+        base = c[off[:-1]] - v[off[:-1]]  # cumsum before each doc start
+        prefix = c - np.repeat(base, n)
+        s = np.add.reduceat(v, off[:-1])
+        q = np.add.reduceat(v * v, off[:-1])
+        k1 = np.arange(len(v), dtype=np.int64) - np.repeat(off[:-1], n) + 1
+        term = np.repeat(n.astype(np.int64), n) * prefix \
+            - k1 * np.repeat(s, n)
+        r = np.maximum.reduceat(term, off[:-1]) \
+            - np.minimum.reduceat(term, off[:-1])
+        return pa.table(
+            {"doc_id": t["doc_id"], "n": pa.array(n.astype(np.int64)),
+             "s": pa.array(s), "q": pa.array(q), "r_scaled": pa.array(r)}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+
+HURST_RS_SQL = (
+    f"{_FLAT_CTE},"
+    " w AS (SELECT doc_id, pos,"
+    "  sum(tok) OVER (PARTITION BY doc_id ORDER BY pos"
+    "   ROWS UNBOUNDED PRECEDING) AS prefix,"
+    "  count(*) OVER (PARTITION BY doc_id) AS n,"
+    "  sum(tok) OVER (PARTITION BY doc_id) AS s,"
+    "  sum(tok * tok) OVER (PARTITION BY doc_id) AS q FROM flat)"
+    " SELECT doc_id, CAST(max(n) AS BIGINT) AS n,"
+    " CAST(max(s) AS BIGINT) AS s, CAST(max(q) AS BIGINT) AS q,"
+    " CAST(max(n * prefix - (pos + 1) * s)"
+    "  - min(n * prefix - (pos + 1) * s) AS BIGINT) AS r_scaled"
+    " FROM w GROUP BY doc_id"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -7609,6 +7716,8 @@ CORE_QUERIES = {
     "vocab_overlap": (q_vocab_overlap, VOCAB_OVERLAP_SQL),
     "total_variation": (q_total_variation, TOTAL_VARIATION_SQL),
     "doc_compress_bits": (q_doc_compress_bits, DOC_COMPRESS_SQL),
+    "benford_digits": (q_benford_digits, BENFORD_SQL),
+    "hurst_rs": (q_hurst_rs, HURST_RS_SQL),
     "peak_pos": (q_peak_pos, PEAK_POS_SQL),
     "period_detect": (q_period_detect, PERIOD_DETECT_SQL),
     "peak_windows": (q_peak_windows, PEAK_WINDOWS_SQL),
