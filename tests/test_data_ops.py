@@ -2385,3 +2385,51 @@ def test_benford_digits_finish():
     assert (b.loc[("x", 9), "n_values"], b.loc[("x", 9), "n_tokens"]) == (1, 5)
     assert ("x", 0) not in b.index
     assert (b.loc[("y", 5), "n_values"], b.loc[("y", 5), "n_tokens"]) == (1, 6)
+
+
+def test_variance_ratio_kernel_edges():
+    """Hand-checked VR ingredients: complete buckets only, truncated
+    sums, docs shorter than VR_K dropped; a second doc's buckets do not
+    alias the first (vectorized stride offsets reset per doc)."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    assert cq.VR_K == 8
+    fn = _capture_batch_fn(cq.q_variance_ratio, "unused")
+    t = pa.table({"doc_id": ["a", "b", "c"],
+                  "tokens": [list(range(20)), [3] * 8, [1, 2, 3]]})
+    df = fn(t).to_pandas().set_index("doc_id")
+    assert "c" not in df.index
+    # a: buckets sum(0..7)=28, sum(8..15)=92; tail 16..19 ignored
+    assert (df.loc["a", "m"], df.loc["a", "sb"]) == (2, 120)
+    assert df.loc["a", "qb"] == 28 ** 2 + 92 ** 2
+    assert df.loc["a", "qx"] == sum(i * i for i in range(16))
+    assert (df.loc["b", "m"], df.loc["b", "sb"],
+            df.loc["b", "qb"], df.loc["b", "qx"]) == (1, 24, 576, 72)
+
+
+def test_runs_test_kernel_edges():
+    """Hand-checked runs: lower median, ties excluded, runs count the
+    sign flips + 1 over kept positions, all-constant docs report 0
+    runs, per-doc reset of the lift-sorted median."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_runs_test, "unused")
+    # a = [5,1,5,1,5]: med 5 (lower median of sorted [1,1,5,5,5] idx 2)
+    #   kept = the two 1s (below), no above -> 1 run
+    # b = [1,9,1,9]: med 1; kept = two 9s (above) -> 1 run
+    # c = [2,7,2,7,2,7]: med 2; kept 7,7,7 -> 1 run
+    # d = [4,4]: med 4, nothing kept -> 0 runs
+    # e = [1,8,2,9]: med 2 (sorted [1,2,8,9] idx 1); kept 1(-),8(+),9(+)
+    #   -> signs -,+,+ -> 2 runs
+    t = pa.table({"doc_id": ["a", "b", "c", "d", "e"],
+                  "tokens": [[5, 1, 5, 1, 5], [1, 9, 1, 9],
+                             [2, 7, 2, 7, 2, 7], [4, 4], [1, 8, 2, 9]]})
+    df = fn(t).to_pandas().set_index("doc_id")
+    assert (df.loc["a", "med"], df.loc["a", "n_above"],
+            df.loc["a", "n_below"], df.loc["a", "n_runs"]) == (5, 0, 2, 1)
+    assert (df.loc["b", "med"], df.loc["b", "n_runs"]) == (1, 1)
+    assert (df.loc["c", "med"], df.loc["c", "n_above"],
+            df.loc["c", "n_runs"]) == (2, 3, 1)
+    assert (df.loc["d", "med"], df.loc["d", "n_runs"]) == (4, 0)
+    assert (df.loc["e", "med"], df.loc["e", "n_above"],
+            df.loc["e", "n_below"], df.loc["e", "n_runs"]) == (2, 2, 1, 2)

@@ -7629,6 +7629,176 @@ HURST_RS_SQL = (
 )
 
 
+VR_K = 8  # variance-ratio aggregation factor (tokens per bucket)
+
+
+def q_variance_ratio(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc variance-ratio (Lo–MacKinlay) ingredients — the
+    stationarity test that compares the variance of VR_K-aggregated
+    bucket sums against VR_K times the token variance, over the same
+    truncated range (complete buckets only). BIGINT-exact outputs: m
+    (bucket count), sb (= token sum over the first m*VR_K tokens),
+    qb (sum of squared bucket sums) and qx (sum of squared tokens);
+    the consumer computes VR = (m*qb - sb^2) / (VR_K * (n'*qx - sb^2))
+    one division away. A random-walk stream scores VR near 1,
+    mean-reverting below, trending above — the classic check before
+    trusting a tier's downsample to preserve variance. Magnitudes:
+    bucket sum < 2^23, qb < 2^13 * 2^46 = 2^59 — int64-safe. Bucket
+    sums via one reduceat over vectorized per-doc stride-8 offsets
+    (no per-doc loop). Docs shorter than VR_K emit nothing."""
+    ds = _seq_ds(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        e = pa.array([], type=pa.int64())
+        empty = pa.table(
+            {"doc_id": pa.array([], type=pa.string()), "m": e,
+             "sb": e, "qb": e, "qx": e}
+        )
+        if n_docs == 0 or len(v) == 0:
+            return empty
+        n = np.diff(off)
+        m = n // VR_K
+        kept = m >= 1
+        if not kept.any():
+            return empty
+        # stride-VR_K bucket start offsets, all docs at once
+        mk = m[kept]
+        startk = off[:-1][kept]
+        bucket_doc_start = np.repeat(
+            np.concatenate(([0], np.cumsum(mk)))[:-1], mk
+        )
+        starts = np.repeat(startk, mk) \
+            + VR_K * (np.arange(mk.sum(), dtype=np.int64)
+                      - bucket_doc_start)
+        # reduceat over [start, start+VR_K) needs interleaved bounds;
+        # sum each bucket via cumsum differences instead (exact int64)
+        c = np.concatenate(([0], np.cumsum(v)))
+        b = c[starts + VR_K] - c[starts]
+        bdoc_off = np.concatenate(([0], np.cumsum(mk)))[:-1]
+        sb = np.add.reduceat(b, bdoc_off)
+        qb = np.add.reduceat(b * b, bdoc_off)
+        # token sum of squares over the truncated range only
+        q_all = np.concatenate(([0], np.cumsum(v * v)))
+        qx = q_all[startk + mk * VR_K] - q_all[startk]
+        return pa.table(
+            {"doc_id": t["doc_id"].filter(pa.array(kept)),
+             "m": pa.array(mk.astype(np.int64)), "sb": pa.array(sb),
+             "qb": pa.array(qb), "qx": pa.array(qx)}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+
+VARIANCE_RATIO_SQL = (
+    f"{_FLAT_CTE},"
+    " w AS (SELECT doc_id, pos, tok,"
+    "  count(*) OVER (PARTITION BY doc_id) AS n FROM flat),"
+    f" t AS (SELECT doc_id, pos, tok, pos // {VR_K} AS b FROM w"
+    f"  WHERE pos < {VR_K} * (n // {VR_K})),"
+    " bk AS (SELECT doc_id, b, sum(tok) AS bs, sum(tok * tok) AS bq"
+    "  FROM t GROUP BY doc_id, b)"
+    " SELECT doc_id, CAST(count(*) AS BIGINT) AS m,"
+    " CAST(sum(bs) AS BIGINT) AS sb,"
+    " CAST(sum(bs * bs) AS BIGINT) AS qb,"
+    " CAST(sum(bq) AS BIGINT) AS qx"
+    " FROM bk GROUP BY doc_id"
+)
+
+
+def q_runs_test(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc Wald–Wolfowitz runs test ingredients — the lower median
+    (the element at sorted index (n-1)//2, == DuckDB quantile_disc 0.5),
+    the counts above/below it, and the number of RUNS in the
+    above/below sign sequence with ties-to-median excluded. The
+    z-statistic is one formula away from these BIGINT-exact counts; a
+    token stream with too few runs is trending/segmented, too many is
+    oscillating — the randomness audit for synthetic-data QA. The
+    per-doc median costs ONE global np.sort per batch via the lift
+    trick (seg << TOKEN_BITS | token sorts each doc's values
+    contiguously in place); runs are counted over consecutive kept
+    (non-tie) positions whose sign flips, vectorized across docs."""
+    ds = _seq_ds(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        e = pa.array([], type=pa.int64())
+        if n_docs == 0 or len(v) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.string()), "n": e,
+                 "med": e, "n_above": e, "n_below": e, "n_runs": e}
+            )
+        if int(v.max()) >= (1 << TOKEN_BITS) or int(v.min()) < 0:
+            raise ValueError(
+                "runs_test's lift-sort needs tokens in "
+                f"[0, 2^{TOKEN_BITS})"
+            )
+        n = np.diff(off)
+        assert (n > 0).all(), "runs_test requires non-empty docs"
+        seg = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+        lifted = np.sort((seg << TOKEN_BITS) | v)
+        med = (lifted[off[:-1] + (n - 1) // 2]
+               & ((1 << TOKEN_BITS) - 1))
+        med_rep = np.repeat(med, n)
+        above = v > med_rep
+        keep = v != med_rep
+        n_above = np.add.reduceat(
+            above.astype(np.int64), off[:-1]
+        )
+        n_kept = np.add.reduceat(keep.astype(np.int64), off[:-1])
+        n_below = n_kept - n_above
+        # runs over kept positions: consecutive kept pair in the SAME
+        # doc with a sign flip starts a new run
+        ki = np.flatnonzero(keep)
+        if len(ki) == 0:
+            n_runs = np.zeros(n_docs, dtype=np.int64)
+        else:
+            same_doc = seg[ki[1:]] == seg[ki[:-1]]
+            flip = above[ki[1:]] != above[ki[:-1]]
+            trans = np.zeros(len(v), dtype=np.int64)
+            trans[ki[1:]] = (same_doc & flip).astype(np.int64)
+            pad = np.concatenate((trans, [0]))
+            n_trans = np.add.reduceat(pad, off[:-1])[:n_docs]
+            n_runs = np.where(n_kept > 0, n_trans + 1, 0)
+        return pa.table(
+            {"doc_id": t["doc_id"], "n": pa.array(n.astype(np.int64)),
+             "med": pa.array(med), "n_above": pa.array(n_above),
+             "n_below": pa.array(n_below), "n_runs": pa.array(n_runs)}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+
+RUNS_TEST_SQL = (
+    f"{_FLAT_CTE},"
+    " md AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,"
+    "  CAST(quantile_disc(tok, 0.5) AS BIGINT) AS med FROM flat"
+    "  GROUP BY doc_id),"
+    " k AS (SELECT f.doc_id, f.pos, f.tok > md.med AS above"
+    "  FROM flat f JOIN md ON md.doc_id = f.doc_id"
+    "  WHERE f.tok <> md.med),"
+    " r AS (SELECT doc_id,"
+    "  CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT)"
+    "   AS n_above,"
+    "  CAST(sum(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT)"
+    "   AS n_below,"
+    "  CAST(1 + sum(CASE WHEN flip THEN 1 ELSE 0 END) AS BIGINT)"
+    "   AS n_runs"
+    "  FROM (SELECT doc_id, above, above <>"
+    "   lag(above) OVER (PARTITION BY doc_id ORDER BY pos) AS flip"
+    "   FROM k) GROUP BY doc_id)"
+    " SELECT md.doc_id, md.n, md.med,"
+    " COALESCE(r.n_above, 0) AS n_above,"
+    " COALESCE(r.n_below, 0) AS n_below,"
+    " COALESCE(r.n_runs, 0) AS n_runs"
+    " FROM md LEFT JOIN r ON r.doc_id = md.doc_id"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -7718,6 +7888,8 @@ CORE_QUERIES = {
     "doc_compress_bits": (q_doc_compress_bits, DOC_COMPRESS_SQL),
     "benford_digits": (q_benford_digits, BENFORD_SQL),
     "hurst_rs": (q_hurst_rs, HURST_RS_SQL),
+    "variance_ratio": (q_variance_ratio, VARIANCE_RATIO_SQL),
+    "runs_test": (q_runs_test, RUNS_TEST_SQL),
     "peak_pos": (q_peak_pos, PEAK_POS_SQL),
     "period_detect": (q_period_detect, PERIOD_DETECT_SQL),
     "peak_windows": (q_peak_windows, PEAK_WINDOWS_SQL),
