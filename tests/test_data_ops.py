@@ -2433,3 +2433,61 @@ def test_runs_test_kernel_edges():
     assert (df.loc["d", "med"], df.loc["d", "n_runs"]) == (4, 0)
     assert (df.loc["e", "med"], df.loc["e", "n_above"],
             df.loc["e", "n_below"], df.loc["e", "n_runs"]) == (2, 2, 1, 2)
+
+
+def test_ks_sources_finish():
+    """Hand-checked KS over a planted two-source histogram: the ECDF gap
+    is cross-multiplied (d_num == n_a * n_b * D), evaluated on the
+    union value grid, max over values."""
+    import unittest.mock as mock
+
+    import pandas as pd
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    # a: 1x3, 3x1 (n=4); b: 2x2, 3x2 (n=4)
+    # union grid [1,2,3]: cum_a=[3,3,4], cum_b=[0,2,4]
+    # |cum_a*4 - cum_b*4| = [12, 4, 0] -> d_num 12 (D = 3/4)
+    hist = pd.DataFrame({
+        "source": ["a", "a", "b", "b"],
+        "tok": [1, 3, 2, 3],
+        "cnt": [3, 1, 2, 2],
+    })
+    with mock.patch.object(cq, "_source_token_hist", return_value=hist):
+        k = cq.q_ks_sources("unused").to_pandas().set_index(
+            ["src_a", "src_b"])
+    assert (k.loc[("a", "b"), "n_a"], k.loc[("a", "b"), "n_b"],
+            k.loc[("a", "b"), "d_num"]) == (4, 4, 12)
+
+
+def test_bigram_diversity_partial_kernel():
+    """Hand-checked bigram partial: boundary pairs masked, per-source
+    packed keys, counts merged within the batch."""
+    import unittest.mock as mock
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    captured = {}
+
+    class _Stop(Exception):
+        pass
+
+    class _Probe:
+        def map_batches(self, fn, **kw):
+            captured["fn"] = fn
+            raise _Stop()
+
+    with mock.patch.object(cq, "_seq_ds", return_value=_Probe()):
+        with pytest.raises(_Stop):
+            cq.q_bigram_diversity("unused")
+    # doc a (s1): bigrams (1,2),(2,1),(1,2) ; doc b (s1): (1,2)
+    # doc c (s2): (7,7) — boundary pair a->b, b->c never counted
+    t = pa.table({"doc_id": ["a", "b", "c"],
+                  "tokens": [[1, 2, 1, 2], [1, 2], [7, 7]],
+                  "source": ["s1", "s1", "s2"]})
+    out = captured["fn"](t).to_pandas()
+    got = {(r["source"], int(r["key"])): int(r["cnt"])
+           for _, r in out.iterrows()}
+    B = cq.TOKEN_BITS
+    assert got == {("s1", (1 << B) | 2): 3, ("s1", (2 << B) | 1): 1,
+                   ("s2", (7 << B) | 7): 1}

@@ -7799,6 +7799,151 @@ RUNS_TEST_SQL = (
 )
 
 
+def q_ks_sources(sf_dir: str) -> "pa.Table":
+    """Two-sample Kolmogorov–Smirnov drift statistic for every source
+    pair — the max absolute ECDF gap over token values, kept exact by
+    cross-multiplying counts instead of dividing:
+    d_num = max_v |cum_a(v) * n_b - cum_b(v) * n_a| == n_a*n_b*D.
+    The distribution-shift gate a mixture planner runs before pooling
+    two sources into one training bucket (KS is sensitive where
+    source_drift's top-K token deltas are not: shape, not heads).
+    Finishes on the shared vocab-bounded histogram: per source a
+    cumulative count over the UNION value grid (ECDF gaps are attained
+    at observed values), pairwise max — sources x vocab rows, never
+    the corpus. Exact while cum * n < 2^63 (n per source < 3e9 at
+    vocab 2^20 — far past any per-shard batch)."""
+    import pandas as pd
+
+    hist = _source_token_hist(sf_dir)
+    toks = np.sort(hist["tok"].unique().astype(np.int64))
+    srcs = sorted(hist["source"].unique())
+    cums, ns = {}, {}
+    for src, h in hist.groupby("source"):
+        counts = np.zeros(len(toks), dtype=np.int64)
+        idx = np.searchsorted(toks, h["tok"].to_numpy().astype(np.int64))
+        counts[idx] = h["cnt"].to_numpy().astype(np.int64)
+        cums[src] = np.cumsum(counts)
+        ns[src] = int(counts.sum())
+    out = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            d = np.abs(cums[a] * ns[b] - cums[b] * ns[a]).max()
+            out.append((a, b, ns[a], ns[b], int(d)))
+    return pa.table(
+        {"src_a": pa.array([r[0] for r in out], type=pa.string()),
+         "src_b": pa.array([r[1] for r in out], type=pa.string()),
+         "n_a": pa.array([r[2] for r in out], type=pa.int64()),
+         "n_b": pa.array([r[3] for r in out], type=pa.int64()),
+         "d_num": pa.array([r[4] for r in out], type=pa.int64())}
+    )
+
+
+KS_SOURCES_SQL = (
+    f"{_FLAT_CTE},"
+    " c AS (SELECT source, tok, count(*) AS cnt FROM flat"
+    "  GROUP BY source, tok),"
+    " n AS (SELECT source, sum(cnt) AS n FROM c GROUP BY source),"
+    " grid AS (SELECT s.source, t.tok"
+    "  FROM (SELECT DISTINCT source FROM c) s"
+    "  CROSS JOIN (SELECT DISTINCT tok FROM c) t),"
+    " cum AS (SELECT g.source, g.tok,"
+    "  sum(COALESCE(c.cnt, 0)) OVER (PARTITION BY g.source"
+    "   ORDER BY g.tok) AS cum"
+    "  FROM grid g LEFT JOIN c ON c.source = g.source"
+    "   AND c.tok = g.tok)"
+    " SELECT a.source AS src_a, b.source AS src_b,"
+    " CAST(max(na.n) AS BIGINT) AS n_a,"
+    " CAST(max(nb.n) AS BIGINT) AS n_b,"
+    " CAST(max(abs(a.cum * nb.n - b.cum * na.n)) AS BIGINT) AS d_num"
+    " FROM cum a JOIN cum b ON b.source > a.source AND b.tok = a.tok"
+    " JOIN n na ON na.source = a.source"
+    " JOIN n nb ON nb.source = b.source"
+    " GROUP BY src_a, src_b"
+)
+
+
+def q_bigram_diversity(sf_dir: str) -> "pa.Table":
+    """Per-source token-BIGRAM diversity — total bigram occurrences,
+    distinct bigrams, and the Simpson collision numerator
+    sum(cnt * (cnt - 1)): the sequential-repetition complement to
+    gini_tokens' marginal concentration (a looping generator shows up
+    here long before its unigram histogram degrades). One corpus pass
+    of per-batch packed-key partials ((b1 << 20) | b2 — exact for
+    tokens < 2^20), then ONE distinct-bigram-sized groupby exchange
+    (data-bounded: at most one distinct bigram per occurrence, in
+    practice Zipf-collapsed far below it) and a per-source finish on
+    the histogram — the corpus itself is never shuffled."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        if n_docs == 0 or len(v) < 2:
+            return pa.table(
+                {"source": pa.array([], type=pa.string()),
+                 "key": pa.array([], type=pa.int64()),
+                 "cnt": pa.array([], type=pa.int64())}
+            )
+        if int(v.max()) >= (1 << TOKEN_BITS) or int(v.min()) < 0:
+            raise ValueError(
+                "bigram_diversity packs (b1, b2) into one int64 key; "
+                f"tokens must be in [0, 2^{TOKEN_BITS})"
+            )
+        n = np.diff(off)
+        seg = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+        srcs = sorted(set(t["source"].to_pylist()))
+        src_idx = pc.index_in(
+            t["source"], value_set=pa.array(srcs)
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        within = seg[1:] == seg[:-1]
+        key = (v[:-1] << TOKEN_BITS) | v[1:]
+        skey = (np.repeat(src_idx, n)[:-1] << (2 * TOKEN_BITS)) | key
+        skey = skey[within]
+        uk, cnt = np.unique(skey, return_counts=True)
+        src_names = np.array(srcs, dtype=object)[uk >> (2 * TOKEN_BITS)]
+        return pa.table(
+            {"source": pa.array(src_names, type=pa.string()),
+             "key": pa.array(uk & ((1 << (2 * TOKEN_BITS)) - 1)),
+             "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    hist = (
+        _seq_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", batch_size=256)
+        .groupby(["source", "key"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # distinct (source, bigram) pairs only
+    )
+    out = (
+        hist.assign(coll=lambda d: d["cnt"] * (d["cnt"] - 1))
+        .groupby("source", as_index=False)
+        .agg(t_bigrams=("cnt", "sum"), u_bigrams=("cnt", "size"),
+             simpson_num=("coll", "sum"))
+    )
+    return pa.Table.from_pandas(
+        out.astype({"t_bigrams": np.int64, "u_bigrams": np.int64,
+                    "simpson_num": np.int64}),
+        preserve_index=False,
+    )
+
+
+BIGRAM_DIVERSITY_SQL = (
+    f"{_FLAT_CTE},"
+    " b AS (SELECT f.source, f.tok AS b1, g.tok AS b2"
+    "  FROM flat f JOIN flat g ON g.doc_id = f.doc_id"
+    "   AND g.pos = f.pos + 1),"
+    " c AS (SELECT source, b1, b2, count(*) AS cnt FROM b"
+    "  GROUP BY source, b1, b2)"
+    " SELECT source, CAST(sum(cnt) AS BIGINT) AS t_bigrams,"
+    " CAST(count(*) AS BIGINT) AS u_bigrams,"
+    " CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS simpson_num"
+    " FROM c GROUP BY source"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -7890,6 +8035,8 @@ CORE_QUERIES = {
     "hurst_rs": (q_hurst_rs, HURST_RS_SQL),
     "variance_ratio": (q_variance_ratio, VARIANCE_RATIO_SQL),
     "runs_test": (q_runs_test, RUNS_TEST_SQL),
+    "ks_sources": (q_ks_sources, KS_SOURCES_SQL),
+    "bigram_diversity": (q_bigram_diversity, BIGRAM_DIVERSITY_SQL),
     "peak_pos": (q_peak_pos, PEAK_POS_SQL),
     "period_detect": (q_period_detect, PERIOD_DETECT_SQL),
     "peak_windows": (q_peak_windows, PEAK_WINDOWS_SQL),
