@@ -2491,3 +2491,26 @@ def test_bigram_diversity_partial_kernel():
     B = cq.TOKEN_BITS
     assert got == {("s1", (1 << B) | 2): 3, ("s1", (2 << B) | 1): 1,
                    ("s2", (7 << B) | 7): 1}
+
+
+def test_theil_sen_kernel_edges():
+    """Hand-checked Theil–Sen on a planted linear + one outlier doc: the
+    median slope ignores the spike a least-squares fit would chase;
+    short docs (< TS_GRID tokens) emit nothing; w > 1 buckets sum."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    G = cq.TS_GRID
+    fn = _capture_batch_fn(cq.q_theil_sen, "unused")
+    # doc a: b_j = 3j exactly (w=1, tokens = 3*pos) + one huge spike at
+    # the last bucket — most pairwise slopes stay 3
+    a = [3 * j for j in range(G)]
+    a[-1] = 100000
+    # doc b: constant -> slope 0; w=2 (128 tokens)
+    b = [5] * (2 * G)
+    # doc c: too short
+    c = [1] * (G - 1)
+    t = pa.table({"doc_id": ["a", "b", "c"], "tokens": [a, b, c]})
+    df = fn(t).to_pandas().set_index("doc_id")
+    assert "c" not in df.index
+    assert df.loc["a", "slope_num"] / df.loc["a", "slope_den"] == 3.0
+    assert (df.loc["b", "w"], df.loc["b", "slope_num"]) == (2, 0)

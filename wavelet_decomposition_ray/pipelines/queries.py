@@ -7944,6 +7944,90 @@ BIGRAM_DIVERSITY_SQL = (
 )
 
 
+TS_GRID = 64  # Theil-Sen bucket grid (pairs per doc = C(64,2) = 2016)
+
+
+def q_theil_sen(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc Theil–Sen robust trend — the median of all pairwise
+    slopes between the TS_GRID bucket-sum points (j, b_j), immune to
+    the outlier spikes that wreck a least-squares slope (the trend
+    estimate a retention planner trusts on dirty telemetry). Exact and
+    hash-stable: the slope is returned as the BIGINT fraction
+    (slope_num, slope_den) of the LOWER-median pair under the total
+    order (value, num, den) — value ordering by float64 is exact here
+    because distinct fractions with |num| < 2^31 and den < 64 differ
+    by >= 1/4096, far above ulp. Buckets are w = n // 64 tokens wide
+    (complete buckets only; docs shorter than 64 emit nothing), bucket
+    sums come from one global cumsum gather, and ALL docs' 2016 pairs
+    rank in ONE np.lexsort — no per-doc loop anywhere."""
+    ds = _seq_ds(sf_dir)
+    ji, ki = np.triu_indices(TS_GRID, k=1)
+    den0 = (ki - ji).astype(np.int64)
+    n_pairs = len(den0)  # 2016
+    med_rank = (n_pairs - 1) // 2
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        e = pa.array([], type=pa.int64())
+        empty = pa.table(
+            {"doc_id": pa.array([], type=pa.string()), "w": e,
+             "slope_num": e, "slope_den": e}
+        )
+        if n_docs == 0 or len(v) == 0:
+            return empty
+        n = np.diff(off)
+        w = n // TS_GRID
+        kept = w >= 1
+        if not kept.any():
+            return empty
+        wk = w[kept]
+        startk = off[:-1][kept]
+        c = np.concatenate(([0], np.cumsum(v)))
+        edges = startk[:, None] + wk[:, None] * np.arange(TS_GRID + 1)
+        b = np.diff(c[edges], axis=1)  # (D, TS_GRID) bucket sums
+        num = b[:, ki] - b[:, ji]      # (D, n_pairs)
+        d = int(kept.sum())
+        den = np.broadcast_to(den0, (d, n_pairs))
+        val = num / den
+        row = np.repeat(np.arange(d, dtype=np.int64), n_pairs)
+        order = np.lexsort(
+            (den.ravel(), num.ravel(), val.ravel(), row)
+        )
+        med = order[np.arange(d) * n_pairs + med_rank]
+        return pa.table(
+            {"doc_id": t["doc_id"].filter(pa.array(kept)),
+             "w": pa.array(wk.astype(np.int64)),
+             "slope_num": pa.array(num.ravel()[med]),
+             "slope_den": pa.array(den.ravel()[med])}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+
+THEIL_SEN_SQL = (
+    f"{_FLAT_CTE},"
+    " wd AS (SELECT doc_id, pos, tok,"
+    f"  (count(*) OVER (PARTITION BY doc_id)) // {TS_GRID} AS w"
+    "  FROM flat),"
+    f" t AS (SELECT doc_id, w, pos // w AS j, tok FROM wd"
+    f"  WHERE w >= 1 AND pos < {TS_GRID} * w),"
+    " bk AS (SELECT doc_id, max(w) AS w, j, sum(tok) AS b FROM t"
+    "  GROUP BY doc_id, j),"
+    " p AS (SELECT x.doc_id, x.w, y.b - x.b AS num,"
+    "  y.j - x.j AS den FROM bk x JOIN bk y"
+    "  ON y.doc_id = x.doc_id AND y.j > x.j),"
+    " r AS (SELECT doc_id, w, num, den, row_number() OVER"
+    "  (PARTITION BY doc_id"
+    "   ORDER BY CAST(num AS DOUBLE) / den, num, den) AS rk FROM p)"
+    " SELECT doc_id, CAST(w AS BIGINT) AS w,"
+    " CAST(num AS BIGINT) AS slope_num,"
+    " CAST(den AS BIGINT) AS slope_den"
+    f" FROM r WHERE rk = {(64 * 63 // 2 - 1) // 2 + 1}"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -8037,6 +8121,7 @@ CORE_QUERIES = {
     "runs_test": (q_runs_test, RUNS_TEST_SQL),
     "ks_sources": (q_ks_sources, KS_SOURCES_SQL),
     "bigram_diversity": (q_bigram_diversity, BIGRAM_DIVERSITY_SQL),
+    "theil_sen": (q_theil_sen, THEIL_SEN_SQL),
     "peak_pos": (q_peak_pos, PEAK_POS_SQL),
     "period_detect": (q_period_detect, PERIOD_DETECT_SQL),
     "peak_windows": (q_peak_windows, PEAK_WINDOWS_SQL),
