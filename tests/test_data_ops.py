@@ -2514,3 +2514,72 @@ def test_theil_sen_kernel_edges():
     assert "c" not in df.index
     assert df.loc["a", "slope_num"] / df.loc["a", "slope_den"] == 3.0
     assert (df.loc["b", "w"], df.loc["b", "slope_num"]) == (2, 0)
+
+
+def test_ordinal_patterns_partial_kernel():
+    """Hand-checked ordinal triples: sign pairs with ties as their own
+    class, cross-doc triples masked, per-source packed bincount."""
+    import unittest.mock as mock
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    captured = {}
+
+    class _Stop(Exception):
+        pass
+
+    class _Probe:
+        def map_batches(self, fn, **kw):
+            captured["fn"] = fn
+            raise _Stop()
+
+    with mock.patch.object(cq, "_seq_ds", return_value=_Probe()):
+        with pytest.raises(_Stop):
+            cq.q_ordinal_patterns("unused")
+    # doc a (s1) = [1,2,3,3]: triples (1,2,3) -> (+,+), (2,3,3) -> (+,0)
+    # doc b (s1) = [5,1]: no triple; doc c (s2) = [9,9,9]: (0,0)
+    t = pa.table({"doc_id": ["a", "b", "c"],
+                  "tokens": [[1, 2, 3, 3], [5, 1], [9, 9, 9]],
+                  "source": ["s1", "s1", "s2"]})
+    out = captured["fn"](t).to_pandas()
+    got = {(r["source"], int(r["s1"]), int(r["s2"])): int(r["cnt"])
+           for _, r in out.iterrows()}
+    assert got == {("s1", 1, 1): 1, ("s1", 1, 0): 1, ("s2", 0, 0): 1}
+
+
+def test_l1_distance_finish():
+    """Hand-checked cross-multiplied L1 over a planted histogram."""
+    import unittest.mock as mock
+
+    import pandas as pd
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    # a: {1:3, 3:1} (n=4); b: {2:2, 3:2} (n=4)
+    # grid [1,2,3]: |3*4-0*4| + |0*4-2*4| + |1*4-2*4| = 12+8+4 = 24
+    hist = pd.DataFrame({
+        "source": ["a", "a", "b", "b"],
+        "tok": [1, 3, 2, 3],
+        "cnt": [3, 1, 2, 2],
+    })
+    with mock.patch.object(cq, "_source_token_hist", return_value=hist):
+        d = cq.q_l1_distance_sources("unused").to_pandas().set_index(
+            ["src_a", "src_b"])
+    assert (d.loc[("a", "b"), "n_a"], d.loc[("a", "b"), "n_b"],
+            d.loc[("a", "b"), "l1_num"]) == (4, 4, 24)
+
+
+def test_splithalf_corr_kernel_edges():
+    """Hand-checked even/odd pairing: trailing unpaired token dropped,
+    boundary pairs never mix docs, all six moments exact."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_splithalf_corr, "unused")
+    # doc a = [1,2,3,4,9]: pairs (1,2),(3,4); tail 9 dropped
+    # doc b = [7]: no pair -> dropped entirely
+    t = pa.table({"doc_id": ["a", "b"], "tokens": [[1, 2, 3, 4, 9], [7]]})
+    df = fn(t).to_pandas().set_index("doc_id")
+    assert "b" not in df.index
+    assert (df.loc["a", "m"], df.loc["a", "sx"], df.loc["a", "sy"]) == (2, 4, 6)
+    assert (df.loc["a", "qx"], df.loc["a", "qy"]) == (10, 20)
+    assert df.loc["a", "dot"] == 1 * 2 + 3 * 4

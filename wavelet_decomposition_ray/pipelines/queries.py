@@ -8028,6 +8028,199 @@ THEIL_SEN_SQL = (
 )
 
 
+def q_ordinal_patterns(sf_dir: str) -> "ray.data.Dataset":
+    """Ordinal (permutation-entropy) pattern census per source — every
+    consecutive token triple classified by its two step signs
+    (sign(x2-x1), sign(x3-x2)), nine patterns total with ties kept as
+    their own class. The motif mix is a shape fingerprint: white noise
+    spreads evenly over the non-tie patterns, a sawtooth lives in two,
+    heavy quantization shows up as tie mass — the cheap structure
+    audit before paying for a full DWT. One sign-diff pass per batch,
+    doc-boundary triples masked, one bincount per batch on the packed
+    (source, pattern) key, then a 9-rows-per-source groupby — the
+    exchange is sources x 9, never the corpus."""
+    from ray.data.aggregate import Sum
+
+    ds = _seq_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        empty = pa.table(
+            {"source": pa.array([], type=pa.string()),
+             "s1": pa.array([], type=pa.int64()),
+             "s2": pa.array([], type=pa.int64()),
+             "cnt": pa.array([], type=pa.int64())}
+        )
+        if n_docs == 0 or len(v) < 3:
+            return empty
+        n = np.diff(off)
+        seg = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+        d = np.sign(v[1:] - v[:-1])
+        within = seg[1:] == seg[:-1]
+        # triple at i valid when steps i and i+1 are both intra-doc
+        ok = within[:-1] & within[1:]
+        if not ok.any():
+            return empty
+        pid = (d[:-1][ok] + 1) * 3 + (d[1:][ok] + 1)
+        srcs = sorted(set(t["source"].to_pylist()))
+        src_idx = pc.index_in(
+            t["source"], value_set=pa.array(srcs)
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        sp = np.repeat(src_idx, n)[:-2][ok] * 9 + pid
+        cnt = np.bincount(sp, minlength=9 * len(srcs))
+        nz = np.flatnonzero(cnt)
+        src_names = np.array(srcs, dtype=object)[nz // 9]
+        return pa.table(
+            {"source": pa.array(src_names, type=pa.string()),
+             "s1": pa.array(nz % 9 // 3 - 1),
+             "s2": pa.array(nz % 3 - 1),
+             "cnt": pa.array(cnt[nz].astype(np.int64))}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=256)
+        .groupby(["source", "s1", "s2"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+
+ORDINAL_PATTERNS_SQL = (
+    f"{_FLAT_CTE},"
+    " l AS (SELECT source, doc_id, tok,"
+    "  lead(tok) OVER w AS t2, lead(tok, 2) OVER w AS t3 FROM flat"
+    "  WINDOW w AS (PARTITION BY doc_id ORDER BY pos))"
+    " SELECT source, CAST(sign(t2 - tok) AS BIGINT) AS s1,"
+    " CAST(sign(t3 - t2) AS BIGINT) AS s2,"
+    " CAST(count(*) AS BIGINT) AS cnt"
+    " FROM l WHERE t3 IS NOT NULL GROUP BY source, s1, s2"
+)
+
+
+def q_l1_distance_sources(sf_dir: str) -> "pa.Table":
+    """Exact total-variation (L1) distance between every source pair's
+    token distributions, cross-multiplied to stay integral:
+    l1_num = sum_v |c_a(v) * n_b - c_b(v) * n_a| == n_a*n_b * 2*TV.
+    Where ks_sources bounds the worst single quantile, L1 integrates
+    drift over the whole vocabulary — the pair of them brackets how
+    safely two sources can share a mixture bucket. Same shared
+    vocab-bounded histogram finish as ks_sources: dense per-source
+    count vectors over the union grid, one vectorized abs-diff per
+    pair — never a corpus pass beyond the shared one."""
+    import pandas as pd
+
+    hist = _source_token_hist(sf_dir)
+    toks = np.sort(hist["tok"].unique().astype(np.int64))
+    srcs = sorted(hist["source"].unique())
+    vecs, ns = {}, {}
+    for src, h in hist.groupby("source"):
+        counts = np.zeros(len(toks), dtype=np.int64)
+        idx = np.searchsorted(toks, h["tok"].to_numpy().astype(np.int64))
+        counts[idx] = h["cnt"].to_numpy().astype(np.int64)
+        vecs[src] = counts
+        ns[src] = int(counts.sum())
+    out = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            l1 = int(np.abs(vecs[a] * ns[b] - vecs[b] * ns[a]).sum())
+            out.append((a, b, ns[a], ns[b], l1))
+    return pa.table(
+        {"src_a": pa.array([r[0] for r in out], type=pa.string()),
+         "src_b": pa.array([r[1] for r in out], type=pa.string()),
+         "n_a": pa.array([r[2] for r in out], type=pa.int64()),
+         "n_b": pa.array([r[3] for r in out], type=pa.int64()),
+         "l1_num": pa.array([r[4] for r in out], type=pa.int64())}
+    )
+
+
+L1_DISTANCE_SQL = (
+    f"{_FLAT_CTE},"
+    " c AS (SELECT source, tok, count(*) AS cnt FROM flat"
+    "  GROUP BY source, tok),"
+    " n AS (SELECT source, sum(cnt) AS n FROM c GROUP BY source),"
+    " grid AS (SELECT s.source, t.tok"
+    "  FROM (SELECT DISTINCT source FROM c) s"
+    "  CROSS JOIN (SELECT DISTINCT tok FROM c) t),"
+    " d AS (SELECT g.source, g.tok, COALESCE(c.cnt, 0) AS cnt"
+    "  FROM grid g LEFT JOIN c ON c.source = g.source"
+    "   AND c.tok = g.tok)"
+    " SELECT a.source AS src_a, b.source AS src_b,"
+    " CAST(max(na.n) AS BIGINT) AS n_a,"
+    " CAST(max(nb.n) AS BIGINT) AS n_b,"
+    " CAST(sum(abs(a.cnt * nb.n - b.cnt * na.n)) AS BIGINT) AS l1_num"
+    " FROM d a JOIN d b ON b.source > a.source AND b.tok = a.tok"
+    " JOIN n na ON na.source = a.source"
+    " JOIN n nb ON nb.source = b.source"
+    " GROUP BY src_a, src_b"
+)
+
+
+def q_splithalf_corr(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc split-half reliability ingredients — pair each even
+    position with the following odd position and return the BIGINT
+    moments (m pairs, sums, sums of squares, dot product); the
+    even/odd Pearson r (and the Spearman–Brown-corrected reliability)
+    is one formula away. A sequence whose halves do not correlate has
+    no stable signal for a rollup tier to preserve — the
+    worth-compressing-at-all gate. One masked multiply + reduceat
+    pass; the trailing unpaired token of odd-length docs is dropped
+    on both sides; all sums < 2^56 (int64-safe)."""
+    ds = _seq_ds(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        e = pa.array([], type=pa.int64())
+        empty = pa.table(
+            {"doc_id": pa.array([], type=pa.string()), "m": e,
+             "sx": e, "sy": e, "qx": e, "qy": e, "dot": e}
+        )
+        if n_docs == 0 or len(v) == 0:
+            return empty
+        n = np.diff(off)
+        m = n // 2
+        kept = m >= 1
+        if not kept.any():
+            return empty
+        pos = np.arange(len(v), dtype=np.int64) - np.repeat(off[:-1], n)
+        in_pair = pos < 2 * np.repeat(m, n)
+        even = in_pair & (pos % 2 == 0)
+        odd = in_pair & (pos % 2 == 1)
+        sx = np.add.reduceat(np.where(even, v, 0), off[:-1])
+        sy = np.add.reduceat(np.where(odd, v, 0), off[:-1])
+        qx = np.add.reduceat(np.where(even, v * v, 0), off[:-1])
+        qy = np.add.reduceat(np.where(odd, v * v, 0), off[:-1])
+        p = v[:-1] * v[1:]
+        dmask = even[:-1] & odd[1:]
+        dpad = np.concatenate((np.where(dmask, p, 0), [0]))
+        dot = np.add.reduceat(dpad, off[:-1])[:n_docs]
+        return pa.table(
+            {"doc_id": t["doc_id"].filter(pa.array(kept)),
+             "m": pa.array(m[kept].astype(np.int64)),
+             "sx": pa.array(sx[kept]), "sy": pa.array(sy[kept]),
+             "qx": pa.array(qx[kept]), "qy": pa.array(qy[kept]),
+             "dot": pa.array(dot[kept])}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+
+SPLITHALF_SQL = (
+    f"{_FLAT_CTE},"
+    " p AS (SELECT x.doc_id, x.tok AS xv, y.tok AS yv"
+    "  FROM flat x JOIN flat y ON y.doc_id = x.doc_id"
+    "   AND y.pos = x.pos + 1 WHERE x.pos % 2 = 0)"
+    " SELECT doc_id, CAST(count(*) AS BIGINT) AS m,"
+    " CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,"
+    " CAST(sum(xv * xv) AS BIGINT) AS qx,"
+    " CAST(sum(yv * yv) AS BIGINT) AS qy,"
+    " CAST(sum(xv * yv) AS BIGINT) AS dot"
+    " FROM p GROUP BY doc_id"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -8122,6 +8315,9 @@ CORE_QUERIES = {
     "ks_sources": (q_ks_sources, KS_SOURCES_SQL),
     "bigram_diversity": (q_bigram_diversity, BIGRAM_DIVERSITY_SQL),
     "theil_sen": (q_theil_sen, THEIL_SEN_SQL),
+    "ordinal_patterns": (q_ordinal_patterns, ORDINAL_PATTERNS_SQL),
+    "l1_distance_sources": (q_l1_distance_sources, L1_DISTANCE_SQL),
+    "splithalf_corr": (q_splithalf_corr, SPLITHALF_SQL),
     "peak_pos": (q_peak_pos, PEAK_POS_SQL),
     "period_detect": (q_period_detect, PERIOD_DETECT_SQL),
     "peak_windows": (q_peak_windows, PEAK_WINDOWS_SQL),
