@@ -2583,3 +2583,67 @@ def test_splithalf_corr_kernel_edges():
     assert (df.loc["a", "m"], df.loc["a", "sx"], df.loc["a", "sy"]) == (2, 4, 6)
     assert (df.loc["a", "qx"], df.loc["a", "qy"]) == (10, 20)
     assert df.loc["a", "dot"] == 1 * 2 + 3 * 4
+
+
+def test_vocab_growth_partial_kernel():
+    """Hand-checked first-occurrence partial: min doc id per
+    (source, token), probe docs excluded."""
+    import unittest.mock as mock
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    captured = {}
+
+    class _Stop(Exception):
+        pass
+
+    class _Probe:
+        def map_batches(self, fn, **kw):
+            captured["fn"] = fn
+            raise _Stop()
+
+    with mock.patch.object(cq, "_seq_ds", return_value=_Probe()):
+        with pytest.raises(_Stop):
+            cq.q_vocab_growth("unused")
+    t = pa.table({"doc_id": ["doc-00000005", "doc-00000002", "probe-sine"],
+                  "tokens": [[7, 8], [8, 9], [7, 99]],
+                  "source": ["s1", "s1", "s1"]})
+    out = captured["fn"](t).to_pandas()
+    got = {(r["source"], int(r["tok"])): int(r["did"])
+           for _, r in out.iterrows()}
+    # tok 8 first seen in doc 2; probe's toks 7/99 never counted
+    assert got == {("s1", 7): 5, ("s1", 8): 2, ("s1", 9): 2}
+
+
+def test_user_burstiness_hourly_partial():
+    """Hand-checked per-batch (user, hour) pre-aggregate."""
+    import pandas as pd
+
+    import numpy as np
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    captured = {}
+
+    class _Stop(Exception):
+        pass
+
+    class _Probe:
+        def map_batches(self, fn, **kw):
+            captured["fn"] = fn
+            raise _Stop()
+
+    import unittest.mock as mock
+
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=_Probe()):
+        with pytest.raises(_Stop):
+            cq.q_user_burstiness("unused")
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    df = pd.DataFrame({
+        "ts": [base, base + np.timedelta64(10, "m"),
+               base + np.timedelta64(90, "m")],
+        "user_id": [1, 1, 1],
+    })
+    out = captured["fn"](df)
+    assert sorted(zip(out["user_id"], out["c"])) == [(1, 1), (1, 2)]

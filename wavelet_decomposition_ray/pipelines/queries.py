@@ -8221,6 +8221,174 @@ SPLITHALF_SQL = (
 )
 
 
+def q_vocab_growth(sf_dir: str) -> "pa.Table":
+    """Heaps-law vocabulary-growth audit — per source, how many NEW
+    distinct token values each doc-id decile introduces (the first-
+    occurrence doc of every (source, token) pair, bucketed). A healthy
+    crawl keeps discovering vocabulary; a curve that flatlines early
+    means the tail deciles are rehashes — the freshness check run
+    before paying to train on them. Two exchanges, both vocab-bounded:
+    per-batch (source, tok) -> min numeric doc id partials (sorted
+    once, first-per-key via np.unique), a Min groupby, then a
+    9 x 10-row finish; the decile uses the corpus doc count from ONE
+    doc_id-column-only read (synth doc ids are dense 'doc-NNNNNNNN',
+    so id-value deciles == rank deciles). The five non-numeric
+    calibration probes ('probe-*') are excluded on both sides — they
+    are fixtures, not corpus."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max, Min
+
+    ds = _seq_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        if n_docs == 0 or len(v) == 0:
+            return pa.table(
+                {"source": pa.array([], type=pa.string()),
+                 "tok": pa.array([], type=pa.int64()),
+                 "did": pa.array([], type=pa.int64())}
+            )
+        if int(v.max()) >= (1 << TOKEN_BITS) or int(v.min()) < 0:
+            raise ValueError(
+                "vocab_growth packs (source, token) into one int64 "
+                f"key; tokens must be in [0, 2^{TOKEN_BITS})"
+            )
+        n = np.diff(off)
+        ids = t["doc_id"].to_pylist()
+        did = np.array(
+            [int(s[4:]) if s.startswith("doc-") else -1 for s in ids],
+            dtype=np.int64,
+        )
+        srcs = sorted(set(t["source"].to_pylist()))
+        src_idx = pc.index_in(
+            t["source"], value_set=pa.array(srcs)
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        key = (np.repeat(src_idx, n) << TOKEN_BITS) | v
+        did_rep = np.repeat(did, n)
+        corpus = did_rep >= 0
+        key, did_rep = key[corpus], did_rep[corpus]
+        order = np.lexsort((did_rep, key))
+        ks, kd = key[order], did_rep[order]
+        first = np.concatenate(([True], ks[1:] != ks[:-1]))
+        uk, ud = ks[first], kd[first]  # min did per key (lexsort order)
+        src_names = np.array(srcs, dtype=object)[uk >> TOKEN_BITS]
+        return pa.table(
+            {"source": pa.array(src_names, type=pa.string()),
+             "tok": pa.array(uk & ((1 << TOKEN_BITS) - 1)),
+             "did": pa.array(ud)}
+        )
+
+    first_seen = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=256)
+        .groupby(["source", "tok"])
+        .aggregate(Min("did", alias_name="did"))
+        .to_pandas()  # distinct (source, value) pairs only
+    )
+    from wavelet_decomposition_ray import synth
+    from wavelet_decomposition_ray.pipelines import rollup_pipeline as rp
+
+    def batch_max(t: pa.Table) -> pa.Table:
+        dids = [int(s[4:]) for s in t["doc_id"].to_pylist()
+                if s.startswith("doc-")]
+        return pa.table(
+            {"did": pa.array([max(dids)] if dids else [], type=pa.int64())}
+        )
+
+    ids = rp.sequences_dataset(
+        synth.ensure_sequences(sf_dir), columns=["doc_id"]
+    ).map_batches(batch_max, batch_format="pyarrow").aggregate(Max("did"))
+    nd = int(ids["max(did)"]) + 1
+    first_seen["decile"] = first_seen["did"] * 10 // nd
+    out = (
+        first_seen.groupby(["source", "decile"], as_index=False)
+        .agg(n_new=("did", "size"))
+    )
+    return pa.Table.from_pandas(
+        out.astype({"decile": np.int64, "n_new": np.int64}),
+        preserve_index=False,
+    )
+
+
+VOCAB_GROWTH_SQL = (
+    f"{_FLAT_CTE},"
+    " c AS (SELECT source, tok,"
+    "  min(CAST(substr(doc_id, 5) AS BIGINT)) AS did FROM flat"
+    "  WHERE doc_id LIKE 'doc-%' GROUP BY source, tok),"
+    " m AS (SELECT max(CAST(substr(doc_id, 5) AS BIGINT)) + 1 AS nd"
+    "  FROM flat WHERE doc_id LIKE 'doc-%')"
+    " SELECT source, CAST(did * 10 // nd AS BIGINT) AS decile,"
+    " CAST(count(*) AS BIGINT) AS n_new"
+    " FROM c, m GROUP BY source, decile"
+)
+
+
+def q_user_burstiness(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user burstiness (Fano-factor) ingredients over hourly event
+    buckets — active-hour count, observed span, and the sum and
+    sum-of-squares of per-hour counts, all BIGINT (the variance/mean
+    dispersion index is one formula away; zero hours inside the span
+    enter through span, not rows). Separates steady heartbeat users
+    from bursty batch emitters — the skew signal a sessionizing or
+    rate-limiting stage partitions by. Two distributed stages: a
+    per-batch (user, hour) pre-aggregate feeding ONE user-hour-sized
+    groupby, then a user-sized Min/Max/Sum groupby — the raw event
+    stream is never shuffled."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def partial(df):
+        import pandas as pd
+
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(),
+             "hr": ts_us // HOUR_US}
+        ).groupby(["user_id", "hr"], as_index=False).agg(c=("hr", "size"))
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    hourly = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["user_id", "hr"])
+        .aggregate(Sum("c", alias_name="c"))
+        .map_batches(
+            lambda df: df.assign(c2=df["c"] * df["c"]),
+            batch_format="pandas",
+        )
+    )
+    agg = hourly.groupby("user_id").aggregate(
+        Count(alias_name="h_nz"),
+        Min("hr", alias_name="hr_min"),
+        Max("hr", alias_name="hr_max"),
+        Sum("c", alias_name="s"),
+        Sum("c2", alias_name="q"),
+    )
+    return agg.map_batches(
+        lambda df: df.assign(
+            span=df["hr_max"] - df["hr_min"] + 1
+        )[["user_id", "h_nz", "span", "s", "q"]],
+        batch_format="pandas",
+    )
+
+
+USER_BURSTINESS_SQL = (
+    "WITH h AS (SELECT user_id,"
+    f" epoch_us(ts) // {HOUR_US} AS hr,"
+    " count(*) AS c FROM events GROUP BY user_id, hr)"
+    " SELECT user_id, CAST(count(*) AS BIGINT) AS h_nz,"
+    " CAST(max(hr) - min(hr) + 1 AS BIGINT) AS span,"
+    " CAST(sum(c) AS BIGINT) AS s,"
+    " CAST(sum(c * c) AS BIGINT) AS q"
+    " FROM h GROUP BY user_id"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -8318,6 +8486,8 @@ CORE_QUERIES = {
     "ordinal_patterns": (q_ordinal_patterns, ORDINAL_PATTERNS_SQL),
     "l1_distance_sources": (q_l1_distance_sources, L1_DISTANCE_SQL),
     "splithalf_corr": (q_splithalf_corr, SPLITHALF_SQL),
+    "vocab_growth": (q_vocab_growth, VOCAB_GROWTH_SQL),
+    "user_burstiness": (q_user_burstiness, USER_BURSTINESS_SQL),
     "peak_pos": (q_peak_pos, PEAK_POS_SQL),
     "period_detect": (q_period_detect, PERIOD_DETECT_SQL),
     "peak_windows": (q_peak_windows, PEAK_WINDOWS_SQL),
