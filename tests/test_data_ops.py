@@ -2647,3 +2647,26 @@ def test_user_burstiness_hourly_partial():
     })
     out = captured["fn"](df)
     assert sorted(zip(out["user_id"], out["c"])) == [(1, 1), (1, 2)]
+
+
+def test_half_drift_kernel_edges():
+    """Hand-checked within-doc KS: disjoint halves maximize d_num
+    (== n1*n2), identical halves score 0, odd length puts the extra
+    token in the second half, 1-token docs are dropped."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_half_drift, "unused")
+    # a: halves [1,1] vs [9,9] -> D=1 -> d_num = 2*2 = 4
+    # b: halves [3,7] vs [3,7] -> 0
+    # c: n=5 -> n1=2 ([1,2]), n2=3 ([3,4,5]); at v=2: |2*3 - 0*2| = 6
+    # d: single token -> dropped
+    t = pa.table({"doc_id": ["a", "b", "c", "d"],
+                  "tokens": [[1, 1, 9, 9], [3, 7, 3, 7],
+                             [1, 2, 3, 4, 5], [8]]})
+    df = fn(t).to_pandas().set_index("doc_id")
+    assert "d" not in df.index
+    assert (df.loc["a", "n1"], df.loc["a", "n2"], df.loc["a", "d_num"]) \
+        == (2, 2, 4)
+    assert df.loc["b", "d_num"] == 0
+    assert (df.loc["c", "n1"], df.loc["c", "n2"], df.loc["c", "d_num"]) \
+        == (2, 3, 6)

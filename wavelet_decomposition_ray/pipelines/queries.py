@@ -8389,6 +8389,98 @@ USER_BURSTINESS_SQL = (
 )
 
 
+def q_half_drift(sf_dir: str) -> "ray.data.Dataset":
+    """Within-doc concept drift — the two-sample KS statistic between
+    each sequence's first and second half, cross-multiplied exact:
+    d_num = max_v |cum_1(v) * n_2 - cum_2(v) * n_1| == n_1*n_2*D.
+    A stream whose halves disagree is non-stationary — its rollup
+    tiers must keep finer resolution than a stationary stream's (the
+    per-sequence complement to ks_sources' corpus-level drift). ONE
+    lifted np.sort per batch ((seg*2 + half) << TOKEN_BITS | token
+    makes each doc-half a contiguous sorted block); the per-doc finish
+    is a union-grid searchsorted over those blocks (vectorized per
+    doc, <= batch_size iterations of numpy work — never per token).
+    Docs with fewer than 2 tokens emit nothing (an empty half has no
+    ECDF)."""
+    ds = _seq_ds(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        e = pa.array([], type=pa.int64())
+        empty = pa.table(
+            {"doc_id": pa.array([], type=pa.string()), "n1": e,
+             "n2": e, "d_num": e}
+        )
+        if n_docs == 0 or len(v) == 0:
+            return empty
+        if int(v.max()) >= (1 << TOKEN_BITS) or int(v.min()) < 0:
+            raise ValueError(
+                "half_drift's lift-sort needs tokens in "
+                f"[0, 2^{TOKEN_BITS})"
+            )
+        n = np.diff(off)
+        kept = n >= 2
+        if not kept.any():
+            return empty
+        n1 = n // 2
+        seg = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+        pos = np.arange(len(v), dtype=np.int64) - np.repeat(off[:-1], n)
+        half = (pos >= np.repeat(n1, n)).astype(np.int64)
+        sv = np.sort(((seg * 2 + half) << TOKEN_BITS) | v)
+        mask = (1 << TOKEN_BITS) - 1
+        out_d = np.empty(int(kept.sum()), dtype=np.int64)
+        ki = 0
+        for d in np.flatnonzero(kept):
+            o, o2 = off[d], off[d + 1]
+            a = sv[o:o + n1[d]] & mask
+            b = sv[o + n1[d]:o2] & mask
+            grid = np.union1d(a, b)
+            ca = np.searchsorted(a, grid, side="right")
+            cb = np.searchsorted(b, grid, side="right")
+            out_d[ki] = np.abs(
+                ca * (n[d] - n1[d]) - cb * n1[d]
+            ).max()
+            ki += 1
+        return pa.table(
+            {"doc_id": t["doc_id"].filter(pa.array(kept)),
+             "n1": pa.array(n1[kept].astype(np.int64)),
+             "n2": pa.array((n - n1)[kept].astype(np.int64)),
+             "d_num": pa.array(out_d)}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+
+HALF_DRIFT_SQL = (
+    f"{_FLAT_CTE},"
+    " md AS (SELECT doc_id, count(*) // 2 AS n1,"
+    "  count(*) - count(*) // 2 AS n2 FROM flat GROUP BY doc_id),"
+    " h AS (SELECT f.doc_id,"
+    "  CASE WHEN f.pos < md.n1 THEN 1 ELSE 2 END AS half, f.tok"
+    "  FROM flat f JOIN md ON md.doc_id = f.doc_id WHERE md.n1 >= 1),"
+    " c AS (SELECT doc_id, half, tok, count(*) AS cnt FROM h"
+    "  GROUP BY doc_id, half, tok),"
+    " grid AS (SELECT DISTINCT doc_id, tok FROM h),"
+    " cum AS (SELECT g.doc_id, g.tok,"
+    "  sum(COALESCE(c1.cnt, 0)) OVER (PARTITION BY g.doc_id"
+    "   ORDER BY g.tok) AS cum1,"
+    "  sum(COALESCE(c2.cnt, 0)) OVER (PARTITION BY g.doc_id"
+    "   ORDER BY g.tok) AS cum2"
+    "  FROM grid g"
+    "  LEFT JOIN c c1 ON c1.doc_id = g.doc_id AND c1.tok = g.tok"
+    "   AND c1.half = 1"
+    "  LEFT JOIN c c2 ON c2.doc_id = g.doc_id AND c2.tok = g.tok"
+    "   AND c2.half = 2)"
+    " SELECT cum.doc_id, CAST(max(md.n1) AS BIGINT) AS n1,"
+    " CAST(max(md.n2) AS BIGINT) AS n2,"
+    " CAST(max(abs(cum1 * md.n2 - cum2 * md.n1)) AS BIGINT) AS d_num"
+    " FROM cum JOIN md ON md.doc_id = cum.doc_id"
+    " GROUP BY cum.doc_id"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -8488,6 +8580,7 @@ CORE_QUERIES = {
     "splithalf_corr": (q_splithalf_corr, SPLITHALF_SQL),
     "vocab_growth": (q_vocab_growth, VOCAB_GROWTH_SQL),
     "user_burstiness": (q_user_burstiness, USER_BURSTINESS_SQL),
+    "half_drift": (q_half_drift, HALF_DRIFT_SQL),
     "peak_pos": (q_peak_pos, PEAK_POS_SQL),
     "period_detect": (q_period_detect, PERIOD_DETECT_SQL),
     "peak_windows": (q_peak_windows, PEAK_WINDOWS_SQL),
