@@ -8481,6 +8481,80 @@ HALF_DRIFT_SQL = (
 )
 
 
+POS_BUCKETS = 64  # normalized-position profile resolution
+
+
+def q_position_profile(sf_dir: str) -> "ray.data.Dataset":
+    """Positional-bias profile per source — token count and integer sum
+    in each of POS_BUCKETS normalized-position buckets
+    (bucket = pos * 64 // n, so every doc contributes its full length
+    scaled to the same [0, 64) axis). The curve exposes structural
+    bias the per-value histograms cannot: headers/boilerplate loading
+    the first buckets, truncation artifacts in the last — the check
+    run before packing sequences into fixed training windows. One
+    keyed bincount per batch (key = src * 64 + bucket), then a
+    sources x 64-row groupby — the exchange is profile-sized, never
+    the corpus."""
+    from ray.data.aggregate import Sum
+
+    ds = _seq_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        if n_docs == 0 or len(v) == 0:
+            return pa.table(
+                {"source": pa.array([], type=pa.string()),
+                 "bucket": pa.array([], type=pa.int64()),
+                 "n_toks": pa.array([], type=pa.int64()),
+                 "tok_sum": pa.array([], type=pa.int64())}
+            )
+        n = np.diff(off)
+        pos = np.arange(len(v), dtype=np.int64) - np.repeat(off[:-1], n)
+        bucket = pos * POS_BUCKETS // np.repeat(n, n)
+        srcs = sorted(set(t["source"].to_pylist()))
+        src_idx = pc.index_in(
+            t["source"], value_set=pa.array(srcs)
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.repeat(src_idx, n) * POS_BUCKETS + bucket
+        size = POS_BUCKETS * len(srcs)
+        cnt = np.bincount(key, minlength=size)
+        # token sums stay far below 2^53 per batch, so float64 bincount
+        # weights are exact; cast back after the guard
+        if int(v.max()) * len(v) >= (1 << 52):
+            raise ValueError("position_profile bincount weight overflow")
+        ts = np.bincount(key, weights=v.astype(np.float64),
+                         minlength=size).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        src_names = np.array(srcs, dtype=object)[nz // POS_BUCKETS]
+        return pa.table(
+            {"source": pa.array(src_names, type=pa.string()),
+             "bucket": pa.array(nz % POS_BUCKETS),
+             "n_toks": pa.array(cnt[nz].astype(np.int64)),
+             "tok_sum": pa.array(ts[nz])}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=256)
+        .groupby(["source", "bucket"])
+        .aggregate(Sum("n_toks", alias_name="n_toks"),
+                   Sum("tok_sum", alias_name="tok_sum"))
+    )
+
+
+POSITION_PROFILE_SQL = (
+    f"{_FLAT_CTE},"
+    " w AS (SELECT source, tok,"
+    f"  pos * {POS_BUCKETS} //"
+    "  (count(*) OVER (PARTITION BY doc_id)) AS bucket FROM flat)"
+    " SELECT source, CAST(bucket AS BIGINT) AS bucket,"
+    " CAST(count(*) AS BIGINT) AS n_toks,"
+    " CAST(sum(tok) AS BIGINT) AS tok_sum"
+    " FROM w GROUP BY source, bucket"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -8581,6 +8655,7 @@ CORE_QUERIES = {
     "vocab_growth": (q_vocab_growth, VOCAB_GROWTH_SQL),
     "user_burstiness": (q_user_burstiness, USER_BURSTINESS_SQL),
     "half_drift": (q_half_drift, HALF_DRIFT_SQL),
+    "position_profile": (q_position_profile, POSITION_PROFILE_SQL),
     "peak_pos": (q_peak_pos, PEAK_POS_SQL),
     "period_detect": (q_period_detect, PERIOD_DETECT_SQL),
     "peak_windows": (q_peak_windows, PEAK_WINDOWS_SQL),
