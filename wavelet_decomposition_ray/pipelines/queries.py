@@ -7910,24 +7910,45 @@ def q_bigram_diversity(sf_dir: str) -> "pa.Table":
              "cnt": pa.array(cnt.astype(np.int64))}
         )
 
-    hist = (
+    # A Ray .aggregate() here would walk millions of near-distinct
+    # (source, bigram) groups in Python (~100 s at sf0.01); instead fold
+    # inside COARSE hash partitions (the _value_counts_by_source trick):
+    # every distinct (source, bigram) lands in exactly one part, so the
+    # within-part pandas groupby yields GLOBAL bigram counts and the
+    # per-source (total, unique, simpson) partials it emits are exact —
+    # the only Ray exchange is a 64-group sort, and the final groupby
+    # merges parts x sources rows.
+    n_parts = 64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        mixed = (key >> TOKEN_BITS) ^ key  # spread Zipf-hot b1 prefixes
+        return t.append_column(
+            "part", pa.array((mixed % n_parts).astype(np.int32))
+        )
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(["source", "key"], as_index=False)["cnt"].sum()
+        g["coll"] = g["cnt"] * (g["cnt"] - 1)
+        out = g.groupby("source", as_index=False).agg(
+            t_bigrams=("cnt", "sum"), u_bigrams=("cnt", "size"),
+            simpson_num=("coll", "sum"))
+        return out.astype({"t_bigrams": np.int64, "u_bigrams": np.int64,
+                           "simpson_num": np.int64})
+
+    out = (
         _seq_ds(sf_dir)
         .map_batches(partial, batch_format="pyarrow", batch_size=256)
-        .groupby(["source", "key"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()  # distinct (source, bigram) pairs only
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("t_bigrams", alias_name="t_bigrams"),
+                   Sum("u_bigrams", alias_name="u_bigrams"),
+                   Sum("simpson_num", alias_name="simpson_num"))
+        .to_pandas()  # sources-sized
     )
-    out = (
-        hist.assign(coll=lambda d: d["cnt"] * (d["cnt"] - 1))
-        .groupby("source", as_index=False)
-        .agg(t_bigrams=("cnt", "sum"), u_bigrams=("cnt", "size"),
-             simpson_num=("coll", "sum"))
-    )
-    return pa.Table.from_pandas(
-        out.astype({"t_bigrams": np.int64, "u_bigrams": np.int64,
-                    "simpson_num": np.int64}),
-        preserve_index=False,
-    )
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 BIGRAM_DIVERSITY_SQL = (
