@@ -76,6 +76,8 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "..", "SWEEP_r5.json"))
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query names; skips artifact write")
     args = ap.parse_args()
 
     import duckdb
@@ -89,6 +91,12 @@ def main() -> int:
     import __ray_entry__ as em
 
     qs, sqls = em.queries(), em.oracle_sql()
+    if args.only:
+        keep = {n.strip() for n in args.only.split(",") if n.strip()}
+        unknown = keep - set(qs)
+        if unknown:
+            raise SystemExit(f"--only names not in registry: {sorted(unknown)}")
+        qs = {n: f for n, f in qs.items() if n in keep}
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(args.sf, f"{t}.parquet")
@@ -131,8 +139,9 @@ def main() -> int:
         "wall_sec": round(time.time() - t_start, 1),
         "queries": results,
     }
-    with open(args.out, "w") as f:
-        json.dump(summary, f, indent=1, sort_keys=True)
+    if not args.only:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
     print(json.dumps({k: summary[k] for k in
                       ("sf", "total", "exact_checked", "passed", "failed",
                        "wall_sec")}))

@@ -2670,3 +2670,33 @@ def test_half_drift_kernel_edges():
     assert df.loc["b", "d_num"] == 0
     assert (df.loc["c", "n1"], df.loc["c", "n2"], df.loc["c", "d_num"]) \
         == (2, 3, 6)
+
+
+def test_rsi_window_kernel():
+    """Hand-checked tumbling gain/loss windows: window 0 holds RSI_W-1
+    diffs, gains and losses split by sign, flat segments count as
+    neither, 1-token docs emit nothing."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_rsi_window, "unused")
+    # a: 18 tokens ramp up by 2 then one big drop at p=17 ->
+    #    window 0 (p=1..15): gain 30, loss 0, n=15
+    #    window 1 (p=16..17): p16 +2, p17 -40 -> gain 2, loss 40, n=2
+    toks_a = list(range(0, 34, 2)) + [34 - 40]
+    assert len(toks_a) == 18
+    # b: constant -> all-zero diffs still emit a row (n_diffs counts)
+    t = pa.table({"doc_id": ["a", "b", "c"],
+                  "tokens": [[v % (1 << 20) for v in toks_a],
+                             [5, 5, 5], [7]]})
+    # tokens must be non-negative for the kernel guard: shift a's drop
+    t = pa.table({"doc_id": ["a", "b", "c"],
+                  "tokens": [list(range(0, 34, 2)) + [0],
+                             [5, 5, 5], [7]]})
+    df = fn(t).to_pandas()
+    rows = {(r["doc_id"], int(r["widx"])): (int(r["gain"]), int(r["loss"]),
+                                            int(r["n_diffs"]))
+            for _, r in df.iterrows()}
+    assert rows[("a", 0)] == (30, 0, 15)
+    assert rows[("a", 1)] == (2, 32, 2)  # p16: +2, p17: 32 -> 0 is -32
+    assert rows[("b", 0)] == (0, 0, 2)
+    assert not any(d == "c" for d, _ in rows)

@@ -8576,6 +8576,87 @@ POSITION_PROFILE_SQL = (
 )
 
 
+RSI_W = 16  # diff positions per tumbling RSI window
+
+
+def q_rsi_window(sf_dir: str) -> "ray.data.Dataset":
+    """Cutler-RSI decomposition per tumbling window — for each sequence,
+    first differences d_p = tok_p - tok_{p-1} (p >= 1) are folded into
+    tumbling windows of RSI_W diff positions (widx = p // RSI_W; window 0
+    holds RSI_W - 1 diffs because p = 0 has no predecessor), and each
+    window reports its integer gain mass (sum of positive diffs), loss
+    mass (sum of negated negative diffs) and diff count. RSI itself is
+    the rational 100 * gain / (gain + loss) of the two integers — kept
+    as exact BIGINTs so the oracle hash cannot float-drift. The
+    gain/loss split is the momentum complement to ``bollinger_breakouts``
+    / ``sma_cross``: a window with high gain AND high loss is churn, not
+    trend. One vectorized pass per batch (masked diff + two keyed
+    bincounts); each doc's tokens live in one list cell, so windows never
+    straddle batches."""
+    ds = _seq_ds(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        e = pa.array([], type=pa.int64())
+        empty = pa.table(
+            {"doc_id": pa.array([], type=pa.string()), "widx": e,
+             "gain": e, "loss": e, "n_diffs": e}
+        )
+        if n_docs == 0 or len(v) == 0:
+            return empty
+        if int(v.max()) >= (1 << TOKEN_BITS) or int(v.min()) < 0:
+            # |d| < 2^TOKEN_BITS keeps a <=RSI_W-diff window sum exact
+            # in the float64 bincount weights (< 2^(TOKEN_BITS+4))
+            raise ValueError(
+                f"rsi_window needs tokens in [0, 2^{TOKEN_BITS})"
+            )
+        n = np.diff(off)
+        pos = np.arange(len(v), dtype=np.int64) - np.repeat(off[:-1], n)
+        keep = pos >= 1  # diffs are within-doc only
+        if not keep.any():
+            return empty
+        d = np.empty(len(v), dtype=np.int64)
+        d[0] = 0
+        d[1:] = v[1:] - v[:-1]
+        doc = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+        widx = pos // RSI_W
+        max_w = int(widx[keep].max()) + 1
+        key = (doc * max_w + widx)[keep]
+        dk = d[keep]
+        size = n_docs * max_w
+        cnt = np.bincount(key, minlength=size)
+        gain = np.bincount(key, weights=np.maximum(dk, 0).astype(np.float64),
+                           minlength=size).astype(np.int64)
+        loss = np.bincount(key, weights=np.maximum(-dk, 0).astype(np.float64),
+                           minlength=size).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"doc_id": t["doc_id"].take(pa.array(nz // max_w)),
+             "widx": pa.array(nz % max_w),
+             "gain": pa.array(gain[nz]),
+             "loss": pa.array(loss[nz]),
+             "n_diffs": pa.array(cnt[nz].astype(np.int64))}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+
+RSI_WINDOW_SQL = (
+    f"{_FLAT_CTE},"
+    " d AS (SELECT doc_id,"
+    f"  pos // {RSI_W} AS widx,"
+    "  tok - lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS d"
+    "  FROM flat)"
+    " SELECT doc_id, CAST(widx AS BIGINT) AS widx,"
+    " CAST(sum(CASE WHEN d > 0 THEN d ELSE 0 END) AS BIGINT) AS gain,"
+    " CAST(sum(CASE WHEN d < 0 THEN -d ELSE 0 END) AS BIGINT) AS loss,"
+    " CAST(count(d) AS BIGINT) AS n_diffs"
+    " FROM d WHERE d IS NOT NULL GROUP BY doc_id, widx"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -8677,6 +8758,7 @@ CORE_QUERIES = {
     "user_burstiness": (q_user_burstiness, USER_BURSTINESS_SQL),
     "half_drift": (q_half_drift, HALF_DRIFT_SQL),
     "position_profile": (q_position_profile, POSITION_PROFILE_SQL),
+    "rsi_window": (q_rsi_window, RSI_WINDOW_SQL),
     "peak_pos": (q_peak_pos, PEAK_POS_SQL),
     "period_detect": (q_period_detect, PERIOD_DETECT_SQL),
     "peak_windows": (q_peak_windows, PEAK_WINDOWS_SQL),
