@@ -2700,3 +2700,32 @@ def test_rsi_window_kernel():
     assert rows[("a", 1)] == (2, 32, 2)  # p16: +2, p17: 32 -> 0 is -32
     assert rows[("b", 0)] == (0, 0, 2)
     assert not any(d == "c" for d, _ in rows)
+
+
+def test_late_events_cross_bucket_prefix(tmp_path):
+    """The watermark must flow ACROSS arrival buckets: an early arrival
+    (id 0, bucket 0) with a far-future event-time makes a later arrival
+    (id 1024, bucket 1) late even though bucket 1's local running max
+    alone would call it on time."""
+    import pandas as pd
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(1, "h")
+    df = pd.DataFrame({
+        "event_id": [0, 5, 1024, 1025],
+        # id 0 arrives first with event-time t0+10h -> watermark jumps;
+        # id 5 (same bucket) is 10h late; id 1024 (next bucket) is 8h
+        # late purely via the cross-bucket prefix; id 1025 advances past
+        # the watermark -> on time.
+        "ts": [t0 + 10 * h, t0, t0 + 2 * h, t0 + 11 * h],
+        "event_type": ["a", "b", "b", "a"],
+    })
+    df.to_parquet(tmp_path / "events.parquet")
+    out = cq.q_late_events(str(tmp_path)).to_pandas().set_index("event_type")
+    assert int(out.loc["a", "n_late"]) == 0
+    assert int(out.loc["a", "max_late_us"]) == 0
+    assert int(out.loc["b", "n_late"]) == 2
+    assert int(out.loc["b", "max_late_us"]) == 10 * 3_600_000_000
+    assert int(out.loc["b", "sum_late_us"]) == 18 * 3_600_000_000

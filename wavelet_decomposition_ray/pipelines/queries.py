@@ -8657,6 +8657,111 @@ RSI_WINDOW_SQL = (
 )
 
 
+LATE_BUCKET_BITS = 10   # arrival-order bucket = event_id >> 10
+LATE_THRESH_US = HOUR_US
+
+
+def q_late_events(sf_dir: str) -> "ray.data.Dataset":
+    """Watermark lateness accounting — the out-of-order audit every
+    event-time streaming job needs before picking a watermark delay.
+    Arrival order is ``event_id`` (the ingestion sequence); the watermark
+    after each arrival is the running max event-time over everything
+    arrived so far; an event's lateness is watermark - its own event-time
+    (>= 0), and it is "late" past LATE_THRESH_US. Per event_type:
+    n_events, n_late, max/sum lateness — all integer-exact BIGINTs.
+
+    The running max is a sequential scan, so it distributes as a classic
+    prefix computation: (1) one streaming pass folds a max event-time per
+    arrival bucket (event_id >> LATE_BUCKET_BITS); (2) the driver takes
+    the bucket-count-sized table and computes each bucket's EXCLUSIVE
+    prefix max (broadcast via ray.put — at deployment scale widen the
+    bucket so this stays ~10^6 entries at 10^12 events); (3) each bucket
+    folds independently, seeding its local running max with the prefix.
+    The only exchanges are bucket-count- and type-count-sized."""
+    from ray.data.aggregate import Max, Sum
+
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type"],
+    )
+    NEG = -(2 ** 62)
+
+    def _eid_ts(t: pa.Table):
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return eid, ts
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        eid, ts = _eid_ts(t)
+        ub, inv = np.unique(eid >> LATE_BUCKET_BITS, return_inverse=True)
+        m = np.full(len(ub), NEG, dtype=np.int64)
+        np.maximum.at(m, inv, ts)
+        return pa.table({"bucket": pa.array(ub), "mts": pa.array(m)})
+
+    maxima = (
+        ds.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Max("mts", alias_name="mts"))
+        .take_all()  # bucket-count-sized, never the event stream
+    )
+    maxima.sort(key=lambda r: r["bucket"])
+    pref: dict[int, int] = {}
+    run = NEG
+    for r in maxima:
+        pref[int(r["bucket"])] = run
+        run = max(run, int(r["mts"]))
+    pref_ref = ray.put(pref)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        eid, _ = _eid_ts(t)
+        return t.append_column(
+            "bucket", pa.array(eid >> LATE_BUCKET_BITS, type=pa.int64()))
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        p = ray.get(pref_ref)
+        seed = p.get(int(df["bucket"].iloc[0]), NEG)
+        df = df.sort_values("event_id", kind="mergesort")
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        late = np.maximum(np.maximum.accumulate(ts), seed) - ts
+        g = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "late": late})
+        g["is_late"] = (g["late"] > LATE_THRESH_US).astype(np.int64)
+        out = g.groupby("event_type", sort=False).agg(
+            n_events=("late", "size"), n_late=("is_late", "sum"),
+            max_late_us=("late", "max"), sum_late_us=("late", "sum"),
+        ).reset_index()
+        return out.astype({c: np.int64 for c in out.columns
+                           if c != "event_type"})
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("n_late", alias_name="n_late"),
+                   Max("max_late_us", alias_name="max_late_us"),
+                   Sum("sum_late_us", alias_name="sum_late_us"))
+    )
+
+
+LATE_EVENTS_SQL = (
+    "WITH w AS (SELECT event_type,"
+    " max(epoch_us(ts)) OVER (ORDER BY event_id"
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    " - epoch_us(ts) AS late_us FROM events)"
+    " SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,"
+    f" CAST(sum(CASE WHEN late_us > {LATE_THRESH_US} THEN 1 ELSE 0 END)"
+    "  AS BIGINT) AS n_late,"
+    " CAST(max(late_us) AS BIGINT) AS max_late_us,"
+    " CAST(sum(late_us) AS BIGINT) AS sum_late_us"
+    " FROM w GROUP BY event_type"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -8759,6 +8864,7 @@ CORE_QUERIES = {
     "half_drift": (q_half_drift, HALF_DRIFT_SQL),
     "position_profile": (q_position_profile, POSITION_PROFILE_SQL),
     "rsi_window": (q_rsi_window, RSI_WINDOW_SQL),
+    "late_events": (q_late_events, LATE_EVENTS_SQL),
     "peak_pos": (q_peak_pos, PEAK_POS_SQL),
     "period_detect": (q_period_detect, PERIOD_DETECT_SQL),
     "peak_windows": (q_peak_windows, PEAK_WINDOWS_SQL),
