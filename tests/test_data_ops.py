@@ -2729,3 +2729,21 @@ def test_late_events_cross_bucket_prefix(tmp_path):
     assert int(out.loc["b", "n_late"]) == 2
     assert int(out.loc["b", "max_late_us"]) == 10 * 3_600_000_000
     assert int(out.loc["b", "sum_late_us"]) == 18 * 3_600_000_000
+
+
+def test_daily_top_types_tiebreak(tmp_path):
+    """Ties rank by event_type ascending; only TOP_TYPES_K rows per day."""
+    import pandas as pd
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    t0 = np.datetime64("2024-03-01T12:00:00", "us")
+    # day 0: a=2, b=2, c=1, d=1 -> top3 = a(1), b(2), then tie c<d -> c(3)
+    types = ["a", "a", "b", "b", "c", "d"]
+    df = pd.DataFrame({"ts": [t0] * 6, "event_type": types})
+    df.to_parquet(tmp_path / "events.parquet")
+    out = cq.q_daily_top_types(str(tmp_path)).to_pandas()
+    out = out.sort_values("rank")
+    assert list(out["event_type"]) == ["a", "b", "c"]
+    assert list(out["cnt"]) == [2, 2, 1]
+    assert list(out["rank"]) == [1, 2, 3]

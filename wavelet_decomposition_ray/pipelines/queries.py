@@ -8762,6 +8762,65 @@ LATE_EVENTS_SQL = (
 )
 
 
+TOP_TYPES_K = 3
+_TT_DAY_US = 86_400_000_000
+
+
+def q_daily_top_types(sf_dir: str) -> "ray.data.Dataset":
+    """Windowed heavy hitters — the top-TOP_TYPES_K event types per UTC
+    day by count, ties broken by event_type ascending so the ranking is
+    deterministic (the property a streaming top-k must pin before its
+    output is cacheable). Classic two-level plan: per-batch (day, type)
+    bincount partials, one (days x types)-sized groupby sum, then a
+    per-day map_groups that sorts its handful of type rows — the
+    exchange is distinct-pair-sized, never the event stream."""
+    from ray.data.aggregate import Sum
+
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        day = ts // _TT_DAY_US
+        df = pd.DataFrame({"day": day,
+                           "event_type": t["event_type"].to_pylist()})
+        out = df.groupby(["day", "event_type"], sort=False).size()
+        out = out.rename("cnt").reset_index()
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def topk(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["cnt", "event_type"],
+                            ascending=[False, True],
+                            kind="mergesort").head(TOP_TYPES_K)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("day")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+DAILY_TOP_TYPES_SQL = (
+    "WITH c AS (SELECT"
+    f" epoch_us(ts) // {_TT_DAY_US} AS day,"
+    " event_type, count(*) AS cnt FROM events GROUP BY day, event_type),"
+    " r AS (SELECT day, event_type, cnt, row_number() OVER ("
+    "  PARTITION BY day ORDER BY cnt DESC, event_type) AS rank FROM c)"
+    " SELECT CAST(day AS BIGINT) AS day, event_type,"
+    " CAST(cnt AS BIGINT) AS cnt, CAST(rank AS BIGINT) AS rank"
+    f" FROM r WHERE rank <= {TOP_TYPES_K}"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -8865,6 +8924,7 @@ CORE_QUERIES = {
     "position_profile": (q_position_profile, POSITION_PROFILE_SQL),
     "rsi_window": (q_rsi_window, RSI_WINDOW_SQL),
     "late_events": (q_late_events, LATE_EVENTS_SQL),
+    "daily_top_types": (q_daily_top_types, DAILY_TOP_TYPES_SQL),
     "peak_pos": (q_peak_pos, PEAK_POS_SQL),
     "period_detect": (q_period_detect, PERIOD_DETECT_SQL),
     "peak_windows": (q_peak_windows, PEAK_WINDOWS_SQL),
