@@ -2747,3 +2747,29 @@ def test_daily_top_types_tiebreak(tmp_path):
     assert list(out["event_type"]) == ["a", "b", "c"]
     assert list(out["cnt"]) == [2, 2, 1]
     assert list(out["rank"]) == [1, 2, 3]
+
+
+def test_neardup_raretok_planted_bucket():
+    """Two docs sharing their 4 globally-rarest distinct tokens land in
+    one bucket with the signature in (count asc, tok asc) order; a doc
+    with < RARETOK_K distinct tokens is dropped."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    t = pa.table({
+        "doc_id": ["doc-a", "doc-b", "doc-c"],
+        "tokens": [[1, 2, 3, 4], [1, 2, 3, 4, 9], [9, 9, 9, 1]],
+        "source": ["s", "s", "s"],
+    })
+    # counts: 1->3, 2->2, 3->2, 4->2, 9->4; rank order 2,3,4,1,9
+    with mock.patch.object(cq, "_seq_ds",
+                           side_effect=lambda sf: ray.data.from_arrow(t)):
+        out = cq.q_neardup_raretok("unused").to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["sig"] == "2,3,4,1"
+    assert int(r["n_docs"]) == 2
+    assert (r["min_doc"], r["max_doc"]) == ("doc-a", "doc-b")

@@ -8821,6 +8821,118 @@ DAILY_TOP_TYPES_SQL = (
 )
 
 
+RARETOK_K = 4  # signature = the K globally-rarest distinct tokens
+
+
+def q_neardup_raretok(sf_dir: str) -> "ray.data.Dataset":
+    """Rare-token-signature near-dup blocking (the record-linkage
+    complement to minhash: block on each doc's RARETOK_K globally
+    rarest distinct tokens, since rare values are the most
+    discriminative — two docs sharing all K are near-dup candidates).
+    Pass 1 builds the vocab-bounded global (tok, count) histogram and
+    broadcasts a dense rank array ordered by (count asc, tok asc);
+    pass 2 emits one (signature, doc_id) row per doc with >= RARETOK_K
+    distinct tokens; a per-signature fold reports candidate buckets
+    with >= 2 docs. Exchanges are vocab- and docs-row-sized — never
+    token streams."""
+    from ray.data.aggregate import Sum
+
+    import pandas as pd
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        vals, _ = list_to_numpy(t["tokens"])
+        uk, cnt = np.unique(vals.astype(np.int64), return_counts=True)
+        return pa.table(
+            {"tok": pa.array(uk), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    hist = (
+        _seq_ds(sf_dir)
+        .map_batches(hist_partial, batch_format="pyarrow", batch_size=256)
+        .groupby("tok")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # vocab-bounded: <= 2^TOKEN_BITS rows
+    )
+    toks = hist["tok"].to_numpy().astype(np.int64)
+    cnts = hist["cnt"].to_numpy().astype(np.int64)
+    order = np.lexsort((toks, cnts))  # (count asc, tok asc) total order
+    rank = np.full(1 << TOKEN_BITS, np.iinfo(np.int64).max, dtype=np.int64)
+    rank[toks[order]] = np.arange(len(order), dtype=np.int64)
+    # invert: signature stores tokens, rank only orders them
+    rank_to_tok = np.full(len(order), -1, dtype=np.int64)
+    rank_to_tok[:] = toks[order]
+    rank_ref = ray.put(rank)
+    r2t_ref = ray.put(rank_to_tok)
+
+    def sig_scan(t: pa.Table) -> pa.Table:
+        rk = ray.get(rank_ref)
+        r2t = ray.get(r2t_ref)
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        empty = pa.table({"sig": pa.array([], type=pa.string()),
+                          "doc_id": pa.array([], type=pa.string())})
+        if n_docs == 0 or len(v) == 0:
+            return empty
+        if int(v.max()) >= (1 << TOKEN_BITS) or int(v.min()) < 0:
+            raise ValueError(
+                f"neardup_raretok needs tokens in [0, 2^{TOKEN_BITS})")
+        n = np.diff(off)
+        seg = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+        # distinct (doc, tok) then per-doc rank order in one lexsort
+        dk = np.unique((seg << TOKEN_BITS) | v)
+        dseg, dtok = dk >> TOKEN_BITS, dk & ((1 << TOKEN_BITS) - 1)
+        drank = rk[dtok]
+        o = np.lexsort((drank, dseg))
+        dseg, drank = dseg[o], drank[o]
+        starts = np.searchsorted(dseg, np.arange(n_docs))
+        sizes = np.diff(np.append(starts, len(dseg)))
+        kept = np.flatnonzero(sizes >= RARETOK_K)
+        if len(kept) == 0:
+            return empty
+        take = (starts[kept][:, None]
+                + np.arange(RARETOK_K, dtype=np.int64)[None, :])
+        sig_toks = r2t[drank[take]]  # (n_kept, K) in rank order
+        sigs = [",".join(map(str, row)) for row in sig_toks]
+        return pa.table(
+            {"sig": pa.array(sigs, type=pa.string()),
+             "doc_id": t["doc_id"].take(pa.array(kept))}
+        )
+
+    def bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        ids = df["doc_id"].to_numpy()
+        return pd.DataFrame({"sig": [df["sig"].iloc[0]],
+                             "n_docs": np.array([len(ids)], dtype=np.int64),
+                             "min_doc": [ids.min()],
+                             "max_doc": [ids.max()]})
+
+    return (
+        _seq_ds(sf_dir)
+        .map_batches(sig_scan, batch_format="pyarrow", batch_size=256)
+        .groupby("sig")
+        .map_groups(bucket, batch_format="pandas")
+        .map_batches(lambda t: t.filter(pc.greater_equal(t["n_docs"], 2)),
+                     batch_format="pyarrow")
+    )
+
+
+NEARDUP_RARETOK_SQL = (
+    f"{_FLAT_CTE},"
+    " g AS (SELECT tok, count(*) AS c FROM flat GROUP BY tok),"
+    " dt AS (SELECT DISTINCT doc_id, tok FROM flat),"
+    " rk AS (SELECT dt.doc_id, dt.tok, row_number() OVER ("
+    "  PARTITION BY dt.doc_id ORDER BY g.c, dt.tok) AS rn"
+    "  FROM dt JOIN g USING (tok)),"
+    " s AS (SELECT doc_id,"
+    "  string_agg(CAST(tok AS VARCHAR), ',' ORDER BY rn) AS sig"
+    f"  FROM rk WHERE rn <= {RARETOK_K} GROUP BY doc_id"
+    f"  HAVING count(*) = {RARETOK_K})"
+    " SELECT sig, CAST(count(*) AS BIGINT) AS n_docs,"
+    " min(doc_id) AS min_doc, max(doc_id) AS max_doc"
+    " FROM s GROUP BY sig HAVING count(*) >= 2"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -8925,6 +9037,7 @@ CORE_QUERIES = {
     "rsi_window": (q_rsi_window, RSI_WINDOW_SQL),
     "late_events": (q_late_events, LATE_EVENTS_SQL),
     "daily_top_types": (q_daily_top_types, DAILY_TOP_TYPES_SQL),
+    "neardup_raretok": (q_neardup_raretok, NEARDUP_RARETOK_SQL),
     "peak_pos": (q_peak_pos, PEAK_POS_SQL),
     "period_detect": (q_period_detect, PERIOD_DETECT_SQL),
     "peak_windows": (q_peak_windows, PEAK_WINDOWS_SQL),
