@@ -2773,3 +2773,39 @@ def test_neardup_raretok_planted_bucket():
     assert r["sig"] == "2,3,4,1"
     assert int(r["n_docs"]) == 2
     assert (r["min_doc"], r["max_doc"]) == ("doc-a", "doc-b")
+
+
+def test_containment_sorted_vs_jaccard():
+    """A ⊂ B gives containment 1.0 while Jaccard = |A|/|B|; empty-set
+    conventions match jaccard_sorted's."""
+    from wavelet_decomposition_ray.functions import dedup as dd
+
+    a = np.array([1, 3, 5], dtype=np.uint64)
+    b = np.array([1, 2, 3, 4, 5, 6, 7, 8, 9, 10], dtype=np.uint64)
+    assert dd.containment_sorted(a, b) == 1.0
+    assert dd.jaccard_sorted(a, b) == 0.3
+    # symmetric: min-side normalization makes argument order irrelevant
+    assert dd.containment_sorted(b, a) == 1.0
+    assert dd.containment_sorted(np.array([], dtype=np.uint64), b) == 0.0
+    assert dd.containment_sorted(
+        np.array([], dtype=np.uint64), np.array([], dtype=np.uint64)) == 1.0
+    # partial overlap: |{1,3}∩{3,9}| / 2 = 0.5
+    assert dd.containment_sorted(
+        np.array([1, 3], dtype=np.uint64),
+        np.array([3, 9], dtype=np.uint64)) == 0.5
+
+
+def test_verify_containment_blob_batch_threshold():
+    from wavelet_decomposition_ray.functions import dedup as dd
+
+    def blob(*vals):
+        return np.array(sorted(vals), dtype=np.uint64).tobytes()
+
+    t = pa.table({
+        "doc_a": ["a", "c"], "doc_b": ["b", "d"],
+        "blob_a": [blob(1, 2, 3), blob(1, 2, 3, 4, 5)],
+        "blob_b": [blob(1, 2, 3, 7, 8, 9), blob(6, 7, 8, 9, 10)],
+    })
+    out = dd.verify_containment_blob_batch(t, 0.8).to_pandas()
+    assert list(out["doc_a"]) == ["a"]
+    assert float(out["containment"].iloc[0]) == 1.0

@@ -485,6 +485,42 @@ def jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union
 
 
+def containment_sorted(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact one-way containment |A∩B| / min(|A|,|B|) of two SORTED unique
+    arrays (Broder's containment, the asymmetric complement to Jaccard:
+    it stays high when a short doc is quoted inside a long one, where
+    Jaccard collapses). Same searchsorted merge as :func:`jaccard_sorted`."""
+    if len(a) > len(b):
+        a, b = b, a
+    if len(a) == 0:
+        return 1.0 if len(b) == 0 else 0.0
+    idx = np.searchsorted(b, a)
+    idx[idx == len(b)] = len(b) - 1
+    inter = int((b[idx] == a).sum())
+    return inter / len(a)
+
+
+def verify_containment_blob_batch(t: pa.Table, tau: float) -> pa.Table:
+    """(doc_a, doc_b, blob_a, blob_b) -> exact-containment-verified pairs."""
+    a = t["doc_a"].to_numpy(zero_copy_only=False)
+    b = t["doc_b"].to_numpy(zero_copy_only=False)
+    ba = t["blob_a"].to_pylist()
+    bb = t["blob_b"].to_pylist()
+    c = np.array(
+        [containment_sorted(blob_set(x), blob_set(y))
+         for x, y in zip(ba, bb)],
+        dtype=np.float64,
+    )
+    keep = c >= tau
+    return pa.table(
+        {
+            "doc_a": pa.array(a[keep]),
+            "doc_b": pa.array(b[keep]),
+            "containment": pa.array(np.round(c[keep], 6)),
+        }
+    )
+
+
 def verify_pairs_blob_batch(t: pa.Table, tau: float) -> pa.Table:
     """(doc_a, doc_b, blob_a, blob_b) -> exact-Jaccard-verified pairs."""
     a = t["doc_a"].to_numpy(zero_copy_only=False)

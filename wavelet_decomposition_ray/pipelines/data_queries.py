@@ -520,12 +520,14 @@ def _dedupe_verified(ds: "ray.data.Dataset", value_col: str
     )
 
 
-def _verify_pairs(cand, sets_ds, tau: float) -> "ray.data.Dataset":
-    """Exact-Jaccard verification as a distributed hash JOIN of candidate
-    pairs against the doc-keyed set table (set blobs as binary payload —
-    Acero rejects list columns in join non-key fields). Nothing touches the
-    driver: the only wide ops are two bounded-key joins, shuffling set
-    payloads once per pair side, not per corpus scan."""
+def _verify_pairs(cand, sets_ds, tau: float,
+                  measure: str = "jaccard") -> "ray.data.Dataset":
+    """Exact set-overlap verification (``measure`` = "jaccard" or
+    "containment") as a distributed hash JOIN of candidate pairs against
+    the doc-keyed set table (set blobs as binary payload — Acero rejects
+    list columns in join non-key fields). Nothing touches the driver: the
+    only wide ops are two bounded-key joins, shuffling set payloads once
+    per pair side, not per corpus scan."""
     np_ = _join_parts()
     kv = sets_ds.map_batches(
         lambda t: t.select(["doc_id", "set_blob"]), batch_format="pyarrow"
@@ -544,10 +546,12 @@ def _verify_pairs(cand, sets_ds, tau: float) -> "ray.data.Dataset":
         ),
         batch_format="pyarrow",
     )
+    vfn = (dd.verify_containment_blob_batch if measure == "containment"
+           else dd.verify_pairs_blob_batch)
     verified = j2.map_batches(
-        lambda t: dd.verify_pairs_blob_batch(t, tau), batch_format="pyarrow"
+        lambda t: vfn(t, tau), batch_format="pyarrow"
     )
-    return _dedupe_verified(verified, "jaccard")
+    return _dedupe_verified(verified, measure)
 
 
 def q_dedup_minhash(sf_dir: str):
@@ -945,6 +949,66 @@ NGRAM_JACCARD_SQL = (
     " SELECT doc_a, doc_b, round(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 6) AS jaccard"
     " FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b"
     f" WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= {NEAR_DUP_TAU}"
+)
+
+
+CONTAIN_TAU = 0.8  # one-way containment threshold (Broder)
+
+
+def q_ngram_containment(sf_dir: str):
+    """Word-3-gram CONTAINMENT pairs >= CONTAIN_TAU — Broder's asymmetric
+    overlap |A∩B| / min(|A|,|B|), the quote/subset detector: a short doc
+    embedded verbatim in a long one scores ~1.0 here while its Jaccard
+    (~|A|/|B|) can sit far below any near-dup threshold, so
+    ``ngram_jaccard`` never surfaces it. Same distributed shape as the
+    Jaccard query (distinct gram-hash sets -> DF-capped gram buckets ->
+    candidate pairs -> exact verify join); only the verify kernel and
+    threshold differ, and the DF-cap drop-mass audit ``ngram_drop_mass``
+    applies to both."""
+    sets = _docs(sf_dir).map_batches(
+        dd.GramSets(), batch_format="pyarrow", batch_size=512
+    ).materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        blobs = batch["set_blob"].to_pylist()
+        lens = np.array([len(b) // 8 for b in blobs], dtype=np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        flat = (
+            np.concatenate([dd.blob_set(b) for b in blobs])
+            if blobs
+            else np.empty(0, dtype=np.uint64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, lens)),
+                "gram": pa.array(flat.view(np.int64)),
+            }
+        )
+
+    grams = sets.map_batches(explode, batch_format="pyarrow")
+    grams = grams.map_batches(
+        lambda t: dd.add_part_column(t, "gram", 4 * _join_parts()),
+        batch_format="pyarrow",
+    )
+    cand = grams.groupby("part").map_groups(
+        dd.make_partition_pairs(["gram"], GRAM_DF_CAP), batch_format="pandas"
+    )
+    return _verify_pairs(_dedupe_pairs(cand), sets, CONTAIN_TAU,
+                         measure="containment")
+
+
+NGRAM_CONTAINMENT_SQL = (
+    "WITH w AS (SELECT doc_id,"
+    " list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws FROM documents),"
+    " g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram"
+    "   FROM w, UNNEST(range(1, greatest(length(ws)-2, 0)+1)) AS t(i)),"
+    " sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),"
+    " inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c"
+    "   FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+    " SELECT doc_a, doc_b,"
+    " round(CAST(c AS DOUBLE)/least(sa.n, sb.n), 6) AS containment"
+    " FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b"
+    f" WHERE CAST(c AS DOUBLE)/least(sa.n, sb.n) >= {CONTAIN_TAU}"
 )
 
 
@@ -3911,6 +3975,7 @@ DATA_QUERIES = {
     "simhash_pairs": (q_simhash_pairs, SIMHASH_PAIRS_SQL),
     "dedup_keep": (q_dedup_keep, DEDUP_KEEP_SQL),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "ngram_containment": (q_ngram_containment, NGRAM_CONTAINMENT_SQL),
     "ngram_drop_mass": (q_ngram_drop_mass, NGRAM_DROP_MASS_SQL),
     "knn_cosine": (q_knn_cosine, KNN_COSINE_SQL),
     "knn_cosine_multi": (q_knn_cosine_multi, KNN_MULTI_SQL),
