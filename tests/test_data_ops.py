@@ -2809,3 +2809,20 @@ def test_verify_containment_blob_batch_threshold():
     out = dd.verify_containment_blob_batch(t, 0.8).to_pandas()
     assert list(out["doc_a"]) == ["a"]
     assert float(out["containment"].iloc[0]) == 1.0
+
+
+def test_window_distinct_kernel():
+    """Hand-checked tumbling distinct counts incl. the ragged tail."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_window_distinct, "unused")
+    # a: 16 identical + 16 all-distinct + 3-token tail with 2 distinct
+    toks_a = [5] * 16 + list(range(100, 116)) + [7, 7, 9]
+    # b: one 4-token doc -> a single tail window with 3 distinct
+    t = pa.table({"doc_id": ["a", "b"],
+                  "tokens": [toks_a, [1, 2, 1, 3]],
+                  "source": ["s1", "s2"]})
+    out = fn(t).to_pandas()
+    got = {(r["source"], int(r["n_distinct"])): int(r["n_windows"])
+           for _, r in out.iterrows()}
+    assert got == {("s1", 1): 1, ("s1", 16): 1, ("s1", 2): 1, ("s2", 3): 1}

@@ -8933,6 +8933,88 @@ NEARDUP_RARETOK_SQL = (
 )
 
 
+WDIST_W = 16  # tokens per distinct-count tumbling window
+
+
+def q_window_distinct(sf_dir: str) -> "ray.data.Dataset":
+    """Local-repetitiveness histogram — per source, how many tumbling
+    WDIST_W-token windows have exactly k distinct values (k = 1..WDIST_W;
+    the ragged tail window of each doc counts its own, smaller, distinct
+    count). A corpus whose windows cluster at k=1..2 is template spam even
+    when its GLOBAL vocab looks healthy — the window-local complement to
+    ``zipf_hist`` / ``repetition_2gram``. One lifted sort per batch
+    ((doc * max_w + widx) << TOKEN_BITS | tok makes every window a
+    contiguous sorted block), distinct counts from adjacent-difference
+    bincounts, then a (sources x WDIST_W)-sized groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _seq_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        empty = pa.table(
+            {"source": pa.array([], type=pa.string()),
+             "n_distinct": pa.array([], type=pa.int64()),
+             "n_windows": pa.array([], type=pa.int64())}
+        )
+        if n_docs == 0 or len(v) == 0:
+            return empty
+        if int(v.max()) >= (1 << TOKEN_BITS) or int(v.min()) < 0:
+            raise ValueError(
+                f"window_distinct's lift-sort needs tokens in "
+                f"[0, 2^{TOKEN_BITS})")
+        n = np.diff(off)
+        pos = np.arange(len(v), dtype=np.int64) - np.repeat(off[:-1], n)
+        widx = pos // WDIST_W
+        max_w = int(widx.max()) + 1
+        doc = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+        wkey = doc * max_w + widx
+        sv = np.sort((wkey << TOKEN_BITS) | v)
+        # distinct within a window = number of positions where the lifted
+        # value changes (window blocks are contiguous after the sort)
+        new = np.empty(len(sv), dtype=bool)
+        new[0] = True
+        new[1:] = sv[1:] != sv[:-1]
+        wk = sv >> TOKEN_BITS
+        n_win = int(wk.max()) + 1
+        dis = np.bincount(wk[new], minlength=n_win)
+        occ = np.bincount(wk, minlength=n_win)
+        live = np.flatnonzero(occ)
+        srcs = sorted(set(t["source"].to_pylist()))
+        src_idx = pc.index_in(
+            t["source"], value_set=pa.array(srcs)
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        skey = src_idx[live // max_w] * (WDIST_W + 1) + dis[live]
+        hist = np.bincount(skey, minlength=len(srcs) * (WDIST_W + 1))
+        nz = np.flatnonzero(hist)
+        src_names = np.array(srcs, dtype=object)[nz // (WDIST_W + 1)]
+        return pa.table(
+            {"source": pa.array(src_names, type=pa.string()),
+             "n_distinct": pa.array((nz % (WDIST_W + 1)).astype(np.int64)),
+             "n_windows": pa.array(hist[nz].astype(np.int64))}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=256)
+        .groupby(["source", "n_distinct"])
+        .aggregate(Sum("n_windows", alias_name="n_windows"))
+    )
+
+
+WINDOW_DISTINCT_SQL = (
+    f"{_FLAT_CTE},"
+    " w AS (SELECT source, doc_id,"
+    f"  pos // {WDIST_W} AS widx,"
+    "  count(DISTINCT tok) AS dis FROM flat"
+    "  GROUP BY source, doc_id, widx)"
+    " SELECT source, CAST(dis AS BIGINT) AS n_distinct,"
+    " CAST(count(*) AS BIGINT) AS n_windows"
+    " FROM w GROUP BY source, dis"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -9038,6 +9120,7 @@ CORE_QUERIES = {
     "late_events": (q_late_events, LATE_EVENTS_SQL),
     "daily_top_types": (q_daily_top_types, DAILY_TOP_TYPES_SQL),
     "neardup_raretok": (q_neardup_raretok, NEARDUP_RARETOK_SQL),
+    "window_distinct": (q_window_distinct, WINDOW_DISTINCT_SQL),
     "peak_pos": (q_peak_pos, PEAK_POS_SQL),
     "period_detect": (q_period_detect, PERIOD_DETECT_SQL),
     "peak_windows": (q_peak_windows, PEAK_WINDOWS_SQL),
