@@ -2826,3 +2826,29 @@ def test_window_distinct_kernel():
     got = {(r["source"], int(r["n_distinct"])): int(r["n_windows"])
            for _, r in out.iterrows()}
     assert got == {("s1", 1): 1, ("s1", 16): 1, ("s1", 2): 1, ("s2", 3): 1}
+
+
+def test_path_trigrams_user_boundaries(tmp_path):
+    """Trigrams never cross users; ranking ties break on path asc."""
+    import pandas as pd
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    rows = []
+    # user 1: a b c a b c -> trigrams a>b>c, b>c>a, c>a>b, a>b>c
+    for i, et in enumerate(["a", "b", "c", "a", "b", "c"]):
+        rows.append((i, t0 + i * s, 1, et))
+    # user 2: c a b -> one more c>a>b, so a>b>c and c>a>b tie at 2 and
+    # the tie breaks alphabetically; b>c>a trails at 1. The boundary
+    # trigrams (c,a,b across users) must NOT appear.
+    for i, et in enumerate(["c", "a", "b"]):
+        rows.append((10 + i, t0 + i * s, 2, et))
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    df.to_parquet(tmp_path / "events.parquet")
+    out = cq.q_path_trigrams(str(tmp_path)).to_pandas()
+    assert list(out["path"]) == ["a>b>c", "c>a>b", "b>c>a"]
+    assert list(out["cnt"]) == [2, 2, 1]
+    assert list(out["rank"]) == list(range(1, len(out) + 1))

@@ -9015,6 +9015,72 @@ WINDOW_DISTINCT_SQL = (
 )
 
 
+PATH_TOPK = 20
+
+
+def q_path_trigrams(sf_dir: str) -> pa.Table:
+    """Clickstream path mining — the PATH_TOPK most common consecutive
+    event-type TRIGRAMS across all users (per-user arrival order =
+    (ts, event_id)), ranked by count desc with path-string ascending as
+    the deterministic tie-break. Trigrams never cross users, so the fold
+    is partition-local on the same user-hash partitions every other
+    per-user event query rides (one co-partitioned exchange); partials
+    are (path, cnt) rows, the global finish is a distinct-path-sized
+    groupby + sort/limit — the driver sees PATH_TOPK rows."""
+    from ray.data.aggregate import Sum
+
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        et = df["event_type"].to_numpy().astype(object)
+        n = len(uid)
+        if n < 3:
+            return pd.DataFrame({"path": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        same = uid[:-1] == uid[1:]
+        valid = same[:-1] & same[1:]
+        paths = (et[:-2] + ">" + et[1:-1] + ">" + et[2:])[valid]
+        out = pd.Series(paths).value_counts().rename_axis("path")
+        out = out.rename("cnt").reset_index()
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    counts = (
+        ds.map_batches(_add_user_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("path")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "path"], descending=[True, False])
+        .limit(PATH_TOPK)
+        .take_all()  # PATH_TOPK rows
+    )
+    return pa.table(
+        {"path": pa.array([r["path"] for r in counts], type=pa.string()),
+         "cnt": pa.array([int(r["cnt"]) for r in counts], type=pa.int64()),
+         "rank": pa.array(np.arange(1, len(counts) + 1, dtype=np.int64))}
+    )
+
+
+PATH_TRIGRAMS_SQL = (
+    "WITH o AS (SELECT event_type,"
+    " lead(event_type, 1) OVER w AS t2, lead(event_type, 2) OVER w AS t3"
+    " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+    " g AS (SELECT event_type || '>' || t2 || '>' || t3 AS path,"
+    "  count(*) AS cnt FROM o WHERE t3 IS NOT NULL GROUP BY path),"
+    " r AS (SELECT path, cnt, row_number() OVER ("
+    "  ORDER BY cnt DESC, path) AS rank FROM g)"
+    " SELECT path, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS BIGINT) AS rank"
+    f" FROM r WHERE rank <= {PATH_TOPK}"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -9121,6 +9187,7 @@ CORE_QUERIES = {
     "daily_top_types": (q_daily_top_types, DAILY_TOP_TYPES_SQL),
     "neardup_raretok": (q_neardup_raretok, NEARDUP_RARETOK_SQL),
     "window_distinct": (q_window_distinct, WINDOW_DISTINCT_SQL),
+    "path_trigrams": (q_path_trigrams, PATH_TRIGRAMS_SQL),
     "peak_pos": (q_peak_pos, PEAK_POS_SQL),
     "period_detect": (q_period_detect, PERIOD_DETECT_SQL),
     "peak_windows": (q_peak_windows, PEAK_WINDOWS_SQL),
