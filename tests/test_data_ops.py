@@ -2852,3 +2852,21 @@ def test_path_trigrams_user_boundaries(tmp_path):
     assert list(out["path"]) == ["a>b>c", "c>a>b", "b>c>a"]
     assert list(out["cnt"]) == [2, 2, 1]
     assert list(out["rank"]) == list(range(1, len(out) + 1))
+
+
+def test_window_copairs_kernel():
+    """Distinct-pair partial: pairs count once per window regardless of
+    repeats; windows and docs never mix."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_window_copairs, "unused")
+    SENT = 1 << 20
+    # doc a: window0 = [1,2,1,2,...] -> distinct {1,2} -> one (1,2);
+    #        window1 (tail) = [2,3] -> one (2,3)
+    # doc b: [1,2] -> one more (1,2)
+    t = pa.table({"doc_id": ["a", "b"],
+                  "tokens": [[1, 2] * 8 + [2, 3], [1, 2]],
+                  "source": ["s", "s"]})
+    out = fn(t).to_pandas()
+    got = {int(r["key"]): int(r["cnt"]) for _, r in out.iterrows()}
+    assert got == {1 * SENT + 2: 2, 2 * SENT + 3: 1}

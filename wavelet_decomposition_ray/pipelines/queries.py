@@ -9081,6 +9081,123 @@ PATH_TRIGRAMS_SQL = (
 )
 
 
+COPAIR_W = 16   # co-occurrence window width
+COPAIR_TOPK = 20
+
+
+def q_window_copairs(sf_dir: str) -> pa.Table:
+    """Windowed co-occurrence mining — the COPAIR_TOPK unordered pairs of
+    DISTINCT token values that co-occur in the most tumbling COPAIR_W
+    windows (each window counts a pair once; ties rank by (tok_a, tok_b)
+    asc). The market-basket shape over token streams: a pair that keeps
+    co-occurring inside one window is a collocation the per-value
+    histograms can't see. Per batch, windows become rows of a padded
+    (n_win, COPAIR_W) distinct-value matrix so ALL C(W,2) index combos
+    vectorize at once (no per-window Python); partials pre-aggregate
+    pair keys by bincount-style np.unique before the groupby, so the
+    exchange is distinct-pair-sized (sparse, Zipf-concentrated — NOT the
+    token stream; worst case vocab², reached only by adversarial uniform
+    corpora)."""
+    ds = _seq_ds(sf_dir)
+    SENT = (1 << TOKEN_BITS)  # padding sentinel > any token
+    iu, ju = np.triu_indices(COPAIR_W, k=1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        e = pa.array([], type=pa.int64())
+        empty = pa.table({"tok_a": e, "tok_b": e, "cnt": e})
+        if n_docs == 0 or len(v) == 0:
+            return empty
+        if int(v.max()) >= SENT or int(v.min()) < 0:
+            raise ValueError(
+                f"window_copairs needs tokens in [0, 2^{TOKEN_BITS})")
+        n = np.diff(off)
+        pos = np.arange(len(v), dtype=np.int64) - np.repeat(off[:-1], n)
+        widx = pos // COPAIR_W
+        max_w = int(widx.max()) + 1
+        doc = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+        wkey = doc * max_w + widx
+        sv = np.sort((wkey << TOKEN_BITS) | v)
+        new = np.empty(len(sv), dtype=bool)
+        new[0] = True
+        new[1:] = sv[1:] != sv[:-1]
+        dv = sv[new] & (SENT - 1)          # distinct values, window-sorted
+        dw = sv[new] >> TOKEN_BITS          # their window ids (contiguous)
+        uw, inv = np.unique(dw, return_inverse=True)
+        starts = np.searchsorted(dw, uw)
+        rankin = np.arange(len(dv)) - starts[inv]
+        M = np.full((len(uw), COPAIR_W), SENT, dtype=np.int64)
+        M[inv, rankin] = dv
+        a, b = M[:, iu].ravel(), M[:, ju].ravel()
+        ok = b < SENT  # a <= b always (rows ascending); b==SENT is padding
+        key = a[ok] * SENT + b[ok]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"key": pa.array(uk), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    # A Ray .aggregate() over millions of near-distinct pair keys walks
+    # them in Python (~260 s at sf0.01); fold inside COARSE hash
+    # partitions instead (the bigram_diversity trick): a pair key lands
+    # in exactly ONE part, so within-part sums are global counts and the
+    # per-part local top-COPAIR_TOPK provably contains every global
+    # top-COPAIR_TOPK pair. Driver sees n_parts x COPAIR_TOPK rows.
+    n_parts = 64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        mixed = (key >> TOKEN_BITS) ^ key  # spread Zipf-hot prefixes
+        return t.append_column(
+            "part", pa.array((mixed % n_parts).astype(np.int32)))
+
+    def fold(df):
+        import pandas as pd
+
+        g = df.groupby("key", as_index=False)["cnt"].sum()
+        # key packing is order-preserving, so (cnt desc, key asc) is
+        # exactly (cnt desc, tok_a, tok_b)
+        g = g.sort_values(["cnt", "key"], ascending=[False, True],
+                          kind="mergesort").head(COPAIR_TOPK)
+        return pd.DataFrame({"key": g["key"].to_numpy(),
+                             "cnt": g["cnt"].to_numpy().astype(np.int64)})
+
+    top = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=256)
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .take_all()  # n_parts x COPAIR_TOPK rows
+    )
+    top.sort(key=lambda r: (-int(r["cnt"]), int(r["key"])))
+    top = top[:COPAIR_TOPK]
+    keys = np.array([int(r["key"]) for r in top], dtype=np.int64)
+    cnts = np.array([int(r["cnt"]) for r in top], dtype=np.int64)
+    return pa.table(
+        {"tok_a": pa.array(keys // SENT),
+         "tok_b": pa.array(keys % SENT),
+         "cnt": pa.array(cnts),
+         "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64))}
+    )
+
+
+WINDOW_COPAIRS_SQL = (
+    f"{_FLAT_CTE},"
+    f" d AS (SELECT DISTINCT doc_id, pos // {COPAIR_W} AS widx, tok"
+    "  FROM flat),"
+    " p AS (SELECT a.tok AS tok_a, b.tok AS tok_b FROM d a JOIN d b"
+    "  ON a.doc_id = b.doc_id AND a.widx = b.widx AND a.tok < b.tok),"
+    " g AS (SELECT tok_a, tok_b, count(*) AS cnt FROM p"
+    "  GROUP BY tok_a, tok_b),"
+    " r AS (SELECT tok_a, tok_b, cnt, row_number() OVER ("
+    "  ORDER BY cnt DESC, tok_a, tok_b) AS rank FROM g)"
+    " SELECT CAST(tok_a AS BIGINT) AS tok_a, CAST(tok_b AS BIGINT) AS tok_b,"
+    " CAST(cnt AS BIGINT) AS cnt, CAST(rank AS BIGINT) AS rank"
+    f" FROM r WHERE rank <= {COPAIR_TOPK}"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -9188,6 +9305,7 @@ CORE_QUERIES = {
     "neardup_raretok": (q_neardup_raretok, NEARDUP_RARETOK_SQL),
     "window_distinct": (q_window_distinct, WINDOW_DISTINCT_SQL),
     "path_trigrams": (q_path_trigrams, PATH_TRIGRAMS_SQL),
+    "window_copairs": (q_window_copairs, WINDOW_COPAIRS_SQL),
     "peak_pos": (q_peak_pos, PEAK_POS_SQL),
     "period_detect": (q_period_detect, PERIOD_DETECT_SQL),
     "peak_windows": (q_peak_windows, PEAK_WINDOWS_SQL),
