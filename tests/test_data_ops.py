@@ -2870,3 +2870,25 @@ def test_window_copairs_kernel():
     out = fn(t).to_pandas()
     got = {int(r["key"]): int(r["cnt"]) for _, r in out.iterrows()}
     assert got == {1 * SENT + 2: 2, 2 * SENT + 3: 1}
+
+
+def test_hod_median_even_and_negative(tmp_path):
+    """Even counts pick the LOWER middle (quantile_disc convention);
+    negative values survive the packed-key shift."""
+    import pandas as pd
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    t0 = np.datetime64("2024-01-01T05:30:00", "us")
+    h = np.timedelta64(24, "h")
+    # hour 5: values -3, -1, 2, 7 (cents) -> lower middle = -1
+    # hour 6: single value 9
+    df = pd.DataFrame({
+        "ts": [t0, t0 + h, t0 + 2 * h, t0 + 3 * h,
+               t0 + np.timedelta64(1, "h")],
+        "value": [-0.03, -0.01, 0.02, 0.07, 0.09],
+    })
+    df.to_parquet(tmp_path / "events.parquet")
+    out = cq.q_hod_median(str(tmp_path)).to_pandas().set_index("hod")
+    assert (int(out.loc[5, "n"]), int(out.loc[5, "med"])) == (4, -1)
+    assert (int(out.loc[6, "n"]), int(out.loc[6, "med"])) == (1, 9)

@@ -9198,6 +9198,69 @@ WINDOW_COPAIRS_SQL = (
 )
 
 
+def q_hod_median(sf_dir: str) -> "ray.data.Dataset":
+    """EXACT hour-of-day median of event values (lower-middle for even
+    counts, matching DuckDB quantile_disc) — the robust diurnal profile:
+    ``hourly_profile``'s mean is pulled by heavy-tail hours, the median
+    is not, and the gap between the two per hour is itself the
+    skew signal. Medians don't merge, so the distributed shape is the
+    value-histogram one: per-batch (hod, value, cnt) partials, ONE
+    distinct-(hod, value)-sized groupby, then a 24-group fold that walks
+    each hour's histogram cumsum to the middle element — the event
+    stream itself is never shuffled."""
+    from ray.data.aggregate import Sum
+
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        hod = (ts // HOUR_US) % 24
+        tok = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                      * 100).astype(np.int64)
+        if len(tok) and int(np.abs(tok).max()) >= (1 << 39):
+            raise ValueError("hod_median packed key needs |tok| < 2^39")
+        key = hod * (1 << 40) + (tok + (1 << 39))  # shift keeps key >= 0
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"hod": pa.array(uk >> 40),
+             "tok": pa.array((uk & ((1 << 40) - 1)) - (1 << 39)),
+             "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values("tok", kind="mergesort")
+        c = df["cnt"].to_numpy().astype(np.int64)
+        total = int(c.sum())
+        cum = np.cumsum(c)
+        med = df["tok"].to_numpy()[int(np.searchsorted(
+            cum, (total - 1) // 2 + 1))]
+        return pd.DataFrame({"hod": df["hod"].iloc[:1].to_numpy(),
+                             "n": np.array([total], dtype=np.int64),
+                             "med": np.array([med], dtype=np.int64)})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["hod", "tok"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("hod")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+HOD_MEDIAN_SQL = (
+    "WITH e AS (SELECT"
+    f" (epoch_us(ts) // {HOUR_US}) % 24 AS hod,"
+    " CAST(round(value * 100) AS BIGINT) AS tok FROM events)"
+    " SELECT CAST(hod AS BIGINT) AS hod, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(quantile_disc(tok, 0.5) AS BIGINT) AS med"
+    " FROM e GROUP BY hod"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -9306,6 +9369,7 @@ CORE_QUERIES = {
     "window_distinct": (q_window_distinct, WINDOW_DISTINCT_SQL),
     "path_trigrams": (q_path_trigrams, PATH_TRIGRAMS_SQL),
     "window_copairs": (q_window_copairs, WINDOW_COPAIRS_SQL),
+    "hod_median": (q_hod_median, HOD_MEDIAN_SQL),
     "peak_pos": (q_peak_pos, PEAK_POS_SQL),
     "period_detect": (q_period_detect, PERIOD_DETECT_SQL),
     "peak_windows": (q_peak_windows, PEAK_WINDOWS_SQL),
