@@ -2892,3 +2892,32 @@ def test_hod_median_even_and_negative(tmp_path):
     out = cq.q_hod_median(str(tmp_path)).to_pandas().set_index("hod")
     assert (int(out.loc[5, "n"]), int(out.loc[5, "med"])) == (4, -1)
     assert (int(out.loc[6, "n"]), int(out.loc[6, "med"])) == (1, 9)
+
+
+def test_label_stats_partials():
+    """Hand-checked per-batch label scatter: centroids sum per (label,
+    dim), sumsq accumulates squared fixed-point rows."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    Q = dq._QSCALE
+    t = pa.table({
+        "embedding": pa.array(
+            [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+            type=pa.list_(pa.float32())),
+        "label": pa.array([7, 7, 3], type=pa.int32()),
+    })
+    with mock.patch.object(dq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        cent = dq.q_label_centroids("unused").to_pandas()
+        ss = dq.q_label_sumsq("unused").to_pandas()
+    c = {(int(r["label"]), int(r["i"])): (int(r["qsum"]), int(r["cnt"]))
+         for _, r in cent.iterrows()}
+    assert c == {(7, 1): (Q, 2), (7, 2): (Q, 2),
+                 (3, 1): (Q, 1), (3, 2): (Q, 1)}
+    s = {int(r["label"]): (int(r["n"]), int(r["qss"]))
+         for _, r in ss.iterrows()}
+    assert s == {7: (2, 2 * Q * Q), 3: (1, 2 * Q * Q)}

@@ -2453,6 +2453,108 @@ def _kmeans_update_sql() -> str:
 KMEANS_UPDATE_SQL = _kmeans_update_sql()
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-LABEL centroid sums — the supervised twin of
+    ``kmeans_update``'s M-step: per (label, dimension), the int64 sum of
+    fixed-point-quantized embedding components plus the member count
+    (class prototype = qsum / cnt / 2^20). The class-prototype table is
+    what a nearest-class-mean classifier, a class-balance audit, or a
+    per-class drift monitor reads. Same scatter-partial shape: each
+    batch contributes at most (labels x dims) rows to the groupby, the
+    embedding matrix itself never shuffles. All int64 — hash-exact."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = sim.embedding_matrix(t).astype(np.float64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qx = np.floor(m * float(_QSCALE) + 0.5).astype(np.int64)
+        ul, inv = np.unique(lab, return_inverse=True)
+        D = qx.shape[1]
+        sums = np.zeros((len(ul), D), dtype=np.int64)
+        np.add.at(sums, inv, qx)
+        cnt = np.bincount(inv, minlength=len(ul)).astype(np.int64)
+        return pa.table(
+            {"label": pa.array(np.repeat(ul, D)),
+             "i": pa.array(np.tile(np.arange(1, D + 1, dtype=np.int64),
+                                   len(ul))),
+             "qsum": pa.array(sums.ravel()),
+             "cnt": pa.array(np.repeat(cnt, D))}
+        )
+
+    agg = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["embedding", "label"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=1024)
+        .groupby(["label", "i"]).sum(["qsum", "cnt"])
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["label", "i", "qsum", "cnt"]),
+        batch_format="pyarrow",
+    )
+
+
+LABEL_CENTROIDS_SQL = (
+    "WITH e AS (SELECT CAST(label AS BIGINT) AS label,"
+    f" CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_QSCALE}.0 + 0.5)"
+    "   AS BIGINT) AS qv,"
+    " CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i"
+    " FROM embeddings)"
+    " SELECT label, i, CAST(sum(qv) AS BIGINT) AS qsum,"
+    " CAST(count(*) AS BIGINT) AS cnt"
+    " FROM e GROUP BY label, i"
+)
+
+
+def q_label_sumsq(sf_dir: str):
+    """Per-label second moment — n members and the int64 sum of squared
+    fixed-point components Σ‖qx‖². Together with ``label_centroids``
+    this gives each class's exact within-class dispersion
+    Σ‖x − c‖² = qss/2^40 − ‖qsum‖²/(n·2^40) without a second data pass —
+    the per-class compactness / outlier-class audit. One scatter per
+    batch, a labels-sized groupby, int64 throughout (‖qx‖² ≤ d·2^40
+    per row; the batch guard keeps the partial sums far inside 2^63)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = sim.embedding_matrix(t).astype(np.float64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qx = np.floor(m * float(_QSCALE) + 0.5).astype(np.int64)
+        if qx.size and int(np.abs(qx).max()) >= (1 << 21):
+            raise ValueError("label_sumsq expects |components| <~ 2, got "
+                             "fixed-point values past 2^21")
+        ss = (qx * qx).sum(axis=1)
+        ul, inv = np.unique(lab, return_inverse=True)
+        qss = np.zeros(len(ul), dtype=np.int64)
+        np.add.at(qss, inv, ss)
+        cnt = np.bincount(inv, minlength=len(ul)).astype(np.int64)
+        return pa.table(
+            {"label": pa.array(ul), "n": pa.array(cnt),
+             "qss": pa.array(qss)}
+        )
+
+    agg = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["embedding", "label"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=1024)
+        .groupby("label").sum(["n", "qss"])
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["label", "n", "qss"]),
+        batch_format="pyarrow",
+    )
+
+
+LABEL_SUMSQ_SQL = (
+    "WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,"
+    f" CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_QSCALE}.0 + 0.5)"
+    "   AS BIGINT) AS qv"
+    " FROM embeddings),"
+    " r AS (SELECT vec_id, label, sum(qv * qv) AS ss"
+    "  FROM e GROUP BY vec_id, label)"
+    " SELECT label, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(sum(ss) AS BIGINT) AS qss"
+    " FROM r GROUP BY label"
+)
+
+
 # --------------------------------------------------------------------------
 # HyperLogLog distinct-count sketch
 # --------------------------------------------------------------------------
@@ -3995,6 +4097,8 @@ DATA_QUERIES = {
     "quality_deciles": (q_quality_deciles, QUALITY_DECILES_SQL),
     "kmeans_assign": (q_kmeans_assign, KMEANS_ASSIGN_SQL),
     "kmeans_update": (q_kmeans_update, KMEANS_UPDATE_SQL),
+    "label_centroids": (q_label_centroids, LABEL_CENTROIDS_SQL),
+    "label_sumsq": (q_label_sumsq, LABEL_SUMSQ_SQL),
     "hll_users": (q_hll_users, HLL_SQL),
     "hll_by_type": (q_hll_by_type, HLL_BY_TYPE_SQL),
     "cms_words": (q_cms_words, CMS_SQL),
