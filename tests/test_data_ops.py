@@ -2921,3 +2921,28 @@ def test_label_stats_partials():
     s = {int(r["label"]): (int(r["n"]), int(r["qss"]))
          for _, r in ss.iterrows()}
     assert s == {7: (2, 2 * Q * Q), 3: (1, 2 * Q * Q)}
+
+
+def test_ncm_confusion_separable_and_floor():
+    """Perfectly separable classes give a diagonal confusion matrix; a
+    deliberately negative-mean class exercises the floor (not truncate)
+    centroid rounding on the negative side."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "embedding": pa.array(
+            [[1.0, 0.0], [0.9, 0.1], [-1.0, 0.0], [-0.9, -0.1]],
+            type=pa.list_(pa.float32())),
+        "label": pa.array([1, 1, 2, 2], type=pa.int32()),
+    })
+    with mock.patch.object(dq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = dq.q_ncm_confusion("unused").to_pandas()
+    got = {(int(r["label"]), int(r["pred"])): int(r["n"])
+           for _, r in out.iterrows()}
+    assert got == {(1, 1): 2, (2, 2): 2}

@@ -2542,6 +2542,89 @@ def q_label_sumsq(sf_dir: str):
     )
 
 
+def q_ncm_confusion(sf_dir: str):
+    """Nearest-class-mean confusion matrix — the zero-training classifier
+    eval: build each label's mean embedding, re-quantize it to the 2^-20
+    fixed-point grid with floor(x + 0.5) (in integers:
+    floor_divide(2·qsum + cnt, 2·cnt), floor semantics pinned on BOTH
+    sides — DuckDB's truncating // is corrected with a non-negative mod),
+    then assign every vector to its nearest class mean (ties -> lowest
+    label) and count (true label, predicted) pairs. The diagonal over the
+    total is NCM accuracy; off-diagonal hot spots are the confusable
+    class pairs a curriculum or relabeling pass should target. Two
+    streaming scans: a (labels x dims)-sized centroid build (driver-held,
+    class-count bounded), then one broadcast-argmin scan emitting
+    (labels²)-bounded partials. Integer-exact throughout."""
+    cent = q_label_centroids(sf_dir).to_pandas()  # labels x dims rows
+    labs = np.sort(cent["label"].unique().astype(np.int64))
+    D = int(cent["i"].max())
+    qsum = np.zeros((len(labs), D), dtype=np.int64)
+    cnt = np.zeros(len(labs), dtype=np.int64)
+    li = np.searchsorted(labs, cent["label"].to_numpy().astype(np.int64))
+    qsum[li, cent["i"].to_numpy().astype(np.int64) - 1] = \
+        cent["qsum"].to_numpy().astype(np.int64)
+    cnt[li] = cent["cnt"].to_numpy().astype(np.int64)
+    qc = np.floor_divide(2 * qsum + cnt[:, None], 2 * cnt[:, None])
+    nrm = (qc * qc).sum(axis=1)
+    labs_ref = ray.put(labs)
+    qc_ref = ray.put(qc)
+    nrm_ref = ray.put(nrm)
+
+    def confuse(t: pa.Table) -> pa.Table:
+        ls, qcm, nr = ray.get(labs_ref), ray.get(qc_ref), ray.get(nrm_ref)
+        m = sim.embedding_matrix(t).astype(np.float64)
+        qx = np.floor(m * float(_QSCALE) + 0.5).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        score = nr[None, :] - 2 * (qx @ qcm.T)
+        pred = np.argmin(score, axis=1)  # ties -> lowest label index
+        true_i = np.searchsorted(ls, lab)
+        key = true_i * len(ls) + pred
+        uk, n = np.unique(key, return_counts=True)
+        return pa.table(
+            {"label": pa.array(ls[uk // len(ls)]),
+             "pred": pa.array(ls[uk % len(ls)]),
+             "n": pa.array(n.astype(np.int64))}
+        )
+
+    agg = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["embedding", "label"])
+        .map_batches(confuse, batch_format="pyarrow", batch_size=1024)
+        .groupby(["label", "pred"]).sum(["n"])
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["label", "pred", "n"]),
+        batch_format="pyarrow",
+    )
+
+
+NCM_CONFUSION_SQL = (
+    "WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,"
+    f" CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_QSCALE}.0 + 0.5)"
+    "   AS BIGINT) AS qv,"
+    " CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i"
+    " FROM embeddings),"
+    " cs AS (SELECT label AS l, i, sum(qv) AS qsum, count(*) AS cnt"
+    "  FROM e GROUP BY l, i),"
+    # floor division in integers: (a - nonneg_mod(a, b)) // b, b > 0
+    " qc AS (SELECT l, i, (2*qsum + cnt"
+    "   - ((((2*qsum + cnt) % (2*cnt)) + 2*cnt) % (2*cnt))) // (2*cnt)"
+    "   AS w FROM cs),"
+    " nm AS (SELECT l, sum(w * w) AS nrm FROM qc GROUP BY l),"
+    " d AS (SELECT e.vec_id, qc.l AS l, sum(e.qv * qc.w) AS dot"
+    "  FROM e JOIN qc ON qc.i = e.i GROUP BY e.vec_id, qc.l),"
+    " s AS (SELECT vec_id, d.l AS l, nm.nrm - 2 * dot AS score"
+    "  FROM d JOIN nm ON nm.l = d.l),"
+    " p AS (SELECT vec_id, l AS pred FROM (SELECT vec_id, l, score,"
+    "   row_number() OVER (PARTITION BY vec_id ORDER BY score, l) AS rn"
+    "   FROM s) WHERE rn = 1),"
+    " lab AS (SELECT DISTINCT vec_id, label FROM e)"
+    " SELECT lab.label AS label, CAST(p.pred AS BIGINT) AS pred,"
+    " CAST(count(*) AS BIGINT) AS n"
+    " FROM lab JOIN p USING (vec_id) GROUP BY lab.label, p.pred"
+)
+
+
 LABEL_SUMSQ_SQL = (
     "WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,"
     f" CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_QSCALE}.0 + 0.5)"
@@ -4099,6 +4182,7 @@ DATA_QUERIES = {
     "kmeans_update": (q_kmeans_update, KMEANS_UPDATE_SQL),
     "label_centroids": (q_label_centroids, LABEL_CENTROIDS_SQL),
     "label_sumsq": (q_label_sumsq, LABEL_SUMSQ_SQL),
+    "ncm_confusion": (q_ncm_confusion, NCM_CONFUSION_SQL),
     "hll_users": (q_hll_users, HLL_SQL),
     "hll_by_type": (q_hll_by_type, HLL_BY_TYPE_SQL),
     "cms_words": (q_cms_words, CMS_SQL),
