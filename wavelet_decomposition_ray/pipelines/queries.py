@@ -8906,13 +8906,26 @@ def q_neardup_raretok(sf_dir: str) -> "ray.data.Dataset":
                              "min_doc": [ids.min()],
                              "max_doc": [ids.max()]})
 
-    return (
+    rows = (
         _seq_ds(sf_dir)
         .map_batches(sig_scan, batch_format="pyarrow", batch_size=256)
         .groupby("sig")
         .map_groups(bucket, batch_format="pandas")
         .map_batches(lambda t: t.filter(pc.greater_equal(t["n_docs"], 2)),
                      batch_format="pyarrow")
+        .take_all()  # shared-signature buckets only: duplicates-sized,
+        #              never the corpus (and a typed table survives the
+        #              legitimately-empty small-sf case, where Ray's
+        #              to_pandas() on an empty Dataset drops the schema)
+    )
+    return pa.table(
+        {"sig": pa.array([r["sig"] for r in rows], type=pa.string()),
+         "n_docs": pa.array([int(r["n_docs"]) for r in rows],
+                            type=pa.int64()),
+         "min_doc": pa.array([r["min_doc"] for r in rows],
+                             type=pa.string()),
+         "max_doc": pa.array([r["max_doc"] for r in rows],
+                             type=pa.string())}
     )
 
 
