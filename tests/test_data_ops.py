@@ -2946,3 +2946,58 @@ def test_ncm_confusion_separable_and_floor():
     got = {(int(r["label"]), int(r["pred"])): int(r["n"])
            for _, r in out.iterrows()}
     assert got == {(1, 1): 2, (2, 2): 2}
+
+
+def test_max_subarray_kernel_hand_checked():
+    """Hand-checked scaled Kadane: doc a = [1, 5, 1] -> w = [-4, 8, -4],
+    best window is the middle token (8); monotone doc b = [1, 2, 3] ->
+    w = [-3, 0, 3], best suffix [0, 3] = 3; constant and single-token
+    docs score exactly 0 (the full-doc window)."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_max_subarray, "unused")
+    t = pa.table({"doc_id": ["a", "b", "c", "d"],
+                  "tokens": [[1, 5, 1], [1, 2, 3], [7, 7, 7], [9]]})
+    df = fn(t).to_pandas().set_index("doc_id")
+    assert (df.loc["a", "n"], df.loc["a", "best"]) == (3, 8)
+    assert df.loc["b", "best"] == 3
+    assert df.loc["c", "best"] == 0
+    assert df.loc["d", "best"] == 0
+
+
+def test_max_subarray_segmented_min_no_doc_leak():
+    """The segmented running-min must NOT leak a deep minimum from an
+    earlier doc into a later one: doc a ends on a huge dip; doc b's best
+    must still be computed against b's own prefixes only (brute-forced
+    per doc here)."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_max_subarray, "unused")
+    docs = [[0, 0, 1000, 0, 0], [5, 1, 9, 2, 8], [3, 3, 4]]
+    t = pa.table({"doc_id": ["a", "b", "c"], "tokens": docs})
+    df = fn(t).to_pandas().set_index("doc_id")
+    for did, toks in zip(["a", "b", "c"], docs):
+        x = np.asarray(toks, dtype=np.int64)
+        n, s = len(x), x.sum()
+        w = n * x - s
+        brute = max(w[i:j + 1].sum()
+                    for i in range(n) for j in range(i, n))
+        assert df.loc[did, "best"] == brute, did
+
+
+def test_longest_runup_kernel_hand_checked():
+    """Hand-checked streaks: strictly increasing only (equal breaks the
+    run); doc boundaries always restart; single-token doc scores 1."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_longest_runup, "unused")
+    t = pa.table({"doc_id": ["a", "b", "c", "d"],
+                  "tokens": [[1, 2, 3, 2, 3, 4, 5], [4, 4, 4],
+                             [9], [1, 2]]})
+    df = fn(t).to_pandas().set_index("doc_id")
+    assert df.loc["a", "longest_up"] == 4  # 2,3,4,5
+    assert df.loc["b", "longest_up"] == 1
+    assert df.loc["c", "longest_up"] == 1
+    # doc d follows doc c whose last token (9) > d's first (1): must not
+    # chain across the boundary
+    assert df.loc["d", "longest_up"] == 2

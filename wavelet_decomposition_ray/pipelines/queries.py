@@ -9274,6 +9274,134 @@ HOD_MEDIAN_SQL = (
 )
 
 
+def q_max_subarray(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc maximum above-mean window (Kadane / maximum-subarray on the
+    mean-centered signal, kept integer-exact by scaling by n): with
+    w_i = n*x_i - sum(x), ``best`` = max over non-empty windows of
+    sum(w_i) = n * (window_sum - window_len * mean) — the single most
+    anomalous sustained excursion in the sequence, the burst a
+    retention-tier or alerting pass should preserve.  Always >= 0 (the
+    full-doc window sums to exactly 0).  Fully vectorized across the
+    batch: one global cumsum, then a SEGMENTED running-min via the
+    disjoint-offset trick (each doc's rebased prefixes are shifted into
+    their own non-overlapping value range, descending so minima never
+    leak across docs), so no per-row Python.  Exactness: |prefix| <=
+    n^2 * max_tok <= 2^52 for n <= 2^16, tok < 2^20; the offset guard
+    asserts (D+1)*K < 2^62 before trusting int64."""
+    ds = _seq_ds(sf_dir)
+
+    def best(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        D = len(off) - 1
+        e = pa.array([], type=pa.int64())
+        if D == 0 or len(v) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.string()), "n": e, "best": e}
+            )
+        n = np.diff(off)
+        assert (n > 0).all(), "max_subarray requires non-empty docs"
+        tot = np.add.reduceat(v, off[:-1])
+        w = np.repeat(n, n) * v - np.repeat(tot, n)
+        G0 = np.concatenate(([0], np.cumsum(w)))
+        # extended layout: [boundary-0, prefix_1..prefix_n] per doc
+        ext_n = n + 1
+        ext_off = np.concatenate(([0], np.cumsum(ext_n)))
+        ne = int(ext_off[-1])
+        bpos = ext_off[:-1]
+        tmask = np.ones(ne, dtype=bool)
+        tmask[bpos] = False
+        E = np.empty(ne, dtype=np.int64)
+        E[bpos] = G0[off[:-1]]
+        E[tmask] = G0[1:]
+        P = E - np.repeat(G0[off[:-1]], ext_n)  # per-doc prefixes, P[start]=0
+        mx = int(np.abs(P).max())
+        K = 2 * mx + 1
+        assert (D + 1) * K < (1 << 62), "max_subarray offset overflow guard"
+        sege = np.repeat(np.arange(D, dtype=np.int64), ext_n)
+        adj = P + (D - sege) * K  # earlier docs strictly above later ones
+        cm = np.minimum.accumulate(adj)
+        ti = np.flatnonzero(tmask)
+        cand = P[ti] - (cm[ti - 1] - (D - sege[ti]) * K)
+        out = np.maximum.reduceat(cand, off[:-1])
+        return pa.table(
+            {"doc_id": t["doc_id"], "n": pa.array(n.astype(np.int64)),
+             "best": pa.array(out)}
+        )
+
+    return ds.map_batches(best, batch_format="pyarrow", batch_size=256)
+
+
+MAX_SUBARRAY_SQL = (
+    f"{_FLAT_CTE},"
+    " s AS (SELECT doc_id, pos, tok,"
+    "  count(*) OVER (PARTITION BY doc_id) AS n,"
+    "  sum(tok) OVER (PARTITION BY doc_id) AS tot FROM flat),"
+    " p AS (SELECT doc_id, pos, n,"
+    "  sum(n * tok - tot) OVER (PARTITION BY doc_id ORDER BY pos) AS pre"
+    "  FROM s),"
+    " m AS (SELECT doc_id, n, pre,"
+    "  min(pre) OVER (PARTITION BY doc_id ORDER BY pos"
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mn FROM p)"
+    " SELECT doc_id, CAST(max(n) AS BIGINT) AS n,"
+    " CAST(max(pre - LEAST(0, COALESCE(mn, 0))) AS BIGINT) AS best"
+    " FROM m GROUP BY doc_id"
+)
+
+
+def q_longest_runup(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc longest strictly-increasing token run (in tokens) — the
+    monotone-trend streak detector (a long run-up in a supposedly
+    stationary signal flags drift or a counter leaking into a gauge; the
+    sequence analog of ``longest_streak``'s daily version).  Vectorized
+    gaps-and-islands: a run RESTART is any position whose token fails
+    v[i] > v[i-1] or that starts a doc; ``last restart at-or-before``
+    comes from one running max over position indices (doc starts are
+    always restarts, so the running max never crosses docs), run length
+    = i - last_restart + 1, per-doc max via one reduceat."""
+    ds = _seq_ds(sf_dir)
+
+    def runs(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        D = len(off) - 1
+        e = pa.array([], type=pa.int64())
+        if D == 0 or len(v) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.string()),
+                 "n": e, "longest_up": e}
+            )
+        n = np.diff(off)
+        assert (n > 0).all(), "longest_runup requires non-empty docs"
+        N = len(v)
+        restart = np.ones(N, dtype=bool)
+        restart[1:] = ~(v[1:] > v[:-1])
+        restart[off[:-1]] = True  # doc boundaries always restart
+        idx = np.arange(N, dtype=np.int64)
+        last = np.maximum.accumulate(np.where(restart, idx, -1))
+        runlen = idx - last + 1
+        out = np.maximum.reduceat(runlen, off[:-1])
+        return pa.table(
+            {"doc_id": t["doc_id"], "n": pa.array(n.astype(np.int64)),
+             "longest_up": pa.array(out)}
+        )
+
+    return ds.map_batches(runs, batch_format="pyarrow", batch_size=512)
+
+
+LONGEST_RUNUP_SQL = (
+    f"{_FLAT_CTE},"
+    " l AS (SELECT doc_id, pos, CASE WHEN tok >"
+    "  lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)"
+    "  THEN 0 ELSE 1 END AS brk FROM flat),"
+    " g AS (SELECT doc_id, pos,"
+    "  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM l),"
+    " r AS (SELECT doc_id, grp, count(*) AS rl FROM g GROUP BY doc_id, grp)"
+    " SELECT doc_id, CAST(sum(rl) AS BIGINT) AS n,"
+    " CAST(max(rl) AS BIGINT) AS longest_up FROM r GROUP BY doc_id"
+)
+
+
 CORE_QUERIES = {
     "rollup_t1": (lambda sf: _rollup_long(sf, 1), _rollup_sql(1)),
     "rollup_t3": (lambda sf: _rollup_long(sf, 3), _rollup_sql(3)),
@@ -9410,4 +9538,6 @@ CORE_QUERIES = {
     "orders_no_lineitem": (q_orders_no_lineitem, ORDERS_NO_LINEITEM_SQL),
     "profit_by_nation_year": (q_profit_by_nation_year, PROFIT_Q9_SQL),
     "revenue_by_region": (q_revenue_by_region, REVENUE_BY_REGION_SQL),
+    "max_subarray": (q_max_subarray, MAX_SUBARRAY_SQL),
+    "longest_runup": (q_longest_runup, LONGEST_RUNUP_SQL),
 }
