@@ -3001,3 +3001,56 @@ def test_longest_runup_kernel_hand_checked():
     # doc d follows doc c whose last token (9) > d's first (1): must not
     # chain across the boundary
     assert df.loc["d", "longest_up"] == 2
+
+
+def test_pmi_buckets_hand_checked():
+    """Hand-checked PMI over planted bucket transitions: an alternating
+    0<->512 doc and a constant-1024 doc; the self-loop's fatter marginal
+    must DEMOTE it below the alternating pair despite equal-ish counts,
+    and boundary pairs must not leak between docs."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    t = pa.table({
+        "doc_id": ["d1", "d2"],
+        "tokens": [[0, 512, 0, 512, 0], [1024, 1024, 1024, 1024]],
+        "source": ["s", "s"],
+    })
+    with mock.patch.object(cq, "_seq_ds",
+                           return_value=ray.data.from_arrow(t)), \
+         mock.patch.object(cq, "PMI_MINC", 1):
+        out = cq.q_pmi_buckets("unused").to_pandas()
+    got = [tuple(map(int, r)) for r in
+           out[["x", "y", "cnt", "score"]].itertuples(index=False)]
+    # nbi = 7; c01 = c10 = 2 with marginals 2*2; c22 = 3 with 3*3
+    assert got == [
+        (0, 1, 2, 3_500_000), (1, 0, 2, 3_500_000),
+        (2, 2, 3, 2_333_333),
+    ]
+
+
+def test_type_hour_assoc_hand_checked():
+    """Hand-checked independence residuals on a 2x2 planted contingency:
+    symmetric margins, resid = o*N - r*c = +/-8."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    hrs = [0, 0, 0, 1, 0, 1, 1, 1]
+    typ = ["A", "A", "A", "A", "B", "B", "B", "B"]
+    ts = pa.array(np.array(hrs, dtype=np.int64) * 3_600_000_000,
+                  type=pa.timestamp("us"))
+    t = pa.table({"ts": ts, "event_type": pa.array(typ)})
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_type_hour_assoc("unused").to_pandas()
+    got = {(r["event_type"], int(r["hod"])): (int(r["n"]), int(r["resid"]))
+           for _, r in out.iterrows()}
+    assert got == {("A", 0): (3, 8), ("A", 1): (1, -8),
+                   ("B", 0): (1, -8), ("B", 1): (3, 8)}
+    assert (out["n_tot"] == 8).all() and (out["row_tot"] == 4).all()

@@ -9274,6 +9274,166 @@ HOD_MEDIAN_SQL = (
 )
 
 
+PMI_SHIFT = 9       # value bucket = tok >> 9 (width 512)
+PMI_MINC = 100      # bigram support floor before PMI ranking
+PMI_SCALE = 1_000_000
+PMI_TOPK = 20
+
+
+def q_pmi_buckets(sf_dir: str) -> "pa.Table":
+    """Top-k bucket-transition PMI — which value-range transitions are
+    over-represented vs independence (the association-strength view of
+    ``event_transitions``-style counting: a raw count is dominated by the
+    marginals; PMI = p(x,y)/(p(x)p(y)) surfaces the structurally coupled
+    ranges a regime-detection or quantization pass should model jointly).
+    Adjacent within-doc token pairs bucketed at width 2^PMI_SHIFT; score
+    = floor(PMI_SCALE * c_xy * N / (c_x. * c_.y)) over the bigram-table
+    marginals, computed in arbitrary-precision Python ints on the
+    (bucket-alphabet^2)-bounded driver table (HUGEINT on the SQL side),
+    support floor PMI_MINC, ties -> (x, y) ascending.  One partial-count
+    map_batches + one distinct-pair-sized groupby; the token stream is
+    never shuffled."""
+    import pandas as pd
+
+    ds = _seq_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64) >> PMI_SHIFT
+        e = pa.array([], type=pa.int64())
+        if len(v) < 2:
+            return pa.table({"x": e, "y": e, "cnt": e})
+        same = np.ones(len(v) - 1, dtype=bool)
+        ends = np.cumsum(np.diff(off))[:-1] - 1  # last token index per doc
+        same[ends] = False
+        key = (v[:-1] << 21) | v[1:]
+        key = key[same]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"x": pa.array(uk >> 21), "y": pa.array(uk & ((1 << 21) - 1)),
+             "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    pairs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["x", "y"]).aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # bounded by bucket-alphabet^2, not corpus size
+    )
+    if len(pairs) == 0:
+        return pa.table({"x": pa.array([], type=pa.int64()),
+                         "y": pa.array([], type=pa.int64()),
+                         "cnt": pa.array([], type=pa.int64()),
+                         "score": pa.array([], type=pa.int64())})
+    n_bi = int(pairs["cnt"].sum())
+    cx = pairs.groupby("x")["cnt"].sum().to_dict()
+    cy = pairs.groupby("y")["cnt"].sum().to_dict()
+    rows = []
+    for x, y, c in pairs[["x", "y", "cnt"]].itertuples(index=False):
+        if c < PMI_MINC:
+            continue
+        score = (PMI_SCALE * int(c) * n_bi) // (int(cx[x]) * int(cy[y]))
+        rows.append((int(x), int(y), int(c), score))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    rows = rows[:PMI_TOPK]
+    df = pd.DataFrame(rows, columns=["x", "y", "cnt", "score"])
+    return pa.Table.from_pandas(
+        df.astype({"x": np.int64, "y": np.int64, "cnt": np.int64,
+                   "score": np.int64}),
+        preserve_index=False,
+    )
+
+
+PMI_BUCKETS_SQL = (
+    f"{_FLAT_CTE},"
+    f" b AS (SELECT doc_id, pos, tok // {1 << PMI_SHIFT} AS bk FROM flat),"
+    " bg AS (SELECT bk AS x, lead(bk) OVER"
+    "  (PARTITION BY doc_id ORDER BY pos) AS y FROM b),"
+    " c AS (SELECT x, y, count(*) AS cnt FROM bg"
+    "  WHERE y IS NOT NULL GROUP BY x, y),"
+    " mx AS (SELECT x, sum(cnt) AS cx FROM c GROUP BY x),"
+    " my AS (SELECT y, sum(cnt) AS cy FROM c GROUP BY y),"
+    " t AS (SELECT sum(cnt) AS nbi FROM c)"
+    " SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,"
+    " CAST(cnt AS BIGINT) AS cnt,"
+    f" CAST(CAST({PMI_SCALE} AS HUGEINT) * cnt * nbi // (cx * cy)"
+    "  AS BIGINT) AS score"
+    " FROM c JOIN mx USING (x) JOIN my USING (y), t"
+    f" WHERE cnt >= {PMI_MINC}"
+    f" ORDER BY score DESC, x, y LIMIT {PMI_TOPK}"
+)
+
+
+def q_type_hour_assoc(sf_dir: str) -> "pa.Table":
+    """Event-type x hour-of-day independence residuals — the chi-square
+    contingency audit in exact integer form: for every observed cell,
+    the count o, its margins (row_tot, col_tot, n_tot) and resid =
+    o*N - row_tot*col_tot, i.e. N^2 * (p_obs - p_independent).  A
+    positive resid marks a (type, hour) hot spot the seasonal profile
+    treats as noise; chi2 itself is sum(resid^2 / (N*r*c)) — left as
+    rationals so both engines stay bit-exact (no float division).  One
+    partial-count map_batches, a (types x 24)-bounded groupby, a tiny
+    driver finish.  int64-exact while total events < 2^31 (o*N < 2^62);
+    past that promote the finish to Python object ints — the counting
+    passes are scale-safe."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = pd.DataFrame(
+            {"event_type": df["event_type"].to_numpy(),
+             "hod": (ts_us // HOUR_US) % 24}
+        ).groupby(["event_type", "hod"], as_index=False).size()
+        g.rename(columns={"size": "n"}, inplace=True)
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Sum
+
+    cells = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "hod"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: event-type alphabet x 24
+    )
+    n = cells["n"].to_numpy().astype(np.int64)
+    n_tot = int(n.sum())
+    assert n_tot < (1 << 31), "type_hour_assoc int64 finish guard"
+    rt = cells.groupby("event_type")["n"].sum()
+    ct = cells.groupby("hod")["n"].sum()
+    row_tot = rt.loc[cells["event_type"]].to_numpy().astype(np.int64)
+    col_tot = ct.loc[cells["hod"]].to_numpy().astype(np.int64)
+    out = pd.DataFrame(
+        {"event_type": cells["event_type"],
+         "hod": cells["hod"].astype(np.int64), "n": n,
+         "row_tot": row_tot, "col_tot": col_tot,
+         "n_tot": np.full(len(cells), n_tot, dtype=np.int64),
+         "resid": n * n_tot - row_tot * col_tot}
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+TYPE_HOUR_ASSOC_SQL = (
+    "WITH e AS (SELECT event_type,"
+    f" (epoch_us(ts) // {HOUR_US}) % 24 AS hod FROM events),"
+    " o AS (SELECT event_type, hod, count(*) AS n FROM e"
+    "  GROUP BY event_type, hod),"
+    " r AS (SELECT event_type, sum(n) AS rt FROM o GROUP BY event_type),"
+    " c AS (SELECT hod, sum(n) AS ct FROM o GROUP BY hod),"
+    " t AS (SELECT sum(n) AS nt FROM o)"
+    " SELECT o.event_type, CAST(o.hod AS BIGINT) AS hod,"
+    " CAST(o.n AS BIGINT) AS n, CAST(rt AS BIGINT) AS row_tot,"
+    " CAST(ct AS BIGINT) AS col_tot, CAST(nt AS BIGINT) AS n_tot,"
+    " CAST(o.n * nt - rt * ct AS BIGINT) AS resid"
+    " FROM o JOIN r USING (event_type) JOIN c USING (hod), t"
+)
+
+
 def q_max_subarray(sf_dir: str) -> "ray.data.Dataset":
     """Per-doc maximum above-mean window (Kadane / maximum-subarray on the
     mean-centered signal, kept integer-exact by scaling by n): with
@@ -9540,4 +9700,6 @@ CORE_QUERIES = {
     "revenue_by_region": (q_revenue_by_region, REVENUE_BY_REGION_SQL),
     "max_subarray": (q_max_subarray, MAX_SUBARRAY_SQL),
     "longest_runup": (q_longest_runup, LONGEST_RUNUP_SQL),
+    "pmi_buckets": (q_pmi_buckets, PMI_BUCKETS_SQL),
+    "type_hour_assoc": (q_type_hour_assoc, TYPE_HOUR_ASSOC_SQL),
 }
