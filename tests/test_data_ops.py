@@ -3054,3 +3054,50 @@ def test_type_hour_assoc_hand_checked():
     assert got == {("A", 0): (3, 8), ("A", 1): (1, -8),
                    ("B", 0): (1, -8), ("B", 1): (3, 8)}
     assert (out["n_tot"] == 8).all() and (out["row_tot"] == 4).all()
+
+
+def test_embed_grid_hand_checked():
+    """Hand-checked grid cells at 0.25 resolution: negative coordinates
+    floor DOWN (not toward zero), ties in the top-k break (gx, gy)
+    ascending."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "embedding": pa.array(
+            [[0.3, 0.3], [0.26, 0.49], [-0.1, 0.0], [1.0, -1.0]],
+            type=pa.list_(pa.float32())),
+    })
+    with mock.patch.object(dq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = dq.q_embed_grid("unused").to_pandas()
+    got = [tuple(map(int, r)) for r in
+           out[["gx", "gy", "cnt"]].itertuples(index=False)]
+    # 0.3*4=1.2 -> 1; -0.1*4=-0.4 -> -1 (floor); 1.0*4=4; -1.0*4=-4
+    assert got == [(1, 1, 2), (-1, 0, 1), (4, -4, 1)]
+
+
+def test_dim_variance_hand_checked():
+    """Hand-checked per-dimension moments on exact grid values."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    q = 1.0 / (1 << 20)  # one fixed-point step
+    t = pa.table({
+        "vec_id": pa.array([0, 1], type=pa.int64()),
+        "embedding": pa.array(
+            [[q, 2 * q], [3 * q, -2 * q]], type=pa.list_(pa.float32())),
+    })
+    with mock.patch.object(dq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = dq.q_dim_variance("unused").to_pandas().set_index("i")
+    assert (out.loc[1, "n"], out.loc[1, "qsum"], out.loc[1, "qss"]) \
+        == (2, 4, 10)
+    assert (out.loc[2, "qsum"], out.loc[2, "qss"]) == (0, 8)

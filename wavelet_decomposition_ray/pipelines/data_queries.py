@@ -4130,6 +4130,113 @@ DEDUP_INCREMENTAL_SQL = (
 )
 
 
+GRID_RES = 4       # cells per unit: cell = floor(x * 4), width 0.25
+GRID_TOPK = 20
+
+
+def q_embed_grid(sf_dir: str):
+    """Embedding grid-density hot cells — quantize the first two
+    dimensions to a GRID_RES cell lattice and report the GRID_TOPK
+    densest cells (ties -> (gx, gy) ascending).  The histogram-space
+    density view of the embedding cloud: hot cells are candidate dup /
+    mode-collapse regions worth a targeted near-dup pass, empty
+    neighborhoods are coverage gaps — and the same cells are a DBSCAN-
+    style pre-clustering partition key.  Exactness: x * 4 and floor are
+    both exact on IEEE doubles, so the cell ids match the SQL bit-for-
+    bit.  One partial-count map_batches, a cells-sized groupby, a tiny
+    driver top-k."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = sim.embedding_matrix(t).astype(np.float64)
+        gx = np.floor(m[:, 0] * GRID_RES).astype(np.int64)
+        gy = np.floor(m[:, 1] * GRID_RES).astype(np.int64)
+        key = (gx + (1 << 20)) * (1 << 21) + (gy + (1 << 20))
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"gx": pa.array((uk // (1 << 21)) - (1 << 20)),
+             "gy": pa.array((uk % (1 << 21)) - (1 << 20)),
+             "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    cells = (
+        _emb(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", batch_size=1024)
+        .groupby(["gx", "gy"]).sum(["cnt"])
+        .to_pandas()  # bounded by occupied-cell count, not vectors
+    )
+    cells.columns = ["gx", "gy", "cnt"]
+    cells = cells.sort_values(
+        ["cnt", "gx", "gy"], ascending=[False, True, True],
+        kind="mergesort").head(GRID_TOPK)
+    return pa.Table.from_pandas(
+        cells.astype({"gx": np.int64, "gy": np.int64, "cnt": np.int64}),
+        preserve_index=False,
+    )
+
+
+EMBED_GRID_SQL = (
+    "WITH g AS (SELECT"
+    f" CAST(floor(CAST(embedding[1] AS DOUBLE) * {GRID_RES}) AS BIGINT)"
+    "  AS gx,"
+    f" CAST(floor(CAST(embedding[2] AS DOUBLE) * {GRID_RES}) AS BIGINT)"
+    "  AS gy"
+    " FROM embeddings)"
+    " SELECT gx, gy, CAST(count(*) AS BIGINT) AS cnt FROM g"
+    " GROUP BY gx, gy"
+    f" ORDER BY cnt DESC, gx, gy LIMIT {GRID_TOPK}"
+)
+
+
+def q_dim_variance(sf_dir: str):
+    """Per-dimension embedding moments — n, Σqv and Σqv² for every
+    coordinate on the 2^-20 fixed-point grid: the feature-health audit
+    (a dead dimension has qss ≈ qsum²/n; a runaway one dominates every
+    distance — both silently poison kNN/ANN and k-means until rescaled).
+    Exact-integer companion to ``label_sumsq``'s per-class view, but
+    per-dimension and label-free.  One columnwise partial per batch (two
+    reductions over the batch matrix), a d-sized groupby — the vectors
+    themselves never shuffle.  int64-exact while n·2^44 < 2^63 (same
+    |component| < ~2 guard as label_sumsq)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = sim.embedding_matrix(t).astype(np.float64)
+        qx = np.floor(m * float(_QSCALE) + 0.5).astype(np.int64)
+        if qx.size and int(np.abs(qx).max()) >= (1 << 21):
+            raise ValueError("dim_variance expects |components| <~ 2, got "
+                             "fixed-point values past 2^21")
+        d = qx.shape[1]
+        return pa.table(
+            {"i": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+             "n": pa.array(np.full(d, qx.shape[0], dtype=np.int64)),
+             "qsum": pa.array(qx.sum(axis=0)),
+             "qss": pa.array((qx * qx).sum(axis=0))}
+        )
+
+    agg = (
+        _emb(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", batch_size=1024)
+        .groupby("i").sum(["n", "qsum", "qss"])
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["i", "n", "qsum", "qss"]),
+        batch_format="pyarrow",
+    )
+
+
+DIM_VARIANCE_SQL = (
+    "WITH e AS (SELECT"
+    f" CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_QSCALE}.0 + 0.5)"
+    "   AS BIGINT) AS qv,"
+    " CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i"
+    " FROM embeddings)"
+    " SELECT i, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(sum(qv) AS BIGINT) AS qsum,"
+    " CAST(sum(qv * qv) AS BIGINT) AS qss"
+    " FROM e GROUP BY i"
+)
+
+
 DATA_QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "token_count_bpe": (q_token_count_bpe, TOKEN_COUNT_BPE_SQL),
@@ -4196,4 +4303,6 @@ DATA_QUERIES = {
     "bloom_prescreen": (q_bloom_prescreen, BLOOM_SQL),
     "rollup_cube": (q_rollup_cube, ROLLUP_CUBE_SQL),
     "median2_by_source": (q_median2_by_source, MEDIAN2_SQL),
+    "embed_grid": (q_embed_grid, EMBED_GRID_SQL),
+    "dim_variance": (q_dim_variance, DIM_VARIANCE_SQL),
 }
