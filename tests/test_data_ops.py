@@ -3101,3 +3101,47 @@ def test_dim_variance_hand_checked():
     assert (out.loc[1, "n"], out.loc[1, "qsum"], out.loc[1, "qss"]) \
         == (2, 4, 10)
     assert (out.loc[2, "qsum"], out.loc[2, "qss"]) == (0, 8)
+
+
+def test_iqr_outliers_kernel_hand_checked():
+    """Hand-checked Tukey fences with the ceil(q*n) rank convention:
+    doc a = [1..8, 100]: n=9, q1 = rank ceil(9/4)=3 -> 3, q3 = rank
+    ceil(27/4)=7 -> 7, IQR=4, fences [-3, 13] -> only 100 is out.
+    Constant doc has IQR 0 and zero outliers; values sort within docs
+    only (doc b's huge values must not contaminate doc c)."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_iqr_outliers, "unused")
+    t = pa.table({"doc_id": ["a", "b", "c"],
+                  "tokens": [[1, 2, 3, 4, 5, 6, 7, 8, 100],
+                             [1000000 - 1] * 4,
+                             [5, 5, 5, 5]]})
+    df = fn(t).to_pandas().set_index("doc_id")
+    assert (df.loc["a", "q1"], df.loc["a", "q3"], df.loc["a", "n_out"]) \
+        == (3, 7, 1)
+    assert df.loc["b", "n_out"] == 0
+    assert (df.loc["c", "q1"], df.loc["c", "q3"], df.loc["c", "n_out"]) \
+        == (5, 5, 0)
+
+
+def test_daily_value_bands_hand_checked():
+    """Hand-checked daily bands: day 0 has values 1..10 (cents 100..1000),
+    so p10 = rank ceil(1) = 100, p50 = rank 5 = 500, p90 = rank 9 = 900;
+    day 1 is a single value."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    day_us = 86_400_000_000
+    ts = np.array([0] * 10 + [day_us], dtype=np.int64)
+    vals = [float(i) for i in range(1, 11)] + [7.25]
+    t = pa.table({"ts": pa.array(ts, type=pa.timestamp("us")),
+                  "value": pa.array(vals, type=pa.float64())})
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_daily_value_bands("unused").to_pandas().set_index("day")
+    assert (out.loc[0, "p10"], out.loc[0, "p50"], out.loc[0, "p90"]) \
+        == (100, 500, 900)
+    assert (out.loc[1, "n"], out.loc[1, "p50"]) == (1, 725)

@@ -9274,6 +9274,133 @@ HOD_MEDIAN_SQL = (
 )
 
 
+def q_iqr_outliers(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc Tukey-fence outlier audit — exact lower/upper quartiles
+    (1-based rank ceil(q*n), DuckDB's quantile_disc convention) and the
+    count of tokens outside [q1 - 1.5*IQR, q3 + 1.5*IQR], kept integer
+    by scaling the fence comparison by 2 (2*tok vs 2*q1 - 3*IQR).  The
+    robust per-sequence outlier density a cleaning pass thresholds on —
+    unlike ``anomaly_mad`` this reports quartiles too, so the consumer
+    can distinguish fat tails from a shifted box.  Fully vectorized: one
+    composite-key sort per batch (seg-major so values sort within docs),
+    two gathers for the quartile ranks, one reduceat for the fence
+    count.  Requires 0 <= tok < 2^20 (asserted) for the packed key."""
+    ds = _seq_ds(sf_dir)
+
+    def fences(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        D = len(off) - 1
+        e = pa.array([], type=pa.int64())
+        if D == 0 or len(v) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.string()), "n": e,
+                 "q1": e, "q3": e, "n_out": e}
+            )
+        assert v.min() >= 0 and v.max() < (1 << 20), \
+            "iqr_outliers packed sort needs 0 <= tok < 2^20"
+        n = np.diff(off)
+        assert (n > 0).all(), "iqr_outliers requires non-empty docs"
+        seg = np.repeat(np.arange(D, dtype=np.int64), n)
+        sv = np.sort((seg << 21) | v) & ((1 << 21) - 1)
+        r1 = off[:-1] + (n + 3) // 4 - 1          # ceil(n/4), 0-based
+        r3 = off[:-1] + (3 * n + 3) // 4 - 1      # ceil(3n/4)
+        q1, q3 = sv[r1], sv[r3]
+        iqr = q3 - q1
+        lo, hi = 2 * q1 - 3 * iqr, 2 * q3 + 3 * iqr
+        out = (2 * v < lo[seg]) | (2 * v > hi[seg])
+        n_out = np.add.reduceat(out.astype(np.int64), off[:-1])
+        # reduceat on a doc whose slice is all-False still yields 0 ✓
+        return pa.table(
+            {"doc_id": t["doc_id"], "n": pa.array(n.astype(np.int64)),
+             "q1": pa.array(q1), "q3": pa.array(q3),
+             "n_out": pa.array(n_out)}
+        )
+
+    return ds.map_batches(fences, batch_format="pyarrow", batch_size=256)
+
+
+IQR_OUTLIERS_SQL = (
+    f"{_FLAT_CTE},"
+    " q AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,"
+    "  CAST(quantile_disc(tok, 0.25) AS BIGINT) AS q1,"
+    "  CAST(quantile_disc(tok, 0.75) AS BIGINT) AS q3"
+    "  FROM flat GROUP BY doc_id)"
+    " SELECT f.doc_id, n, q1, q3,"
+    " CAST(sum(CASE WHEN 2*tok < 2*q1 - 3*(q3-q1)"
+    "   OR 2*tok > 2*q3 + 3*(q3-q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_out"
+    " FROM flat f JOIN q USING (doc_id) GROUP BY f.doc_id, n, q1, q3"
+)
+
+
+def q_daily_value_bands(sf_dir: str) -> "ray.data.Dataset":
+    """Per-day exact value bands — n and the p10/p50/p90 of the day's
+    event values on the cent grid (rank = ceil(q*n), quantile_disc's
+    convention): the control-chart envelope a drift monitor draws, and
+    the day-granularity complement to ``hod_median``'s hour-of-day view.
+    Histogram-exact at any scale: one (day, value)-partial map_batches,
+    a distinct-(day, value)-sized groupby, then a per-day fold over its
+    own value histogram — the event stream itself never shuffles."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tok = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        day = ts_us // _DAY_US
+        key = day * (1 << 40) + (tok + (1 << 39))
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"day": pa.array(uk >> 40),
+             "tok": pa.array((uk & ((1 << 40) - 1)) - (1 << 39)),
+             "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values("tok", kind="mergesort")
+        c = df["cnt"].to_numpy().astype(np.int64)
+        total = int(c.sum())
+        cum = np.cumsum(c)
+        toks = df["tok"].to_numpy()
+        def pick(num: int, den: int) -> int:
+            rank = (num * total + den - 1) // den  # ceil(q*n), 1-based
+            return int(toks[int(np.searchsorted(cum, rank))])
+        return pd.DataFrame(
+            {"day": df["day"].iloc[:1].to_numpy(),
+             "n": np.array([total], dtype=np.int64),
+             "p10": np.array([pick(1, 10)], dtype=np.int64),
+             "p50": np.array([pick(1, 2)], dtype=np.int64),
+             "p90": np.array([pick(9, 10)], dtype=np.int64)}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "tok"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("day")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+DAILY_VALUE_BANDS_SQL = (
+    "WITH e AS (SELECT"
+    f" epoch_us(ts) // {86_400_000_000} AS day,"
+    " CAST(round(value * 100) AS BIGINT) AS tok FROM events)"
+    " SELECT CAST(day AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(quantile_disc(tok, 0.1) AS BIGINT) AS p10,"
+    " CAST(quantile_disc(tok, 0.5) AS BIGINT) AS p50,"
+    " CAST(quantile_disc(tok, 0.9) AS BIGINT) AS p90"
+    " FROM e GROUP BY day"
+)
+
+
 PMI_SHIFT = 9       # value bucket = tok >> 9 (width 512)
 PMI_MINC = 100      # bigram support floor before PMI ranking
 PMI_SCALE = 1_000_000
@@ -9702,4 +9829,6 @@ CORE_QUERIES = {
     "longest_runup": (q_longest_runup, LONGEST_RUNUP_SQL),
     "pmi_buckets": (q_pmi_buckets, PMI_BUCKETS_SQL),
     "type_hour_assoc": (q_type_hour_assoc, TYPE_HOUR_ASSOC_SQL),
+    "iqr_outliers": (q_iqr_outliers, IQR_OUTLIERS_SQL),
+    "daily_value_bands": (q_daily_value_bands, DAILY_VALUE_BANDS_SQL),
 }
