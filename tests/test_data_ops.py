@@ -3145,3 +3145,60 @@ def test_daily_value_bands_hand_checked():
     assert (out.loc[0, "p10"], out.loc[0, "p50"], out.loc[0, "p90"]) \
         == (100, 500, 900)
     assert (out.loc[1, "n"], out.loc[1, "p50"]) == (1, 725)
+
+
+def test_dedup_keep_best_prefers_longest():
+    """Planted component {1, 2, 3} where the LONGEST member (2) is not
+    the lowest id: keep-best must keep 2 (dedup_keep would keep 1);
+    ties on n_chars break to the lowest id ({5, 6} -> 5); singletons
+    survive untouched."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    pairs = ray.data.from_arrow(pa.table(
+        {"doc_a": pa.array([1, 2, 5], type=pa.int64()),
+         "doc_b": pa.array([2, 3, 6], type=pa.int64())}))
+    docs = pa.table(
+        {"doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+         "n_chars": pa.array([10, 99, 10, 7, 8, 8], type=pa.int64())})
+    with mock.patch.object(dq, "q_dedup_minhash", return_value=pairs), \
+         mock.patch.object(dq, "_docs",
+                           lambda sf, columns=None:
+                           ray.data.from_arrow(docs)):
+        out = dq.q_dedup_keep_best("unused").to_pandas()
+    assert sorted(out["doc_id"].astype(int)) == [2, 4, 5]
+
+
+def test_session_duration_bands_hand_checked():
+    """Hand-checked envelope: 10 single-user sessions of durations
+    0..9 s (gap-separated) -> p50 = rank 5 = 4 s, p90 = rank 9 = 8 s,
+    p99 = rank 10 = 9 s, max 9 s."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    gap = cq.SESSION_GAP_US
+    ts, eid = [], []
+    t0 = 0
+    for k in range(10):
+        ts += [t0, t0 + k * 1_000_000]   # session k lasts k seconds
+        t0 += k * 1_000_000 + gap + 1_000_000  # force a break
+    eid = list(range(len(ts)))
+    t = pa.table({
+        "event_id": pa.array(eid, type=pa.int64()),
+        "ts": pa.array(np.array(ts, dtype=np.int64),
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([7] * len(ts), type=pa.int64()),
+        "value": pa.array([1.0] * len(ts), type=pa.float64()),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_session_duration_bands("unused").to_pandas()
+    r = out.iloc[0]
+    assert (int(r["n_sessions"]), int(r["p50_s"]), int(r["p90_s"]),
+            int(r["p99_s"]), int(r["max_s"])) == (10, 4, 8, 9, 9)

@@ -4130,6 +4130,97 @@ DEDUP_INCREMENTAL_SQL = (
 )
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware survivor selection — same verified near-dup
+    components as ``dedup_keep``, but each cluster keeps its LONGEST
+    member (max n_chars, ties -> lowest doc_id) instead of the lowest
+    id: the policy real training-data pipelines use (the longest copy of
+    a near-dup family is usually the least-truncated one).  The pair
+    list, the component labels and the member metadata are all near-dup-
+    set-sized (<< corpus); the corpus itself is touched by exactly two
+    streaming passes (one members-metadata filter, one final keep
+    filter).  Survivors differ from dedup_keep precisely when a cluster's
+    longest member is not its lowest id — pinned by pytest."""
+    from ..functions import components as cc
+
+    pairs_ds = q_dedup_minhash(sf_dir).materialize()  # bounded
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        labels: dict = {}
+    elif n_pairs <= cc.MAX_DRIVER_PAIRS:
+        pairs = pairs_ds.to_pandas()
+        labels = cc.union_find_min_labels(
+            pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()
+        )
+    else:
+        lab = cc.propagate_min_labels(pairs_ds)
+        lt = lab.to_pandas()  # near-dup-member-sized, << corpus
+        labels = dict(zip(lt["node"].astype(np.int64),
+                          lt["label"].astype(np.int64)))
+    if labels:
+        members = np.sort(np.fromiter(labels, dtype=np.int64, count=len(labels)))
+        mem_ref = ray.put(members)
+
+        def member_meta(t: pa.Table) -> pa.Table:
+            m = ray.get(mem_ref)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(np.isin(ids, m)))
+
+        meta = (
+            _docs(sf_dir, columns=("doc_id", "n_chars"))
+            .map_batches(member_meta, batch_format="pyarrow")
+            .to_pandas()  # member-sized
+        )
+        best: dict = {}
+        for did, nch in zip(meta["doc_id"].astype(np.int64),
+                            meta["n_chars"].astype(np.int64)):
+            root = labels[int(did)]
+            cur = best.get(root)
+            if cur is None or (-nch, did) < cur[0]:
+                best[root] = ((-int(nch), int(did)), int(did))
+        survivors = {v[1] for v in best.values()}
+        drop = np.array(sorted(d for d in labels if d not in survivors),
+                        dtype=np.int64)
+    else:
+        drop = np.empty(0, dtype=np.int64)
+    drop_ref = ray.put(drop)
+
+    def keep_batch(t: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~np.isin(ids, d)))
+
+    return _docs(sf_dir, columns=("doc_id", "n_chars")).map_batches(
+        keep_batch, batch_format="pyarrow"
+    )
+
+
+DEDUP_KEEP_BEST_SQL = (
+    # same pair ground truth + recursive CC as DEDUP_KEEP_SQL, then the
+    # survivor is the longest member per root (ties -> lowest doc_id)
+    "WITH RECURSIVE sh AS (SELECT DISTINCT doc_id,"
+    "   substr(text, CAST(i AS INTEGER), 5) AS s"
+    "   FROM documents, UNNEST(range(1, length(text) - 3)) AS t(i)),"
+    " sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),"
+    " inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c"
+    "   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),"
+    " p AS (SELECT doc_a, doc_b FROM inter"
+    "   JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b"
+    f"  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= {NEAR_DUP_TAU}),"
+    " edges AS (SELECT doc_a AS a, doc_b AS b FROM p"
+    "   UNION SELECT doc_b, doc_a FROM p),"
+    " reach(d, r) AS (SELECT a, a FROM edges"
+    "   UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.d),"
+    " lbl AS (SELECT d, min(r) AS root FROM reach GROUP BY d),"
+    " surv AS (SELECT doc_id FROM (SELECT lbl.d AS doc_id, row_number()"
+    "   OVER (PARTITION BY lbl.root ORDER BY dd.n_chars DESC, lbl.d) AS rn"
+    "   FROM lbl JOIN documents dd ON dd.doc_id = lbl.d) WHERE rn = 1)"
+    " SELECT doc_id, n_chars FROM documents"
+    " WHERE doc_id NOT IN (SELECT d FROM lbl)"
+    "   OR doc_id IN (SELECT doc_id FROM surv)"
+)
+
+
 GRID_RES = 4       # cells per unit: cell = floor(x * 4), width 0.25
 GRID_TOPK = 20
 
@@ -4305,4 +4396,5 @@ DATA_QUERIES = {
     "median2_by_source": (q_median2_by_source, MEDIAN2_SQL),
     "embed_grid": (q_embed_grid, EMBED_GRID_SQL),
     "dim_variance": (q_dim_variance, DIM_VARIANCE_SQL),
+    "dedup_keep_best": (q_dedup_keep_best, DEDUP_KEEP_BEST_SQL),
 }

@@ -9274,6 +9274,72 @@ HOD_MEDIAN_SQL = (
 )
 
 
+def q_session_duration_bands(sf_dir: str) -> "pa.Table":
+    """Session-duration envelope — n_sessions and the exact p50/p90/p99
+    of session length in whole seconds (rank = ceil(q*n)), plus the max:
+    the engagement-distribution summary a product dashboard tracks and
+    the SLO-style tail view ``sessionize`` alone doesn't give.  Composes
+    the gap-window sessionizer with the value-histogram exact-quantile
+    fold: per-batch histogram of floor((last-first)/1s), a distinct-
+    duration-sized groupby, a one-row driver finish — sessions stream,
+    nothing user-level materializes."""
+    import pandas as pd
+
+    sess = q_sessionize(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        first = t["first_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        last = t["last_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dur = (last - first) // 1_000_000
+        uk, cnt = np.unique(dur, return_counts=True)
+        return pa.table({"dur_s": pa.array(uk),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        sess.map_batches(partial, batch_format="pyarrow")
+        .groupby("dur_s").aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # bounded by distinct whole-second durations
+    )
+    hist = hist.sort_values("dur_s", kind="mergesort")
+    c = hist["cnt"].to_numpy().astype(np.int64)
+    total = int(c.sum())
+    cum = np.cumsum(c)
+    durs = hist["dur_s"].to_numpy().astype(np.int64)
+
+    def pick(num: int, den: int) -> int:
+        rank = (num * total + den - 1) // den
+        return int(durs[int(np.searchsorted(cum, rank))])
+
+    out = pd.DataFrame(
+        {"n_sessions": np.array([total], dtype=np.int64),
+         "p50_s": np.array([pick(1, 2)], dtype=np.int64),
+         "p90_s": np.array([pick(9, 10)], dtype=np.int64),
+         "p99_s": np.array([pick(99, 100)], dtype=np.int64),
+         "max_s": np.array([int(durs[-1])], dtype=np.int64)}
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SESSION_DURATION_BANDS_SQL = (
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,"
+    " CASE WHEN lag(epoch_us(ts)) OVER w IS NULL"
+    f"  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}"
+    "  THEN 1 ELSE 0 END AS brk"
+    " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+    " s AS (SELECT user_id, ts_us, sum(brk) OVER (PARTITION BY user_id"
+    "   ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM e),"
+    " d AS (SELECT (max(ts_us) - min(ts_us)) // 1000000 AS dur_s"
+    "  FROM s GROUP BY user_id, sid)"
+    " SELECT CAST(count(*) AS BIGINT) AS n_sessions,"
+    " CAST(quantile_disc(dur_s, 0.5) AS BIGINT) AS p50_s,"
+    " CAST(quantile_disc(dur_s, 0.9) AS BIGINT) AS p90_s,"
+    " CAST(quantile_disc(dur_s, 0.99) AS BIGINT) AS p99_s,"
+    " CAST(max(dur_s) AS BIGINT) AS max_s FROM d"
+)
+
+
 def q_iqr_outliers(sf_dir: str) -> "ray.data.Dataset":
     """Per-doc Tukey-fence outlier audit — exact lower/upper quartiles
     (1-based rank ceil(q*n), DuckDB's quantile_disc convention) and the
@@ -9831,4 +9897,7 @@ CORE_QUERIES = {
     "type_hour_assoc": (q_type_hour_assoc, TYPE_HOUR_ASSOC_SQL),
     "iqr_outliers": (q_iqr_outliers, IQR_OUTLIERS_SQL),
     "daily_value_bands": (q_daily_value_bands, DAILY_VALUE_BANDS_SQL),
+    "session_duration_bands": (
+        q_session_duration_bands, SESSION_DURATION_BANDS_SQL
+    ),
 }
