@@ -3202,3 +3202,49 @@ def test_session_duration_bands_hand_checked():
     r = out.iloc[0]
     assert (int(r["n_sessions"]), int(r["p50_s"]), int(r["p90_s"]),
             int(r["p99_s"]), int(r["max_s"])) == (10, 4, 8, 9, 9)
+
+
+def test_equalize_map_hand_checked():
+    """Hand-checked 64-level codebook over tokens 1..128 (two values per
+    level): level k maps to rank ceil(k*128/64) = 2k -> token 2k; the
+    last level is the max."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    t = pa.table({"doc_id": ["d"], "tokens": [list(range(1, 129))],
+                  "source": ["s"]})
+    with mock.patch.object(cq, "_seq_ds",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_equalize_map("unused").to_pandas()
+    assert len(out) == 64
+    assert (out["tok"].to_numpy() == 2 * out["level"].to_numpy()).all()
+
+
+def test_weekday_contrast_hand_checked():
+    """Hand-checked calendar split: 1970-01-01 (epoch day 0) is a
+    Thursday, day 2 a Saturday; type A has weekday mean 3.0 vs weekend
+    mean 1.0 -> positive contrast = sum_wd*n_we - sum_we*n_wd."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    day = 86_400_000_000
+    ts = np.array([0, 0, 2 * day], dtype=np.int64)  # Thu, Thu, Sat
+    t = pa.table({
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "event_type": pa.array(["A", "A", "A"]),
+        "value": pa.array([3.0, 3.0, 1.0], type=pa.float64()),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_weekday_contrast("unused").to_pandas().set_index(
+            "event_type")
+    r = out.loc["A"]
+    assert (int(r["n_wd"]), int(r["n_we"]), int(r["sum_wd"]),
+            int(r["sum_we"])) == (2, 1, 600, 100)
+    assert int(r["contrast"]) == 600 * 1 - 100 * 2

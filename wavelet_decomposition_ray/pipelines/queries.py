@@ -9274,6 +9274,132 @@ HOD_MEDIAN_SQL = (
 )
 
 
+EQUALIZE_LEVELS = 64  # power of two so every q = k/L is an exact double
+
+
+def q_equalize_map(sf_dir: str) -> "pa.Table":
+    """Histogram-equalization codebook — the EQUALIZE_LEVELS-level
+    quantile-transform table (level k -> token at rank ceil(k*n/L)):
+    the exact value->uniform mapping a rank normalizer or an equi-depth
+    binning stage applies before quantization, learned in ONE pass.
+    L is a power of two so every probe k/L is an exact IEEE double and
+    the rank convention (ceil(q*n), quantile_disc) cannot drift between
+    engines.  Distinct-token-sized groupby, driver finish over the
+    (<= 2^20-row) global histogram."""
+    import pandas as pd
+
+    ds = _seq_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, _ = list_to_numpy(t["tokens"])
+        uk, cnt = np.unique(vals.astype(np.int64), return_counts=True)
+        return pa.table({"tok": pa.array(uk),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("tok").aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    hist = hist.sort_values("tok", kind="mergesort")
+    c = hist["cnt"].to_numpy().astype(np.int64)
+    total = int(c.sum())
+    cum = np.cumsum(c)
+    toks = hist["tok"].to_numpy().astype(np.int64)
+    levels = np.arange(1, EQUALIZE_LEVELS + 1, dtype=np.int64)
+    ranks = (levels * total + EQUALIZE_LEVELS - 1) // EQUALIZE_LEVELS
+    brk = toks[np.searchsorted(cum, ranks)]
+    return pa.Table.from_pandas(
+        pd.DataFrame({"level": levels, "tok": brk}),
+        preserve_index=False,
+    )
+
+
+_EQ_PROBES = ", ".join(
+    repr(k / EQUALIZE_LEVELS) for k in range(1, EQUALIZE_LEVELS + 1)
+)
+EQUALIZE_MAP_SQL = (
+    f"{_FLAT_CTE},"
+    f" q AS (SELECT quantile_disc(tok, [{_EQ_PROBES}]) AS arr FROM flat)"
+    " SELECT CAST(i AS BIGINT) AS level,"
+    " CAST(arr[CAST(i AS INTEGER)] AS BIGINT) AS tok"
+    f" FROM q, UNNEST(range(1, {EQUALIZE_LEVELS + 1})) AS t(i)"
+)
+
+
+def q_weekday_contrast(sf_dir: str) -> "pa.Table":
+    """Weekday/weekend contrast per event type — counts and cent-value
+    sums split by calendar half, plus the exact cross-statistic
+    contrast = sum_wd*n_we - sum_we*n_wd (positive iff the weekday MEAN
+    exceeds the weekend mean — the sign test a seasonality-aware
+    sampler checks before mixing corpora, with no float division).
+    Day-of-week from pure epoch arithmetic ((epoch_day + 3) % 7,
+    Monday = 0 — identical integer expression on both sides, so no SQL
+    date-function convention can drift).  One partial map_batches, a
+    types-sized groupby, a tiny driver finish."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        dow = ((ts_us // _DAY_US) + 3) % 7
+        we = (dow >= 5).astype(np.int64)
+        tok = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame(
+            {"event_type": df["event_type"].to_numpy(), "we": we,
+             "tok": tok}
+        ).groupby(["event_type", "we"], as_index=False).agg(
+            pn=("tok", "size"), ps=("tok", "sum"))
+        g["pn"] = g["pn"].astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Sum
+
+    cells = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "we"])
+        .aggregate(Sum("pn", alias_name="n"), Sum("ps", alias_name="s"))
+        .to_pandas()  # bounded: type alphabet x 2
+    )
+    piv = cells.pivot_table(index="event_type", columns="we",
+                            values=["n", "s"], fill_value=0,
+                            aggfunc="sum")
+    out = pd.DataFrame({"event_type": piv.index})
+    for col, src in (("n_wd", ("n", 0)), ("n_we", ("n", 1)),
+                     ("sum_wd", ("s", 0)), ("sum_we", ("s", 1))):
+        out[col] = (piv[src].to_numpy().astype(np.int64)
+                    if src in piv.columns
+                    else np.zeros(len(piv), dtype=np.int64))
+    out["contrast"] = (out["sum_wd"].to_numpy() * out["n_we"].to_numpy()
+                       - out["sum_we"].to_numpy() * out["n_wd"].to_numpy())
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
+WEEKDAY_CONTRAST_SQL = (
+    "WITH e AS (SELECT event_type,"
+    f" CASE WHEN ((epoch_us(ts) // {_DAY_US}) + 3) % 7 >= 5"
+    "  THEN 1 ELSE 0 END AS we,"
+    " CAST(round(value * 100) AS BIGINT) AS tok FROM events),"
+    " c AS (SELECT event_type,"
+    "  sum(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS n_wd,"
+    "  sum(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS n_we,"
+    "  sum(CASE WHEN we = 0 THEN tok ELSE 0 END) AS sum_wd,"
+    "  sum(CASE WHEN we = 1 THEN tok ELSE 0 END) AS sum_we"
+    "  FROM e GROUP BY event_type)"
+    " SELECT event_type, CAST(n_wd AS BIGINT) AS n_wd,"
+    " CAST(n_we AS BIGINT) AS n_we, CAST(sum_wd AS BIGINT) AS sum_wd,"
+    " CAST(sum_we AS BIGINT) AS sum_we,"
+    " CAST(sum_wd * n_we - sum_we * n_wd AS BIGINT) AS contrast"
+    " FROM c"
+)
+
+
 def q_session_duration_bands(sf_dir: str) -> "pa.Table":
     """Session-duration envelope — n_sessions and the exact p50/p90/p99
     of session length in whole seconds (rank = ceil(q*n)), plus the max:
@@ -9900,4 +10026,6 @@ CORE_QUERIES = {
     "session_duration_bands": (
         q_session_duration_bands, SESSION_DURATION_BANDS_SQL
     ),
+    "equalize_map": (q_equalize_map, EQUALIZE_MAP_SQL),
+    "weekday_contrast": (q_weekday_contrast, WEEKDAY_CONTRAST_SQL),
 }
