@@ -3248,3 +3248,63 @@ def test_weekday_contrast_hand_checked():
     assert (int(r["n_wd"]), int(r["n_we"]), int(r["sum_wd"]),
             int(r["sum_we"])) == (2, 1, 600, 100)
     assert int(r["contrast"]) == 600 * 1 - 100 * 2
+
+
+def test_doc_typicality_hand_checked():
+    """Hand-checked bucket inner products: three docs in bucket 0 and one
+    oddball entirely in bucket 2 -> the oddball scores lowest; score is
+    per-token (floor) so length does not dominate."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    t = pa.table({"doc_id": ["a", "b", "c", "odd"],
+                  "tokens": [[0, 1], [2, 3], [4, 5], [1024, 1025]],
+                  "source": ["s"] * 4})
+    with mock.patch.object(cq, "_seq_ds",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_doc_typicality("unused").to_pandas()
+    # g = {0: 6, 2: 2}; typ(a|b|c) = 2*6 = 12, typ(odd) = 2*2 = 4
+    assert out.iloc[0]["doc_id"] == "odd"
+    assert int(out.iloc[0]["typ"]) == 4
+    assert int(out.iloc[0]["score"]) == 4 * 1_000_000 // 2
+    # ties among a/b/c break by doc_id ascending
+    assert list(out["doc_id"]) == ["odd", "a", "b", "c"]
+
+
+def test_rfm_segments_hand_checked():
+    """Hand-checked quintile buckets over 5 customers with strictly
+    increasing R/F/M: breakpoints at ranks ceil(k*5/5) = 1..4, so
+    customer i lands in bucket i+1 for every dimension; repeat orders
+    aggregate before bucketing."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    day = 86_400_000_000
+    # customer k has k+1 orders on day k of 100*(k+1) cents each
+    ck, ts, price = [], [], []
+    for k in range(5):
+        for _ in range(k + 1):
+            ck.append(k)
+            ts.append(k * day)
+            price.append(float(k + 1))
+    t = pa.table({
+        "o_custkey": pa.array(ck, type=pa.int64()),
+        "o_orderdate": pa.array(np.array(ts, dtype=np.int64),
+                                type=pa.timestamp("us")),
+        "o_totalprice": pa.array(price, type=pa.float64()),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_rfm_segments("unused").to_pandas().set_index("ck")
+    for k in range(5):
+        r = out.loc[k]
+        assert (int(r["r_day"]), int(r["f"]), int(r["m"])) \
+            == (k, k + 1, (k + 1) * (k + 1) * 100)
+        assert (int(r["r_day_b"]), int(r["f_b"]), int(r["m_b"])) \
+            == (k + 1, k + 1, k + 1)

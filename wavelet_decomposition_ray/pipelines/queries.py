@@ -9274,6 +9274,204 @@ HOD_MEDIAN_SQL = (
 )
 
 
+TYP_SHIFT = 9       # typicality bucket = tok >> 9 (width 512)
+TYP_SCALE = 1_000_000
+TYP_BOTTOMK = 20
+
+
+def q_doc_typicality(sf_dir: str) -> "pa.Table":
+    """Least-typical documents — the TYP_BOTTOMK docs whose value-bucket
+    histogram least resembles the corpus: score = floor(TYP_SCALE *
+    sum_b c_doc(b) * g(b) / n_tok), the per-token inner product of the
+    doc's bucket counts with the GLOBAL bucket histogram g (a doc living
+    in rare value ranges scores low).  The distribution-outlier sweep a
+    curation pass reviews first — complementary to near-dup (which finds
+    docs too alike) and quality_filter (which scores text shape, not
+    value placement).  Two streaming passes: a buckets-sized global
+    histogram (broadcast), then one scoring scan emitting per-batch
+    bottom-k candidates; ties -> doc_id ascending.  HUGEINT-exact twin;
+    int64-exact here while n_tok * corpus_tokens * TYP_SCALE < 2^63
+    (asserted per batch)."""
+    import pandas as pd
+
+    ds = _seq_ds(sf_dir)
+
+    def hist_part(t: pa.Table) -> pa.Table:
+        vals, _ = list_to_numpy(t["tokens"])
+        uk, cnt = np.unique(vals.astype(np.int64) >> TYP_SHIFT,
+                            return_counts=True)
+        return pa.table({"bk": pa.array(uk),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    g = (
+        ds.map_batches(hist_part, batch_format="pyarrow")
+        .groupby("bk").aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # bucket-alphabet-sized
+    )
+    gb = np.zeros(int(g["bk"].max()) + 1, dtype=np.int64)
+    gb[g["bk"].to_numpy().astype(np.int64)] = \
+        g["cnt"].to_numpy().astype(np.int64)
+    g_ref = ray.put(gb)
+
+    def score_part(t: pa.Table) -> pa.Table:
+        w = ray.get(g_ref)
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64) >> TYP_SHIFT
+        D = len(off) - 1
+        e = pa.array([], type=pa.int64())
+        if D == 0 or len(v) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.string()), "n_tok": e,
+                 "typ": e, "score": e}
+            )
+        n = np.diff(off)
+        typ = np.add.reduceat(w[v], off[:-1])
+        assert int(typ.max()) < (1 << 63) // TYP_SCALE, \
+            "doc_typicality int64 guard: promote score to object ints"
+        score = (typ * TYP_SCALE) // n
+        k = min(TYP_BOTTOMK, D)
+        ids = np.asarray(t["doc_id"].to_pylist())
+        order = np.lexsort((ids, score))[:k]  # ties -> doc_id ascending
+        return pa.table(
+            {"doc_id": t["doc_id"].take(pa.array(order)),
+             "n_tok": pa.array(n[order].astype(np.int64)),
+             "typ": pa.array(typ[order]), "score": pa.array(score[order])}
+        )
+
+    cand = ds.map_batches(
+        score_part, batch_format="pyarrow", batch_size=256
+    ).to_pandas()  # <= TYP_BOTTOMK per batch
+    cand = cand.sort_values(["score", "doc_id"],
+                            kind="mergesort").head(TYP_BOTTOMK)
+    return pa.Table.from_pandas(
+        cand.astype({"n_tok": np.int64, "typ": np.int64,
+                     "score": np.int64}),
+        preserve_index=False,
+    )
+
+
+DOC_TYPICALITY_SQL = (
+    f"{_FLAT_CTE},"
+    f" b AS (SELECT doc_id, tok // {1 << TYP_SHIFT} AS bk FROM flat),"
+    " g AS (SELECT bk, count(*) AS gc FROM b GROUP BY bk),"
+    " dc AS (SELECT doc_id, bk, count(*) AS c FROM b GROUP BY doc_id, bk),"
+    " s AS (SELECT doc_id, CAST(sum(CAST(c AS HUGEINT) * gc) AS HUGEINT)"
+    "   AS typ, sum(c) AS n FROM dc JOIN g USING (bk) GROUP BY doc_id)"
+    " SELECT doc_id, CAST(n AS BIGINT) AS n_tok, CAST(typ AS BIGINT)"
+    f" AS typ, CAST(typ * {TYP_SCALE} // n AS BIGINT) AS score"
+    f" FROM s ORDER BY score, doc_id LIMIT {TYP_BOTTOMK}"
+)
+
+
+RFM_DAY_US = 86_400_000_000
+
+
+def q_rfm_segments(sf_dir: str) -> "ray.data.Dataset":
+    """Customer RFM segmentation — per customer the recency (last order
+    epoch-day), frequency (order count) and monetary (cent sum) stats,
+    each bucketed into exact quintiles: bucket = 1 + #breakpoints
+    strictly below the value, breakpoints at ranks ceil(k*n/5) of the
+    sorted stat (k = 1..4, integer rank arithmetic on BOTH sides — no
+    float 0.2*n anywhere, so no quantile_disc rounding hazard).  The
+    classic marketing / lifecycle segmentation, here as the pattern for
+    deriving per-entity behavioral buckets at scale: one partial
+    pre-aggregate inside map_batches, ONE customers-sized groupby, three
+    distinct-value-sized histogram folds for the breakpoints, then a
+    broadcast-breakpoint bucket-assignment scan — the order stream
+    itself is read once and never re-shuffled."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        day = (df["o_orderdate"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // RFM_DAY_US)
+        cents = np.rint(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame(
+            {"ck": df["o_custkey"].to_numpy(), "day": day, "cents": cents}
+        ).groupby("ck", as_index=False).agg(
+            r_day=("day", "max"), f=("day", "size"), m=("cents", "sum"))
+        g["f"] = g["f"].astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Max, Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("ck")
+        .aggregate(Max("r_day", alias_name="r_day"),
+                   Sum("f", alias_name="f"), Sum("m", alias_name="m"))
+        .materialize()  # customers-sized (dimension-scale, not fact-scale)
+    )
+
+    def breakpoints(col: str) -> np.ndarray:
+        def h(t: pa.Table) -> pa.Table:
+            uk, cnt = np.unique(
+                t[col].to_numpy(zero_copy_only=False).astype(np.int64),
+                return_counts=True)
+            return pa.table({"v": pa.array(uk),
+                             "cnt": pa.array(cnt.astype(np.int64))})
+
+        hist = (
+            agg.map_batches(h, batch_format="pyarrow")
+            .groupby("v").aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas()
+        )
+        hist = hist.sort_values("v", kind="mergesort")
+        c = hist["cnt"].to_numpy().astype(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        vs = hist["v"].to_numpy().astype(np.int64)
+        ranks = (np.arange(1, 5, dtype=np.int64) * n + 4) // 5
+        return vs[np.searchsorted(cum, ranks)]
+
+    brk = {c: breakpoints(c) for c in ("r_day", "f", "m")}
+    brk_ref = ray.put(brk)
+
+    def assign(t: pa.Table) -> pa.Table:
+        b = ray.get(brk_ref)
+        cols = {"ck": t["ck"]}
+        for c in ("r_day", "f", "m"):
+            v = t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols[c] = pa.array(v)
+            cols[c + "_b"] = pa.array(
+                1 + np.searchsorted(b[c], v, side="left").astype(np.int64))
+        return pa.table(cols)
+
+    return agg.map_batches(assign, batch_format="pyarrow")
+
+
+RFM_SEGMENTS_SQL = (
+    "WITH a AS (SELECT o_custkey AS ck,"
+    f" max(epoch_us(o_orderdate) // {RFM_DAY_US}) AS r_day,"
+    " CAST(count(*) AS BIGINT) AS f,"
+    " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m"
+    " FROM orders GROUP BY o_custkey),"
+    " cnt AS (SELECT count(*) AS c FROM a),"
+    " ks AS (SELECT CAST(i AS BIGINT) AS k FROM range(1, 5) t(i)),"
+    " rv AS (SELECT r_day AS v, row_number() OVER (ORDER BY r_day) AS rn"
+    "  FROM a),"
+    " fv AS (SELECT f AS v, row_number() OVER (ORDER BY f) AS rn FROM a),"
+    " mv AS (SELECT m AS v, row_number() OVER (ORDER BY m) AS rn FROM a),"
+    " rb AS (SELECT v FROM ks CROSS JOIN cnt"
+    "   JOIN rv ON rv.rn = (ks.k * cnt.c + 4) // 5),"
+    " fb AS (SELECT v FROM ks CROSS JOIN cnt"
+    "   JOIN fv ON fv.rn = (ks.k * cnt.c + 4) // 5),"
+    " mb AS (SELECT v FROM ks CROSS JOIN cnt"
+    "   JOIN mv ON mv.rn = (ks.k * cnt.c + 4) // 5)"
+    " SELECT ck, CAST(r_day AS BIGINT) AS r_day,"
+    " 1 + (SELECT count(*) FROM rb WHERE rb.v < a.r_day) AS r_day_b,"
+    " f, 1 + (SELECT count(*) FROM fb WHERE fb.v < a.f) AS f_b,"
+    " m, 1 + (SELECT count(*) FROM mb WHERE mb.v < a.m) AS m_b"
+    " FROM a"
+)
+
+
 EQUALIZE_LEVELS = 64  # power of two so every q = k/L is an exact double
 
 
@@ -10028,4 +10226,6 @@ CORE_QUERIES = {
     ),
     "equalize_map": (q_equalize_map, EQUALIZE_MAP_SQL),
     "weekday_contrast": (q_weekday_contrast, WEEKDAY_CONTRAST_SQL),
+    "doc_typicality": (q_doc_typicality, DOC_TYPICALITY_SQL),
+    "rfm_segments": (q_rfm_segments, RFM_SEGMENTS_SQL),
 }
