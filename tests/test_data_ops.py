@@ -3308,3 +3308,56 @@ def test_rfm_segments_hand_checked():
             == (k, k + 1, (k + 1) * (k + 1) * 100)
         assert (int(r["r_day_b"]), int(r["f_b"]), int(r["m_b"])) \
             == (k + 1, k + 1, k + 1)
+
+
+def test_dau_mau_interval_merge_hand_checked():
+    """Hand-checked stickiness: user 1 active days 0 and 40 (two disjoint
+    30-day intervals), user 2 active days 0 and 10 (one merged
+    interval).  day 0: dau 2, mau 2; day 10: dau 1, mau 2 (user 1's
+    window from day 0 still covers it); day 40: dau 1, mau 1 (both of
+    user 2's intervals expired at day 39)."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    day = 86_400_000_000
+    rows = [(1, 0), (1, 40), (2, 0), (2, 10)]
+    t = pa.table({
+        "ts": pa.array(np.array([d * day for _, d in rows],
+                                dtype=np.int64), type=pa.timestamp("us")),
+        "user_id": pa.array([u for u, _ in rows], type=pa.int64()),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_dau_mau("unused").to_pandas().set_index("day")
+    assert (int(out.loc[0, "dau"]), int(out.loc[0, "mau"])) == (2, 2)
+    assert (int(out.loc[10, "dau"]), int(out.loc[10, "mau"])) == (1, 2)
+    assert (int(out.loc[40, "dau"]), int(out.loc[40, "mau"])) == (1, 1)
+    assert int(out.loc[10, "stickiness_ppm"]) == 500_000
+
+
+def test_new_vs_returning_hand_checked():
+    """Hand-checked split: day 0 both users are new; day 1 user 1
+    returns and user 3 is new; duplicate same-day events count once."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    day = 86_400_000_000
+    rows = [(1, 0), (1, 0), (2, 0), (1, 1), (3, 1)]
+    t = pa.table({
+        "ts": pa.array(np.array([d * day for _, d in rows],
+                                dtype=np.int64), type=pa.timestamp("us")),
+        "user_id": pa.array([u for u, _ in rows], type=pa.int64()),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_new_vs_returning("unused").to_pandas().set_index("day")
+    assert (int(out.loc[0, "new_users"]),
+            int(out.loc[0, "returning_users"])) == (2, 0)
+    assert (int(out.loc[1, "new_users"]),
+            int(out.loc[1, "returning_users"])) == (1, 1)

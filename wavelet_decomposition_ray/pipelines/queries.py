@@ -9274,6 +9274,185 @@ HOD_MEDIAN_SQL = (
 )
 
 
+MAU_WINDOW = 30  # trailing window (days) for the active-user denominator
+
+
+def q_dau_mau(sf_dir: str) -> "pa.Table":
+    """DAU/MAU stickiness per active day — daily actives, trailing-30-day
+    actives, and stickiness_ppm = dau * 10^6 // mau: the canonical
+    engagement ratio, and the hard part — a WINDOWED DISTINCT — done
+    without re-counting each user 30x: per user, the days they're
+    "MAU-active" form a union of [day, day+29] intervals, so one
+    partition-local interval-merge emits +1/-1 boundary deltas and a
+    tiny prefix sum over distinct delta-days yields every day's exact
+    MAU.  Exchanges: one distinct-(day,user) groupby (the dau table
+    every analytics store keeps anyway), one coarse hash-partition fold
+    (N_EVENT_PARTS groups, vectorized inside — no per-user
+    micro-groups), one delta-days-sized groupby.  The 30x-fanout join
+    the SQL twin runs never happens here."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def pairs_part(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = ts_us // _DAY_US
+        key = np.unique(u * (1 << 20) + day)  # day range << 2^20
+        return pa.table({"user_id": pa.array(key >> 20),
+                         "day": pa.array(key & ((1 << 20) - 1))})
+
+    pairs = (
+        ds.map_batches(pairs_part, batch_format="pyarrow")
+        .groupby(["user_id", "day"]).count()
+        .select_columns(["user_id", "day"])
+        .materialize()  # the distinct dau table, reused by both sides
+    )
+
+    dau = (
+        pairs.groupby("day").count().to_pandas()  # active-days-sized
+    )
+    dau.columns = ["day", "dau"]
+
+    def part_col(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "part", pa.array(((u % N_EVENT_PARTS) + N_EVENT_PARTS)
+                             % N_EVENT_PARTS, type=pa.int32()))
+
+    def interval_deltas(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["user_id", "day"], kind="mergesort")
+        u = df["user_id"].to_numpy().astype(np.int64)
+        d = df["day"].to_numpy().astype(np.int64)
+        n = len(d)
+        start = np.ones(n, dtype=bool)
+        if n > 1:
+            # a new merged interval starts on a user change or a gap the
+            # trailing window cannot bridge
+            start[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] >= MAU_WINDOW)
+        si = np.flatnonzero(start)
+        ends = np.append(si[1:], n) - 1
+        a = d[si]                      # interval start day
+        b = d[ends] + MAU_WINDOW       # one past the last covered day
+        out = pd.DataFrame(
+            {"day": np.concatenate([a, b]),
+             "delta": np.concatenate([np.ones(len(a), dtype=np.int64),
+                                      -np.ones(len(b), dtype=np.int64)])}
+        )
+        return out.groupby("day", as_index=False)["delta"].sum()
+
+    deltas = (
+        pairs.map_batches(part_col, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(interval_deltas, batch_format="pandas")
+        .to_pandas()  # distinct boundary-days-sized
+    )
+    deltas = deltas.groupby("day", as_index=False)["delta"].sum() \
+                   .sort_values("day", kind="mergesort")
+    bdays = deltas["day"].to_numpy().astype(np.int64)
+    cum = np.cumsum(deltas["delta"].to_numpy().astype(np.int64))
+    days = dau["day"].to_numpy().astype(np.int64)
+    mau = cum[np.searchsorted(bdays, days, side="right") - 1]
+    out = pd.DataFrame(
+        {"day": days, "dau": dau["dau"].to_numpy().astype(np.int64),
+         "mau": mau.astype(np.int64)})
+    out["stickiness_ppm"] = (out["dau"].to_numpy() * 1_000_000
+                             // out["mau"].to_numpy())
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+DAU_MAU_SQL = (
+    "WITH p AS (SELECT DISTINCT"
+    f" epoch_us(ts) // {_DAY_US} AS day, user_id FROM events),"
+    " d AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM p"
+    "  GROUP BY day),"
+    " m AS (SELECT d.day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS mau"
+    "  FROM d JOIN p ON p.day BETWEEN d.day - "
+    f"{MAU_WINDOW - 1} AND d.day GROUP BY d.day)"
+    " SELECT CAST(d.day AS BIGINT) AS day, dau, mau,"
+    " CAST(dau * 1000000 // mau AS BIGINT) AS stickiness_ppm"
+    " FROM d JOIN m USING (day)"
+)
+
+
+def q_new_vs_returning(sf_dir: str) -> "pa.Table":
+    """New vs returning actives per day — split each day's distinct
+    users by whether it is their FIRST active day: the growth-vs-
+    retention decomposition every engagement dashboard pairs with
+    ``dau_mau`` (same distinct-(day,user) base table).  One users-sized
+    min-day groupby broadcast back over the pairs via a second
+    distinct-pairs scan; all counts exact."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def pairs_part(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.unique(u * (1 << 20) + ts_us // _DAY_US)
+        return pa.table({"user_id": pa.array(key >> 20),
+                         "day": pa.array(key & ((1 << 20) - 1))})
+
+    from ray.data.aggregate import Min, Sum
+
+    pairs = (
+        ds.map_batches(pairs_part, batch_format="pyarrow")
+        .groupby(["user_id", "day"]).count()
+        .select_columns(["user_id", "day"])
+        .materialize()
+    )
+    first = (
+        pairs.groupby("user_id")
+        .aggregate(Min("day", alias_name="first_day"))
+    )
+    fd = first.to_pandas()  # users-sized (dimension-scale)
+    fd = fd.sort_values("user_id", kind="mergesort")
+    users_ref = ray.put(fd["user_id"].to_numpy().astype(np.int64))
+    fdays_ref = ray.put(fd["first_day"].to_numpy().astype(np.int64))
+
+    def split(t: pa.Table) -> pa.Table:
+        users = ray.get(users_ref)
+        fdays_all = ray.get(fdays_ref)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fdays = fdays_all[np.searchsorted(users, u)]
+        new = (d == fdays).astype(np.int64)
+        g = pd.DataFrame({"day": d, "new_users": new,
+                          "returning_users": 1 - new}) \
+            .groupby("day", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        pairs.map_batches(split, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("new_users", alias_name="new_users"),
+                   Sum("returning_users", alias_name="returning_users"))
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["day", "new_users",
+                                    "returning_users"]),
+        batch_format="pyarrow",
+    )
+
+
+NEW_VS_RETURNING_SQL = (
+    "WITH p AS (SELECT DISTINCT"
+    f" epoch_us(ts) // {_DAY_US} AS day, user_id FROM events),"
+    " f AS (SELECT user_id, min(day) AS first_day FROM p"
+    "  GROUP BY user_id)"
+    " SELECT CAST(day AS BIGINT) AS day,"
+    " CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS new_users,"
+    " CAST(sum(CASE WHEN day = first_day THEN 0 ELSE 1 END) AS BIGINT)"
+    "  AS returning_users"
+    " FROM p JOIN f USING (user_id) GROUP BY day"
+)
+
+
 TYP_SHIFT = 9       # typicality bucket = tok >> 9 (width 512)
 TYP_SCALE = 1_000_000
 TYP_BOTTOMK = 20
@@ -10228,4 +10407,6 @@ CORE_QUERIES = {
     "weekday_contrast": (q_weekday_contrast, WEEKDAY_CONTRAST_SQL),
     "doc_typicality": (q_doc_typicality, DOC_TYPICALITY_SQL),
     "rfm_segments": (q_rfm_segments, RFM_SEGMENTS_SQL),
+    "dau_mau": (q_dau_mau, DAU_MAU_SQL),
+    "new_vs_returning": (q_new_vs_returning, NEW_VS_RETURNING_SQL),
 }
