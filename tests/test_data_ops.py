@@ -3361,3 +3361,56 @@ def test_new_vs_returning_hand_checked():
             int(out.loc[0, "returning_users"])) == (2, 0)
     assert (int(out.loc[1, "new_users"]),
             int(out.loc[1, "returning_users"])) == (1, 1)
+
+
+def test_value_drift_halves_hand_checked():
+    """Hand-checked drift: days 0-1 all value 1.0, days 2-3 all value
+    100.0 (different buckets) -> disjoint support, drift = 2*n1*n2; a
+    shape-identical split scores 0."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    day = 86_400_000_000
+    ts = np.array([0, day, 2 * day, 3 * day], dtype=np.int64)
+    t = pa.table({"ts": pa.array(ts, type=pa.timestamp("us")),
+                  "value": pa.array([1.0, 1.0, 100.0, 100.0])})
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_value_drift_halves("unused").to_pandas().iloc[0]
+    assert (int(out["mid_day"]), int(out["n1"]), int(out["n2"])) == (2, 2, 2)
+    assert int(out["drift"]) == 2 * 2 * 2
+
+    t2 = pa.table({"ts": pa.array(ts, type=pa.timestamp("us")),
+                   "value": pa.array([1.0, 1.0, 1.0, 1.0])})
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t2)):
+        out2 = cq.q_value_drift_halves("unused").to_pandas().iloc[0]
+    assert int(out2["drift"]) == 0
+
+
+def test_churn_split_hand_checked():
+    """Hand-checked churn: span days 0..3 -> mid 2.  user 1 active both
+    halves (retained), user 2 first-only (churned), user 3 second-only
+    (new)."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    day = 86_400_000_000
+    rows = [(1, 0), (1, 3), (2, 1), (3, 2)]
+    t = pa.table({
+        "ts": pa.array(np.array([d * day for _, d in rows],
+                                dtype=np.int64), type=pa.timestamp("us")),
+        "user_id": pa.array([u for u, _ in rows], type=pa.int64()),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_churn_split("unused").to_pandas().iloc[0]
+    assert (int(out["mid_day"]), int(out["n_first"]), int(out["n_second"]),
+            int(out["retained"]), int(out["churned"]),
+            int(out["new_users"])) == (2, 2, 2, 1, 1, 1)

@@ -9274,6 +9274,166 @@ HOD_MEDIAN_SQL = (
 )
 
 
+DRIFT_SHIFT = 6  # value-drift bucket = cent-token >> 6 (width 64 cents)
+
+
+def q_value_drift_halves(sf_dir: str) -> "pa.Table":
+    """Temporal distribution drift — split the event stream at the
+    midpoint day and compare the two halves' value-bucket histograms
+    with the exact cross-normalized L1 statistic drift = Σ_b
+    |c1(b)·n2 − c2(b)·n1| (the integer form of Σ|p1−p2| scaled by
+    n1·n2; 0 = identical shape, 2·n1·n2 = disjoint support): the
+    did-the-data-change tripwire run before retraining on a refreshed
+    corpus, with no PSI logs or float division anywhere.  ONE streaming
+    pass builds the (day, bucket) histogram — (day-range × buckets)-
+    sized, not event-sized — and the split point falls out of the same
+    table on the driver."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tok = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        day = ts_us // _DAY_US
+        bk = (tok + (1 << 39)) >> DRIFT_SHIFT  # shift keeps buckets >= 0
+        key = day * (1 << 40) + bk
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"day": pa.array(uk // (1 << 40)),
+             "bk": pa.array(uk % (1 << 40)),
+             "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "bk"]).aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # day-range x buckets, << events
+    )
+    days = hist["day"].to_numpy().astype(np.int64)
+    mid = (int(days.min()) + int(days.max()) + 1) // 2
+    first = days < mid
+    c = hist["cnt"].to_numpy().astype(np.int64)
+    n1, n2 = int(c[first].sum()), int(c[~first].sum())
+    h1 = hist[first].groupby("bk")["cnt"].sum()
+    h2 = hist[~first].groupby("bk")["cnt"].sum()
+    allb = sorted(set(h1.index) | set(h2.index))
+    c1 = np.array([int(h1.get(b, 0)) for b in allb], dtype=np.int64)
+    c2 = np.array([int(h2.get(b, 0)) for b in allb], dtype=np.int64)
+    drift = int(np.abs(c1 * n2 - c2 * n1).sum())
+    out = pd.DataFrame(
+        {"mid_day": np.array([mid], dtype=np.int64),
+         "n1": np.array([n1], dtype=np.int64),
+         "n2": np.array([n2], dtype=np.int64),
+         "drift": np.array([drift], dtype=np.int64)})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+VALUE_DRIFT_HALVES_SQL = (
+    "WITH e AS (SELECT"
+    f" epoch_us(ts) // {_DAY_US} AS day,"
+    " (CAST(round(value * 100) AS BIGINT) + (1::BIGINT << 39))"
+    f" // {1 << DRIFT_SHIFT} AS bk FROM events),"
+    " mm AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),"
+    " h AS (SELECT bk,"
+    "  sum(CASE WHEN day < mid THEN 1 ELSE 0 END) AS c1,"
+    "  sum(CASE WHEN day >= mid THEN 1 ELSE 0 END) AS c2"
+    "  FROM e, mm GROUP BY bk),"
+    " n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM h)"
+    " SELECT CAST(mid AS BIGINT) AS mid_day, CAST(n1 AS BIGINT) AS n1,"
+    " CAST(n2 AS BIGINT) AS n2,"
+    " CAST((SELECT sum(abs(CAST(c1 AS HUGEINT) * n.n2"
+    "   - CAST(c2 AS HUGEINT) * n.n1)) FROM h) AS BIGINT) AS drift"
+    " FROM mm, n"
+)
+
+
+def q_churn_split(sf_dir: str) -> "pa.Table":
+    """User churn across the midpoint split — of the users active in the
+    first half, who came back?  Reports n_first / n_second actives,
+    retained (both halves), churned (first only) and new_users (second
+    only): the cohort-free churn headline (``retention_cohorts`` gives
+    the per-week curve; this is the one-row answer).  Presence per half
+    needs only each user's min and max active day (any day >= mid iff
+    max >= mid), so the whole query is one distinct-(user, day) pass, a
+    users-sized min/max groupby and a counting fold — no per-half
+    distinct re-count."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def pairs_part(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.unique(u * (1 << 20) + ts_us // _DAY_US)
+        return pa.table({"user_id": pa.array(key >> 20),
+                         "day": pa.array(key & ((1 << 20) - 1))})
+
+    from ray.data.aggregate import Max, Min
+
+    spans = (
+        ds.map_batches(pairs_part, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("day", alias_name="mnd"),
+                   Max("day", alias_name="mxd"))
+        .materialize()  # users-sized
+    )
+    mm = spans.aggregate(Min("mnd"), Max("mxd"))
+    mid = (int(mm["min(mnd)"]) + int(mm["max(mxd)"]) + 1) // 2
+
+    def counts(t: pa.Table) -> pa.Table:
+        mn = t["mnd"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mx = t["mxd"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f, s = mn < mid, mx >= mid
+        return pa.table(
+            {"n_first": pa.array([int(f.sum())]),
+             "n_second": pa.array([int(s.sum())]),
+             "retained": pa.array([int((f & s).sum())]),
+             "churned": pa.array([int((f & ~s).sum())]),
+             "new_users": pa.array([int((~f).sum())])}
+        )
+
+    tot = (
+        spans.map_batches(counts, batch_format="pyarrow")
+        .sum(["n_first", "n_second", "retained", "churned", "new_users"])
+    )
+    out = pd.DataFrame(
+        {"mid_day": np.array([mid], dtype=np.int64),
+         **{k: np.array([int(tot[f"sum({k})"])], dtype=np.int64)
+            for k in ("n_first", "n_second", "retained", "churned",
+                      "new_users")}})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+CHURN_SPLIT_SQL = (
+    "WITH p AS (SELECT DISTINCT"
+    f" epoch_us(ts) // {_DAY_US} AS day, user_id FROM events),"
+    " mm AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM p),"
+    " u AS (SELECT user_id, min(day) AS mnd, max(day) AS mxd FROM p"
+    "  GROUP BY user_id)"
+    " SELECT CAST(mid AS BIGINT) AS mid_day,"
+    " CAST(sum(CASE WHEN mnd < mid THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS n_first,"
+    " CAST(sum(CASE WHEN mxd >= mid THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS n_second,"
+    " CAST(sum(CASE WHEN mnd < mid AND mxd >= mid THEN 1 ELSE 0 END)"
+    "  AS BIGINT) AS retained,"
+    " CAST(sum(CASE WHEN mnd < mid AND mxd < mid THEN 1 ELSE 0 END)"
+    "  AS BIGINT) AS churned,"
+    " CAST(sum(CASE WHEN mnd >= mid THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS new_users"
+    " FROM u, mm GROUP BY mid"
+)
+
+
 MAU_WINDOW = 30  # trailing window (days) for the active-user denominator
 
 
@@ -10409,4 +10569,6 @@ CORE_QUERIES = {
     "rfm_segments": (q_rfm_segments, RFM_SEGMENTS_SQL),
     "dau_mau": (q_dau_mau, DAU_MAU_SQL),
     "new_vs_returning": (q_new_vs_returning, NEW_VS_RETURNING_SQL),
+    "value_drift_halves": (q_value_drift_halves, VALUE_DRIFT_HALVES_SQL),
+    "churn_split": (q_churn_split, CHURN_SPLIT_SQL),
 }
