@@ -3414,3 +3414,51 @@ def test_churn_split_hand_checked():
     assert (int(out["mid_day"]), int(out["n_first"]), int(out["n_second"]),
             int(out["retained"]), int(out["churned"]),
             int(out["new_users"])) == (2, 2, 2, 1, 1, 1)
+
+
+def test_punchcard_hand_checked():
+    """Hand-checked 7x24 cells: epoch day 0 is Thursday (dow 3 with
+    Monday=0); hour arithmetic is pure epoch division."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    day, hour = 86_400_000_000, 3_600_000_000
+    ts = np.array([0, hour, 4 * day + 5 * hour], dtype=np.int64)
+    t = pa.table({"ts": pa.array(ts, type=pa.timestamp("us")),
+                  "value": pa.array([1.0, 2.0, 3.0])})
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_punchcard("unused").to_pandas().set_index(["dow", "hod"])
+    assert (int(out.loc[(3, 0), "n"]),
+            int(out.loc[(3, 0), "tok_sum"])) == (1, 100)
+    assert int(out.loc[(3, 1), "tok_sum"]) == 200
+    # day 4 = Monday (dow 0)
+    assert int(out.loc[(0, 5), "tok_sum"]) == 300
+
+
+def test_daily_movers_hand_checked():
+    """Hand-checked movers: type A jumps 1 -> 5 (delta +4) then crashes
+    to 0-event silence (absent days emit no row); type B debuts with 3
+    (prev 0, delta +3).  Order is |delta| desc then type/day."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    day = 86_400_000_000
+    rows = [("A", 0)] + [("A", 1)] * 5 + [("B", 2)] * 3
+    t = pa.table({
+        "ts": pa.array(np.array([d * day for _, d in rows],
+                                dtype=np.int64), type=pa.timestamp("us")),
+        "event_type": pa.array([ty for ty, _ in rows]),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_daily_movers("unused").to_pandas()
+    got = [(r["event_type"], int(r["day"]), int(r["delta"]))
+           for _, r in out.iterrows()]
+    assert got == [("A", 1, 4), ("B", 2, 3), ("A", 0, 1)]

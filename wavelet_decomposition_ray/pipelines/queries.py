@@ -9274,6 +9274,125 @@ HOD_MEDIAN_SQL = (
 )
 
 
+def q_punchcard(sf_dir: str) -> "ray.data.Dataset":
+    """(day-of-week, hour-of-day) activity punchcard — event count and
+    cent-value sum per cell of the 7x24 grid: the load-shape heatmap
+    capacity planning and anomaly baselining start from.  Same pure
+    epoch arithmetic as ``weekday_contrast`` ((epoch_day + 3) % 7,
+    Monday = 0) so no date-function convention can drift.  Partials
+    collapse each batch to <= 168 rows before the one tiny groupby."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = pd.DataFrame(
+            {"dow": ((ts_us // _DAY_US) + 3) % 7,
+             "hod": (ts_us // HOUR_US) % 24,
+             "tok": np.rint(df["value"].to_numpy() * 100).astype(np.int64)}
+        ).groupby(["dow", "hod"], as_index=False).agg(
+            pn=("tok", "size"), ps=("tok", "sum"))
+        g["pn"] = g["pn"].astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["dow", "hod"])
+        .aggregate(Sum("pn", alias_name="n"),
+                   Sum("ps", alias_name="tok_sum"))
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["dow", "hod", "n", "tok_sum"]),
+        batch_format="pyarrow",
+    )
+
+
+PUNCHCARD_SQL = (
+    "WITH e AS (SELECT"
+    f" ((epoch_us(ts) // {_DAY_US}) + 3) % 7 AS dow,"
+    f" (epoch_us(ts) // {HOUR_US}) % 24 AS hod,"
+    " CAST(round(value * 100) AS BIGINT) AS tok FROM events)"
+    " SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,"
+    " CAST(count(*) AS BIGINT) AS n, CAST(sum(tok) AS BIGINT) AS tok_sum"
+    " FROM e GROUP BY dow, hod"
+)
+
+
+MOVERS_TOPK = 20
+
+
+def q_daily_movers(sf_dir: str) -> "pa.Table":
+    """Day-over-day volume movers — for every (event_type, active day),
+    delta = today's count minus yesterday's (0 if the type was silent
+    yesterday); report the MOVERS_TOPK biggest absolute swings (ties ->
+    |delta| desc, type, day).  The what-changed-overnight triage list an
+    on-call dashboard leads with — ``trend_by_type`` fits a global
+    slope, this pinpoints the individual jumps.  One (type x day)-sized
+    partial groupby; the lag alignment runs on that small table on the
+    driver."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = pd.DataFrame(
+            {"event_type": df["event_type"].to_numpy(),
+             "day": ts_us // _DAY_US}
+        ).groupby(["event_type", "day"], as_index=False).size()
+        g.rename(columns={"size": "n"}, inplace=True)
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # types x active-days, << events
+    )
+    prev = counts.rename(columns={"day": "pd_", "n": "prev_n"})
+    prev["day"] = prev["pd_"] + 1
+    m = counts.merge(prev[["event_type", "day", "prev_n"]],
+                     on=["event_type", "day"], how="left")
+    m["prev_n"] = m["prev_n"].fillna(0).astype(np.int64)
+    m["delta"] = m["n"] - m["prev_n"]
+    m["absd"] = m["delta"].abs()
+    m = m.sort_values(["absd", "event_type", "day"],
+                      ascending=[False, True, True],
+                      kind="mergesort").head(MOVERS_TOPK)
+    out = m[["event_type", "day", "n", "prev_n", "delta"]].reset_index(
+        drop=True)
+    return pa.Table.from_pandas(
+        out.astype({"day": np.int64, "n": np.int64, "prev_n": np.int64,
+                    "delta": np.int64}),
+        preserve_index=False,
+    )
+
+
+DAILY_MOVERS_SQL = (
+    "WITH c AS (SELECT event_type,"
+    f" epoch_us(ts) // {_DAY_US} AS day, count(*) AS n FROM events"
+    "  GROUP BY event_type, day)"
+    " SELECT c.event_type, CAST(c.day AS BIGINT) AS day,"
+    " CAST(c.n AS BIGINT) AS n,"
+    " CAST(COALESCE(p.n, 0) AS BIGINT) AS prev_n,"
+    " CAST(c.n - COALESCE(p.n, 0) AS BIGINT) AS delta"
+    " FROM c LEFT JOIN c p ON p.event_type = c.event_type"
+    "  AND p.day = c.day - 1"
+    " ORDER BY abs(c.n - COALESCE(p.n, 0)) DESC, c.event_type, c.day"
+    f" LIMIT {MOVERS_TOPK}"
+)
+
+
 DRIFT_SHIFT = 6  # value-drift bucket = cent-token >> 6 (width 64 cents)
 
 
@@ -10571,4 +10690,6 @@ CORE_QUERIES = {
     "new_vs_returning": (q_new_vs_returning, NEW_VS_RETURNING_SQL),
     "value_drift_halves": (q_value_drift_halves, VALUE_DRIFT_HALVES_SQL),
     "churn_split": (q_churn_split, CHURN_SPLIT_SQL),
+    "punchcard": (q_punchcard, PUNCHCARD_SQL),
+    "daily_movers": (q_daily_movers, DAILY_MOVERS_SQL),
 }
