@@ -3462,3 +3462,66 @@ def test_daily_movers_hand_checked():
     got = [(r["event_type"], int(r["day"]), int(r["delta"]))
            for _, r in out.iterrows()]
     assert got == [("A", 1, 4), ("B", 2, 3), ("A", 0, 1)]
+
+
+def test_debounce_events_hand_checked():
+    """Hand-checked bounce flags: an identical (user, type, value) repeat
+    within 5 s is a bounce; a repeat after 5 s, a different value, or a
+    different user is NOT."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    s = 1_000_000
+    rows = [  # (event_id, ts, user, type, value)
+        (0, 0, 1, "click", 1.0),
+        (1, 2 * s, 1, "click", 1.0),      # bounce (2 s, identical)
+        (2, 20 * s, 1, "click", 1.0),     # not (18 s gap)
+        (3, 21 * s, 1, "click", 2.0),     # not (value changed)
+        (4, 22 * s, 2, "click", 2.0),     # not (other user)
+        (5, 23 * s, 2, "view", 2.0),      # not (type changed)
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], dtype=np.int64),
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([r[4] for r in rows], type=pa.float64()),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_debounce_events("unused").to_pandas().set_index(
+            "event_type")
+    assert (int(out.loc["click", "n_events"]),
+            int(out.loc["click", "n_bounce"])) == (5, 1)
+    assert (int(out.loc["view", "n_events"]),
+            int(out.loc["view", "n_bounce"])) == (1, 0)
+
+
+def test_dup_rate_by_source_planted():
+    """Planted exact dups: the shared text counts as dup for EVERY member
+    regardless of source; unique texts don't."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(["same same", "same same", "unique a",
+                          "unique b"]),
+        "source": pa.array(["s1", "s2", "s1", "s1"]),
+    })
+    with mock.patch.object(dq, "_docs",
+                           lambda sf, columns=None:
+                           ray.data.from_arrow(docs)):
+        out = dq.q_dup_rate_by_source("unused").to_pandas().set_index(
+            "source")
+    assert (int(out.loc["s1", "n_docs"]), int(out.loc["s1", "n_dup"])) \
+        == (3, 1)
+    assert (int(out.loc["s2", "n_docs"]), int(out.loc["s2", "n_dup"])) \
+        == (1, 1)

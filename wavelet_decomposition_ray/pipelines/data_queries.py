@@ -4130,6 +4130,71 @@ DEDUP_INCREMENTAL_SQL = (
 )
 
 
+def q_dup_rate_by_source(sf_dir: str):
+    """Per-source exact-duplication contamination — n_docs and n_dup
+    (docs whose full text occurs more than once ANYWHERE in the corpus,
+    members included): the which-feed-is-polluting-the-corpus slice
+    that turns ``dedup_exact``'s global groups into an actionable
+    per-source scoreboard.  Pass 1 builds the content-hash histogram
+    and keeps only hashes with count > 1 (duplicates-only, << corpus —
+    the dedup_exact_keep broadcast rule); pass 2 streams the corpus
+    once, counting per-source membership in the broadcast dup-hash
+    set."""
+    from ray.data.aggregate import Count, Sum
+
+    hashed = _docs(sf_dir).map_batches(dd.exact_hash_batch,
+                                       batch_format="pyarrow")
+    groups = hashed.groupby("content_hash").aggregate(
+        Count(alias_name="c"))
+    dup = groups.filter(lambda r: r["c"] > 1).to_pandas()  # dup-sized
+    # an all-empty Dataset loses its schema through to_pandas — a
+    # duplicate-free corpus must still broadcast an empty hash set
+    dup_hashes = (np.sort(dup["content_hash"].to_numpy().astype("U32"))
+                  if len(dup) else np.empty(0, dtype="U32"))
+    dup_ref = ray.put(dup_hashes)
+
+    def per_source(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        dh = ray.get(dup_ref)
+        h = np.asarray(t["content_hash"].to_pylist(), dtype="U32")
+        isdup = np.zeros(len(h), dtype=np.int64)
+        if len(dh):
+            idx = np.searchsorted(dh, h)
+            idx[idx >= len(dh)] = 0
+            isdup = (dh[idx] == h).astype(np.int64)
+        g = pd.DataFrame(
+            {"source": t["source"].to_numpy(zero_copy_only=False),
+             "d": isdup}
+        ).groupby("source", as_index=False).agg(
+            pn=("d", "size"), pd_=("d", "sum"))
+        g["pn"] = g["pn"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        _docs(sf_dir, columns=("doc_id", "text", "source"))
+        .map_batches(dd.exact_hash_batch, batch_format="pyarrow")
+        .map_batches(per_source, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("pn", alias_name="n_docs"),
+                   Sum("pd_", alias_name="n_dup"))
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["source", "n_docs", "n_dup"]),
+        batch_format="pyarrow",
+    )
+
+
+DUP_RATE_BY_SOURCE_SQL = (
+    "WITH g AS (SELECT text FROM documents GROUP BY text"
+    "  HAVING count(*) > 1)"
+    " SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(sum(CASE WHEN text IN (SELECT text FROM g)"
+    "  THEN 1 ELSE 0 END) AS BIGINT) AS n_dup"
+    " FROM documents GROUP BY source"
+)
+
+
 def q_dedup_keep_best(sf_dir: str):
     """Quality-aware survivor selection — same verified near-dup
     components as ``dedup_keep``, but each cluster keeps its LONGEST
@@ -4397,4 +4462,5 @@ DATA_QUERIES = {
     "embed_grid": (q_embed_grid, EMBED_GRID_SQL),
     "dim_variance": (q_dim_variance, DIM_VARIANCE_SQL),
     "dedup_keep_best": (q_dedup_keep_best, DEDUP_KEEP_BEST_SQL),
+    "dup_rate_by_source": (q_dup_rate_by_source, DUP_RATE_BY_SOURCE_SQL),
 }

@@ -9274,6 +9274,76 @@ HOD_MEDIAN_SQL = (
 )
 
 
+DEBOUNCE_US = 5_000_000  # repeat-suppression window (5 s)
+
+
+def q_debounce_events(sf_dir: str) -> "ray.data.Dataset":
+    """Debounce audit — per event type, how many events are BOUNCES:
+    byte-identical repeats (same user, same type, same cent value) of
+    the immediately previous event within DEBOUNCE_US.  The double-
+    fire / retry-storm health check run before any per-event billing or
+    training-label extraction; the kept/dropped split is exactly what a
+    collapsing ingest filter would do.  Same coarse user-hash partition
+    fold as ``sessionize`` (vectorized shift-compare inside each of the
+    N_EVENT_PARTS groups — no per-user micro-groups), then a types-sized
+    count groupby."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        tok = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        ety = df["event_type"].to_numpy()
+        n = len(df)
+        bounce = np.zeros(n, dtype=bool)
+        if n > 1:
+            bounce[1:] = ((uid[1:] == uid[:-1])
+                          & (ety[1:] == ety[:-1])
+                          & (tok[1:] == tok[:-1])
+                          & (ts_us[1:] - ts_us[:-1] <= DEBOUNCE_US))
+        g = pd.DataFrame(
+            {"event_type": ety, "b": bounce.astype(np.int64)}
+        ).groupby("event_type", as_index=False).agg(
+            pn=("b", "size"), pb=("b", "sum"))
+        g["pn"] = g["pn"].astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(_add_user_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("pn", alias_name="n_events"),
+                   Sum("pb", alias_name="n_bounce"))
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["event_type", "n_events", "n_bounce"]),
+        batch_format="pyarrow",
+    )
+
+
+DEBOUNCE_EVENTS_SQL = (
+    "WITH e AS (SELECT event_type,"
+    " CASE WHEN event_type = lag(event_type) OVER w"
+    "  AND CAST(round(value * 100) AS BIGINT)"
+    "   = lag(CAST(round(value * 100) AS BIGINT)) OVER w"
+    f"  AND epoch_us(ts) - lag(epoch_us(ts)) OVER w <= {DEBOUNCE_US}"
+    "  THEN 1 ELSE 0 END AS b"
+    " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))"
+    " SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,"
+    " CAST(sum(b) AS BIGINT) AS n_bounce FROM e GROUP BY event_type"
+)
+
+
 def q_punchcard(sf_dir: str) -> "ray.data.Dataset":
     """(day-of-week, hour-of-day) activity punchcard — event count and
     cent-value sum per cell of the 7x24 grid: the load-shape heatmap
@@ -10692,4 +10762,5 @@ CORE_QUERIES = {
     "churn_split": (q_churn_split, CHURN_SPLIT_SQL),
     "punchcard": (q_punchcard, PUNCHCARD_SQL),
     "daily_movers": (q_daily_movers, DAILY_MOVERS_SQL),
+    "debounce_events": (q_debounce_events, DEBOUNCE_EVENTS_SQL),
 }
