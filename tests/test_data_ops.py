@@ -3525,3 +3525,34 @@ def test_dup_rate_by_source_planted():
         == (3, 1)
     assert (int(out.loc["s2", "n_docs"]), int(out.loc["s2", "n_dup"])) \
         == (1, 1)
+
+
+def test_peak_concurrency_hand_checked():
+    """Hand-checked sweep line: three single-user sessions overlapping as
+    [0, 10s], [5s, 15s], [8s, 12s] (users 1-3) -> peak 3 at t = 8s;
+    same-instant +1/-1 must collapse before the max (user 4's session
+    starts exactly when user 1's window closes -> no phantom peak)."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    s = 1_000_000
+    rows = [  # (event_id, ts, user)
+        (0, 0, 1), (1, 10 * s, 1),
+        (2, 5 * s, 2), (3, 15 * s, 2),
+        (4, 8 * s, 3), (5, 12 * s, 3),
+        (6, 10 * s + 1, 4),  # opens exactly as user 1's interval ends
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], dtype=np.int64),
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "value": pa.array([1.0] * len(rows), type=pa.float64()),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_peak_concurrency("unused").to_pandas().iloc[0]
+    assert (int(out["peak"]), int(out["ts_us"])) == (3, 8 * s)

@@ -9274,6 +9274,111 @@ HOD_MEDIAN_SQL = (
 )
 
 
+def q_peak_concurrency(sf_dir: str) -> "pa.Table":
+    """Peak concurrent sessions — the sweep-line maximum of
+    simultaneously-open gap-windows (+1 at each session's first event,
+    -1 just after its last), with the EARLIEST microsecond achieving the
+    peak: the capacity number a connection-pool / rate-limit budget is
+    sized against.  The running sum is sequential, so it distributes
+    exactly like ``late_events``'s watermark: (1) hour-bucketed delta
+    sums -> (2) a bucket-count-sized driver table gives each bucket its
+    exclusive prefix (the concurrency entering that hour) -> (3) every
+    bucket folds independently (group deltas by identical ts BEFORE the
+    cumsum, so +1/-1 at the same instant never order-skews the max).
+    Exchanges: session deltas groupby-bucket, then a buckets-sized
+    finish."""
+    import pandas as pd
+
+    sess = q_sessionize(sf_dir)
+
+    def deltas(t: pa.Table) -> pa.Table:
+        a = t["first_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["last_us"].to_numpy(zero_copy_only=False).astype(np.int64) + 1
+        return pa.table(
+            {"ts": pa.array(np.concatenate([a, b])),
+             "d": pa.array(np.concatenate(
+                 [np.ones(len(a), dtype=np.int64),
+                  -np.ones(len(b), dtype=np.int64)]))}
+        )
+
+    dds = sess.map_batches(deltas, batch_format="pyarrow").materialize()
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        ub, inv = np.unique(ts // HOUR_US, return_inverse=True)
+        s = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(s, inv, d)
+        return pa.table({"bucket": pa.array(ub), "ds": pa.array(s)})
+
+    from ray.data.aggregate import Sum
+
+    sums = (
+        dds.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket").aggregate(Sum("ds", alias_name="ds"))
+        .take_all()  # bucket-count-sized
+    )
+    sums.sort(key=lambda r: r["bucket"])
+    pref: dict[int, int] = {}
+    run = 0
+    for r in sums:
+        pref[int(r["bucket"])] = run
+        run += int(r["ds"])
+    pref_ref = ray.put(pref)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array(ts // HOUR_US, type=pa.int64()))
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        p = ray.get(pref_ref)
+        seed = p.get(int(df["bucket"].iloc[0]), 0)
+        g = df.groupby("ts", as_index=False)["d"].sum() \
+              .sort_values("ts", kind="mergesort")
+        conc = seed + np.cumsum(g["d"].to_numpy().astype(np.int64))
+        i = int(np.argmax(conc))  # first occurrence of the bucket max
+        return pd.DataFrame(
+            {"peak": np.array([int(conc[i])], dtype=np.int64),
+             "ts_us": np.array([int(g["ts"].iloc[i])], dtype=np.int64)})
+
+    per_bucket = (
+        dds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # buckets-sized
+    )
+    best = per_bucket.sort_values(["peak", "ts_us"],
+                                  ascending=[False, True],
+                                  kind="mergesort").iloc[0]
+    return pa.Table.from_pandas(
+        pd.DataFrame({"peak": np.array([int(best["peak"])], dtype=np.int64),
+                      "ts_us": np.array([int(best["ts_us"])],
+                                        dtype=np.int64)}),
+        preserve_index=False,
+    )
+
+
+PEAK_CONCURRENCY_SQL = (
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,"
+    " CASE WHEN lag(epoch_us(ts)) OVER w IS NULL"
+    f"  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}"
+    "  THEN 1 ELSE 0 END AS brk"
+    " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+    " s AS (SELECT user_id, ts_us, sum(brk) OVER (PARTITION BY user_id"
+    "   ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM e),"
+    " iv AS (SELECT min(ts_us) AS a, max(ts_us) + 1 AS b"
+    "  FROM s GROUP BY user_id, sid),"
+    " d AS (SELECT a AS ts, 1 AS dd FROM iv"
+    "  UNION ALL SELECT b, -1 FROM iv),"
+    " g AS (SELECT ts, sum(dd) AS dd FROM d GROUP BY ts),"
+    " r AS (SELECT ts, sum(dd) OVER (ORDER BY ts"
+    "   ROWS UNBOUNDED PRECEDING) AS conc FROM g)"
+    " SELECT CAST(conc AS BIGINT) AS peak, CAST(min(ts) AS BIGINT) AS ts_us"
+    " FROM r WHERE conc = (SELECT max(conc) FROM r) GROUP BY conc"
+)
+
+
 DEBOUNCE_US = 5_000_000  # repeat-suppression window (5 s)
 
 
@@ -10763,4 +10868,5 @@ CORE_QUERIES = {
     "punchcard": (q_punchcard, PUNCHCARD_SQL),
     "daily_movers": (q_daily_movers, DAILY_MOVERS_SQL),
     "debounce_events": (q_debounce_events, DEBOUNCE_EVENTS_SQL),
+    "peak_concurrency": (q_peak_concurrency, PEAK_CONCURRENCY_SQL),
 }
