@@ -3556,3 +3556,63 @@ def test_peak_concurrency_hand_checked():
                            return_value=ray.data.from_arrow(t)):
         out = cq.q_peak_concurrency("unused").to_pandas().iloc[0]
     assert (int(out["peak"]), int(out["ts_us"])) == (3, 8 * s)
+
+
+def test_transition_latency_hand_checked():
+    """Hand-checked first-click attribution: view at t=0 matches the
+    2 s click (not the later 4 s one); a same-instant click does NOT
+    count (strictly after); a view with no click inside 1 h emits
+    nothing; other users' clicks never match."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    s = 1_000_000
+    rows = [  # (event_id, ts, user, type)
+        (0, 0, 1, "view"),
+        (1, 0, 1, "click"),        # same instant -> ignored
+        (2, 2 * s, 1, "click"),    # first real click (lat 2 s)
+        (3, 4 * s, 1, "click"),
+        (4, 10 * s, 2, "view"),    # user 2: click far outside window
+        (5, 10 * s + 2 * 3_600_000_000, 2, "click"),
+        (6, 20 * s, 3, "view"),    # user 3: no click at all
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], dtype=np.int64),
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_transition_latency("unused").to_pandas().iloc[0]
+    assert (int(out["n_pairs"]), int(out["p50_ms"]),
+            int(out["max_ms"])) == (1, 2000, 2000)
+
+
+def test_dup_source_matrix_planted():
+    """Planted pair list: sources roll up by unordered pair, diagonal
+    included."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    pairs = ray.data.from_arrow(pa.table(
+        {"doc_a": pa.array([1, 3, 5], type=pa.int64()),
+         "doc_b": pa.array([2, 4, 6], type=pa.int64())}))
+    docs = pa.table(
+        {"doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+         "source": pa.array(["web", "cc", "cc", "web", "cc", "cc"])})
+    with mock.patch.object(dq, "q_dedup_minhash", return_value=pairs), \
+         mock.patch.object(dq, "_docs",
+                           lambda sf, columns=None:
+                           ray.data.from_arrow(docs)):
+        out = dq.q_dup_source_matrix("unused").to_pandas()
+    got = {(r["src_a"], r["src_b"]): int(r["n_pairs"])
+           for _, r in out.iterrows()}
+    assert got == {("cc", "web"): 2, ("cc", "cc"): 1}

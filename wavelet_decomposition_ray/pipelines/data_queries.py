@@ -4130,6 +4130,71 @@ DEDUP_INCREMENTAL_SQL = (
 )
 
 
+def q_dup_source_matrix(sf_dir: str):
+    """Cross-source near-dup matrix — verified near-dup PAIRS rolled up
+    by the (unordered) source pair of their members: the mirror-site /
+    syndication detector (a hot off-diagonal cell means two feeds ship
+    the same content; a hot diagonal means a feed self-duplicates).
+    Pairs come from the same banded-LSH + exact-verify path as
+    ``dedup_minhash``; member sources arrive via ONE broadcast-filter
+    corpus scan (members << corpus), the rollup is a source-alphabet²
+    fold.  Cells sort by (src_a, src_b), src_a <= src_b."""
+    import pandas as pd
+
+    pairs = q_dedup_minhash(sf_dir).materialize()
+    pt = pairs.to_pandas()  # bucket-cap-bounded pair list, << corpus
+    if len(pt) == 0:
+        return pa.table({"src_a": pa.array([], type=pa.string()),
+                         "src_b": pa.array([], type=pa.string()),
+                         "n_pairs": pa.array([], type=pa.int64())})
+    members = np.unique(np.concatenate(
+        [pt["doc_a"].to_numpy().astype(np.int64),
+         pt["doc_b"].to_numpy().astype(np.int64)]))
+    mem_ref = ray.put(members)
+
+    def member_src(t: pa.Table) -> pa.Table:
+        m = ray.get(mem_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ids, m)))
+
+    meta = (
+        _docs(sf_dir, columns=("doc_id", "source"))
+        .map_batches(member_src, batch_format="pyarrow")
+        .to_pandas()  # member-sized
+    )
+    smap = dict(zip(meta["doc_id"].astype(np.int64), meta["source"]))
+    sa = pt["doc_a"].map(lambda d: smap[int(d)])
+    sb = pt["doc_b"].map(lambda d: smap[int(d)])
+    lo = np.minimum(sa.to_numpy(), sb.to_numpy())
+    hi = np.maximum(sa.to_numpy(), sb.to_numpy())
+    g = pd.DataFrame({"src_a": lo, "src_b": hi}).groupby(
+        ["src_a", "src_b"], as_index=False).size()
+    g.rename(columns={"size": "n_pairs"}, inplace=True)
+    g["n_pairs"] = g["n_pairs"].astype(np.int64)
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+DUP_SOURCE_MATRIX_SQL = (
+    # same exact pair ground truth as DEDUP_KEEP_SQL, rolled up by the
+    # unordered source pair
+    "WITH sh AS (SELECT DISTINCT doc_id,"
+    "   substr(text, CAST(i AS INTEGER), 5) AS s"
+    "   FROM documents, UNNEST(range(1, length(text) - 3)) AS t(i)),"
+    " sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),"
+    " inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c"
+    "   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),"
+    " p AS (SELECT doc_a, doc_b FROM inter"
+    "   JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b"
+    f"  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= {NEAR_DUP_TAU})"
+    " SELECT LEAST(da.source, db.source) AS src_a,"
+    " GREATEST(da.source, db.source) AS src_b,"
+    " CAST(count(*) AS BIGINT) AS n_pairs"
+    " FROM p JOIN documents da ON da.doc_id = p.doc_a"
+    " JOIN documents db ON db.doc_id = p.doc_b"
+    " GROUP BY src_a, src_b"
+)
+
+
 def q_dup_rate_by_source(sf_dir: str):
     """Per-source exact-duplication contamination — n_docs and n_dup
     (docs whose full text occurs more than once ANYWHERE in the corpus,
@@ -4463,4 +4528,5 @@ DATA_QUERIES = {
     "dim_variance": (q_dim_variance, DIM_VARIANCE_SQL),
     "dedup_keep_best": (q_dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "dup_rate_by_source": (q_dup_rate_by_source, DUP_RATE_BY_SOURCE_SQL),
+    "dup_source_matrix": (q_dup_source_matrix, DUP_SOURCE_MATRIX_SQL),
 }

@@ -9274,6 +9274,101 @@ HOD_MEDIAN_SQL = (
 )
 
 
+TRANS_WINDOW_US = 3_600_000_000  # view -> click attribution window (1 h)
+
+
+def q_transition_latency(sf_dir: str) -> "pa.Table":
+    """View->click latency envelope — for every 'view', the time to that
+    user's FIRST 'click' strictly after it (within a 1 h attribution
+    window), reported as n_pairs and the exact p50/p90/max in whole
+    milliseconds (rank = ceil(q*n)): the responsiveness metric behind
+    funnel-step SLOs, and the step-level complement to
+    ``funnel_conversion``'s reached-or-not counts.  Per-user matching is
+    ONE vectorized searchsorted inside each coarse hash partition (the
+    composite (user << 43 | ts-offset) key keeps both streams jointly
+    sorted — asserted in range); the latency histogram (distinct-ms-
+    sized) is the only global exchange."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df[df["event_type"].isin(["view", "click"])]
+        if len(df) == 0:
+            return pd.DataFrame({"lat_ms": np.empty(0, dtype=np.int64),
+                                 "cnt": np.empty(0, dtype=np.int64)})
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        u = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        tmin = int(ts.min())
+        rel = ts - tmin
+        assert u.max() < (1 << 20) and rel.max() < (1 << 43), \
+            "transition_latency composite key out of range"
+        key = (u << 43) | rel
+        isv = (df["event_type"] == "view").to_numpy()
+        isc = (df["event_type"] == "click").to_numpy()
+        ck, cu, cts = key[isc], u[isc], ts[isc]
+        if len(ck) == 0 or not isv.any():
+            return pd.DataFrame({"lat_ms": np.empty(0, dtype=np.int64),
+                                 "cnt": np.empty(0, dtype=np.int64)})
+        pos = np.searchsorted(ck, key[isv], side="right")
+        ok = pos < len(ck)
+        pos = np.minimum(pos, max(len(ck) - 1, 0))
+        lat = cts[pos] - ts[isv]
+        ok &= (cu[pos] == u[isv]) & (lat > 0) & (lat <= TRANS_WINDOW_US)
+        lat_ms = lat[ok] // 1000
+        uk, cnt = np.unique(lat_ms, return_counts=True)
+        return pd.DataFrame({"lat_ms": uk,
+                             "cnt": cnt.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(_add_user_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("lat_ms").aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # distinct-ms-sized
+    )
+    hist = hist.sort_values("lat_ms", kind="mergesort")
+    c = hist["cnt"].to_numpy().astype(np.int64)
+    total = int(c.sum())
+    cum = np.cumsum(c)
+    ms = hist["lat_ms"].to_numpy().astype(np.int64)
+
+    def pick(num: int, den: int) -> int:
+        rank = (num * total + den - 1) // den
+        return int(ms[int(np.searchsorted(cum, rank))])
+
+    out = pd.DataFrame(
+        {"n_pairs": np.array([total], dtype=np.int64),
+         "p50_ms": np.array([pick(1, 2)], dtype=np.int64),
+         "p90_ms": np.array([pick(9, 10)], dtype=np.int64),
+         "max_ms": np.array([int(ms[-1])], dtype=np.int64)})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+TRANSITION_LATENCY_SQL = (
+    "WITH a AS (SELECT user_id, event_id, epoch_us(ts) AS ts FROM events"
+    "  WHERE event_type = 'view'),"
+    " b AS (SELECT user_id, epoch_us(ts) AS ts FROM events"
+    "  WHERE event_type = 'click'),"
+    " j AS (SELECT a.user_id, a.event_id, min(b.ts) - a.ts AS lat"
+    "  FROM a JOIN b ON b.user_id = a.user_id AND b.ts > a.ts"
+    f"   AND b.ts - a.ts <= {TRANS_WINDOW_US}"
+    "  GROUP BY a.user_id, a.event_id, a.ts),"
+    " l AS (SELECT lat // 1000 AS lat_ms FROM j)"
+    " SELECT CAST(count(*) AS BIGINT) AS n_pairs,"
+    " CAST(quantile_disc(lat_ms, 0.5) AS BIGINT) AS p50_ms,"
+    " CAST(quantile_disc(lat_ms, 0.9) AS BIGINT) AS p90_ms,"
+    " CAST(max(lat_ms) AS BIGINT) AS max_ms FROM l"
+)
+
+
 def q_peak_concurrency(sf_dir: str) -> "pa.Table":
     """Peak concurrent sessions — the sweep-line maximum of
     simultaneously-open gap-windows (+1 at each session's first event,
@@ -10869,4 +10964,5 @@ CORE_QUERIES = {
     "daily_movers": (q_daily_movers, DAILY_MOVERS_SQL),
     "debounce_events": (q_debounce_events, DEBOUNCE_EVENTS_SQL),
     "peak_concurrency": (q_peak_concurrency, PEAK_CONCURRENCY_SQL),
+    "transition_latency": (q_transition_latency, TRANSITION_LATENCY_SQL),
 }
