@@ -3616,3 +3616,26 @@ def test_dup_source_matrix_planted():
     got = {(r["src_a"], r["src_b"]): int(r["n_pairs"])
            for _, r in out.iterrows()}
     assert got == {("cc", "web"): 2, ("cc", "cc"): 1}
+
+
+def test_tier_pick_hand_checked():
+    """Planted policy picks: a constant source has zero error at every
+    tier -> picks the coarsest (6); an alternating 0/1000000-ish source
+    busts the 800-per-point budget already at tier 1 -> picks 0 (keep
+    raw).  (Tokens stay < 2^20.)"""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    flat = [7] * 64
+    spiky = [0, 1_000_000 - 1] * 32
+    t = pa.table({"doc_id": ["f", "s"], "tokens": [flat, spiky],
+                  "source": ["calm", "wild"]})
+    with mock.patch.object(cq, "_seq_ds",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_tier_pick("unused").to_pandas().set_index("source")
+    assert (int(out.loc["calm", "picked_tier"]),
+            int(out.loc["calm", "picked_err"])) == (6, 0)
+    assert int(out.loc["wild", "picked_tier"]) == 0

@@ -9274,6 +9274,119 @@ HOD_MEDIAN_SQL = (
 )
 
 
+TIER_PICK_BUDGET_PPM = 800_000_000  # loss budget: err/point <= 800 (x1e-6)
+
+
+def q_tier_pick(sf_dir: str) -> "pa.Table":
+    """Retention-policy decision — per source, the COARSEST tier of the
+    TIER_ERR_TIERS ladder whose mean per-point L1 reconstruction error
+    stays inside the loss budget (err * 10^6 <= BUDGET_PPM * n_points,
+    compared in arbitrary-precision ints; 0 = keep raw), plus that
+    tier's error: the operator that turns ``tier_error``'s per-doc audit
+    curve into the actual keep-this-resolution verdict a storage-tiering
+    job executes.  One streaming pass folds (source, tier) error
+    partials inside each batch (same windowed-deviation kernel as
+    tier_error), the only exchange is sources x tiers, and the pick is
+    a driver-side fold over that tiny table."""
+    import pandas as pd
+
+    ds = _seq_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        e = pa.array([], type=pa.int64())
+        if n_docs == 0 or len(v) == 0:
+            return pa.table(
+                {"source": pa.array([], type=pa.string()),
+                 "tier": e, "err": e, "npts": e}
+            )
+        src = np.asarray(t["source"].to_pylist())
+        usrc, sinv = np.unique(src, return_inverse=True)
+        n = np.diff(off)
+        tok_src = np.repeat(sinv, n)
+        npts = np.zeros(len(usrc), dtype=np.int64)
+        np.add.at(npts, sinv, n)
+        rows_s, rows_t, rows_e, rows_n = [], [], [], []
+        for tier in TIER_ERR_TIERS:
+            w = 1 << tier
+            starts, _, counts = tumble_starts(off, w)
+            s = np.add.reduceat(v, starts)
+            dev = np.abs(np.repeat(counts, counts) * v
+                         - np.repeat(s, counts))
+            err = np.zeros(len(usrc), dtype=np.int64)
+            np.add.at(err, tok_src, dev)
+            rows_s.append(usrc)
+            rows_t.append(np.full(len(usrc), tier, dtype=np.int64))
+            rows_e.append(err)
+            rows_n.append(npts)
+        return pa.table(
+            {"source": pa.array(np.concatenate(rows_s)),
+             "tier": pa.array(np.concatenate(rows_t)),
+             "err": pa.array(np.concatenate(rows_e)),
+             "npts": pa.array(np.concatenate(rows_n))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=256)
+        .groupby(["source", "tier"])
+        .aggregate(Sum("err", alias_name="err"),
+                   Sum("npts", alias_name="npts"))
+        .to_pandas()  # sources x tiers
+    )
+    out_rows = []
+    for src, grp in cells.groupby("source"):
+        npts = int(grp["npts"].iloc[0])
+        picked, picked_err = 0, 0
+        for _, r in grp.sort_values("tier").iterrows():
+            if int(r["err"]) * 1_000_000 <= TIER_PICK_BUDGET_PPM * npts:
+                picked, picked_err = int(r["tier"]), int(r["err"])
+        out_rows.append((src, npts, picked, picked_err))
+    out = pd.DataFrame(out_rows, columns=["source", "n_points",
+                                          "picked_tier", "picked_err"])
+    return pa.Table.from_pandas(
+        out.astype({"n_points": np.int64, "picked_tier": np.int64,
+                    "picked_err": np.int64}),
+        preserve_index=False,
+    )
+
+
+def _tier_pick_sql() -> str:
+    legs = []
+    for tier in TIER_ERR_TIERS:
+        w = 1 << tier
+        legs.append(
+            f"SELECT f.source, CAST({tier} AS BIGINT) AS tier,"
+            " CAST(sum(abs(g.c * f.tok - g.s)) AS BIGINT) AS err,"
+            " CAST(count(*) AS BIGINT) AS npts"
+            " FROM flat f JOIN ("
+            f"  SELECT doc_id, pos // {w} AS wi,"
+            "   CAST(count(*) AS BIGINT) AS c, CAST(sum(tok) AS BIGINT) AS s"
+            f"  FROM flat GROUP BY doc_id, wi) g"
+            f" ON g.doc_id = f.doc_id AND g.wi = f.pos // {w}"
+            " GROUP BY f.source"
+        )
+    t = " UNION ALL ".join(legs)
+    return (
+        f"{_FLAT_CTE}, t AS ({t}),"
+        " q AS (SELECT source, max(npts) AS n_points,"
+        "  COALESCE(max(CASE WHEN CAST(err AS HUGEINT) * 1000000"
+        f"   <= CAST({TIER_PICK_BUDGET_PPM} AS HUGEINT) * npts"
+        "   THEN tier END), 0) AS picked_tier"
+        "  FROM t GROUP BY source)"
+        " SELECT q.source, q.n_points, q.picked_tier,"
+        " CAST(COALESCE(t.err, 0) AS BIGINT) AS picked_err"
+        " FROM q LEFT JOIN t ON t.source = q.source"
+        "  AND t.tier = q.picked_tier"
+    )
+
+
+TIER_PICK_SQL = _tier_pick_sql()
+
+
 TRANS_WINDOW_US = 3_600_000_000  # view -> click attribution window (1 h)
 
 
@@ -10965,4 +11078,5 @@ CORE_QUERIES = {
     "debounce_events": (q_debounce_events, DEBOUNCE_EVENTS_SQL),
     "peak_concurrency": (q_peak_concurrency, PEAK_CONCURRENCY_SQL),
     "transition_latency": (q_transition_latency, TRANSITION_LATENCY_SQL),
+    "tier_pick": (q_tier_pick, TIER_PICK_SQL),
 }
