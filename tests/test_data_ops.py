@@ -3639,3 +3639,42 @@ def test_tier_pick_hand_checked():
     assert (int(out.loc["calm", "picked_tier"]),
             int(out.loc["calm", "picked_err"])) == (6, 0)
     assert int(out.loc["wild", "picked_tier"]) == 0
+
+
+def test_vol_cluster_kernel_hand_checked():
+    """Hand-checked moments: doc a = [0, 2, 2, 7] -> |diffs| = [2, 0, 5],
+    pairs (2,0), (0,5): n=2, sx=2, sy=5, sxy=0, sxx=4, syy=25.  Docs
+    shorter than 3 tokens emit nothing; boundaries never pair."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_vol_cluster, "unused")
+    t = pa.table({"doc_id": ["a", "b", "c"],
+                  "tokens": [[0, 2, 2, 7], [9, 1], [4]]})
+    df = fn(t).to_pandas().set_index("doc_id")
+    assert list(df.index) == ["a"]
+    r = df.loc["a"]
+    assert (int(r["n_pairs"]), int(r["sx"]), int(r["sy"]), int(r["sxy"]),
+            int(r["sxx"]), int(r["syy"])) == (2, 2, 5, 0, 4, 25)
+
+
+def test_kanon_audit_hand_checked():
+    """Hand-checked exposure counts: cell (en, web, 0) holds 2 docs;
+    (fr, web, 0) and (en, cc, 1) are singletons -> 3 groups, 2
+    singletons, all 3 under k=5 with 4 docs trapped."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    docs = pa.table({
+        "lang": pa.array(["en", "en", "fr", "en"]),
+        "source": pa.array(["web", "web", "web", "cc"]),
+        "n_chars": pa.array([10, 99, 50, 150], type=pa.int64()),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(docs)):
+        out = cq.q_kanon_audit("unused").to_pandas().iloc[0]
+    assert (int(out["n_groups"]), int(out["n_singletons"]),
+            int(out["n_small_groups"]), int(out["n_docs_small"])) \
+        == (3, 2, 3, 4)

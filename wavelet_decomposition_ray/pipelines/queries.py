@@ -9274,6 +9274,141 @@ HOD_MEDIAN_SQL = (
 )
 
 
+def q_vol_cluster(sf_dir: str) -> "ray.data.Dataset":
+    """Volatility-clustering sufficient statistics — per doc, the exact
+    integer moments of consecutive ABSOLUTE first-difference pairs
+    (d_t, d_{t+1}): n_pairs, Σx, Σy, Σxy, Σx², Σy².  The lag-1 Pearson
+    numerator n·Σxy − Σx·Σy > 0 is the ARCH-effect tripwire (big moves
+    follow big moves), computed by the consumer from these components so
+    both engines stay division-free and bit-exact.  |d| < 2^20 keeps
+    every sum inside int64 for n < 2^23.  Fully vectorized: one global
+    diff, boundary pairs masked, zero-padded reduceats — docs with
+    fewer than 3 tokens emit nothing (no d-pair exists)."""
+    ds = _seq_ds(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        D = len(off) - 1
+        e = pa.array([], type=pa.int64())
+        empty = pa.table(
+            {"doc_id": pa.array([], type=pa.string()), "n_pairs": e,
+             "sx": e, "sy": e, "sxy": e, "sxx": e, "syy": e}
+        )
+        if D == 0 or len(v) < 3:
+            return empty
+        n = np.diff(off)
+        seg = np.repeat(np.arange(D, dtype=np.int64), n)
+        N = len(v)
+        dall = np.abs(v[1:] - v[:-1])
+        vd = seg[1:] == seg[:-1]
+        # pair-of-pairs j: needs d_j and d_{j+1} valid (=> same doc)
+        ok = vd[:-1] & vd[1:]
+        x = np.where(ok, dall[:-1], 0)
+        y = np.where(ok, dall[1:], 0)
+
+        def red(a: np.ndarray) -> np.ndarray:
+            return np.add.reduceat(
+                np.concatenate((a, np.zeros(N - len(a), dtype=np.int64))),
+                off[:-1])
+
+        cnt = red(ok.astype(np.int64))
+        kept = cnt > 0
+        if not kept.any():
+            return empty
+        ka = pa.array(kept)
+        return pa.table(
+            {"doc_id": t["doc_id"].filter(ka),
+             "n_pairs": pa.array(cnt[kept]),
+             "sx": pa.array(red(x)[kept]), "sy": pa.array(red(y)[kept]),
+             "sxy": pa.array(red(x * y)[kept]),
+             "sxx": pa.array(red(x * x)[kept]),
+             "syy": pa.array(red(y * y)[kept])}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+
+VOL_CLUSTER_SQL = (
+    f"{_FLAT_CTE},"
+    " l AS (SELECT doc_id, pos, abs(tok - lag(tok) OVER"
+    "  (PARTITION BY doc_id ORDER BY pos)) AS d FROM flat),"
+    " p AS (SELECT doc_id, d AS x, lead(d) OVER"
+    "  (PARTITION BY doc_id ORDER BY pos) AS y FROM l"
+    "  WHERE d IS NOT NULL)"
+    " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,"
+    " CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,"
+    " CAST(sum(x * y) AS BIGINT) AS sxy,"
+    " CAST(sum(x * x) AS BIGINT) AS sxx,"
+    " CAST(sum(y * y) AS BIGINT) AS syy"
+    " FROM p WHERE y IS NOT NULL GROUP BY doc_id"
+)
+
+
+KANON_K = 5          # small-group threshold
+KANON_CHARS_BUCKET = 100
+
+
+def q_kanon_audit(sf_dir: str) -> "pa.Table":
+    """k-anonymity audit over the quasi-identifier (lang, source,
+    n_chars bucket) — group count, singleton count, groups under
+    KANON_K and the documents trapped in them: the re-identification
+    exposure screen a release/sharing pass runs before publishing a
+    corpus slice (a doc alone in its quasi-identifier cell is
+    linkable even with text removed).  One partial count per batch, a
+    quasi-identifier-alphabet-sized groupby, a one-row driver fold."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["lang", "source", "n_chars"],
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = pd.DataFrame(
+            {"lang": df["lang"].to_numpy(),
+             "source": df["source"].to_numpy(),
+             "cb": (df["n_chars"].to_numpy().astype(np.int64)
+                    // KANON_CHARS_BUCKET)}
+        ).groupby(["lang", "source", "cb"], as_index=False).size()
+        g.rename(columns={"size": "cnt"}, inplace=True)
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Sum
+
+    groups = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "source", "cb"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # quasi-identifier-alphabet-sized
+    )
+    c = groups["cnt"].to_numpy().astype(np.int64)
+    out = pd.DataFrame(
+        {"n_groups": np.array([len(c)], dtype=np.int64),
+         "n_singletons": np.array([int((c == 1).sum())], dtype=np.int64),
+         "n_small_groups": np.array([int((c < KANON_K).sum())],
+                                    dtype=np.int64),
+         "n_docs_small": np.array([int(c[c < KANON_K].sum())],
+                                  dtype=np.int64)})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+KANON_AUDIT_SQL = (
+    "WITH g AS (SELECT lang, source,"
+    f" n_chars // {KANON_CHARS_BUCKET} AS cb, count(*) AS cnt"
+    " FROM documents GROUP BY lang, source, cb)"
+    " SELECT CAST(count(*) AS BIGINT) AS n_groups,"
+    " CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS n_singletons,"
+    f" CAST(sum(CASE WHEN cnt < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS n_small_groups,"
+    f" CAST(sum(CASE WHEN cnt < {KANON_K} THEN cnt ELSE 0 END) AS BIGINT)"
+    "  AS n_docs_small"
+    " FROM g"
+)
+
+
 TIER_PICK_BUDGET_PPM = 800_000_000  # loss budget: err/point <= 800 (x1e-6)
 
 
@@ -11079,4 +11214,6 @@ CORE_QUERIES = {
     "peak_concurrency": (q_peak_concurrency, PEAK_CONCURRENCY_SQL),
     "transition_latency": (q_transition_latency, TRANSITION_LATENCY_SQL),
     "tier_pick": (q_tier_pick, TIER_PICK_SQL),
+    "vol_cluster": (q_vol_cluster, VOL_CLUSTER_SQL),
+    "kanon_audit": (q_kanon_audit, KANON_AUDIT_SQL),
 }
