@@ -48,14 +48,19 @@ def entry() -> Any:
 # order_priority_skewjoin, corpus_pack512) swapped for this round's new
 # drawdown / mann_kendall / dedup_incremental so they get driver-grade
 # evidence too; profit_by_nation_year keeps the join family in the gate.
+# Final r5 rotation: four more twice-★ slots whose §2 rows keep another
+# ★ pin (haar_l1 -> dwt_haar/roundtrip_haar for T1; dwt_db4 ->
+# roundtrip_db4 for T2/T3; gorilla_blocks -> codec_ok for ST1;
+# topk_tokens -> epn_quantiles for K1) swapped for this session's new
+# max_subarray / tier_pick / dau_mau / peak_concurrency.
 _PRIORITY = [
     # core §2 pins
     "rollup_t1", "rollup_t3", "rollup_t6", "source_stats", "store_stats",
-    "store_tier3", "haar_l1", "roundtrip_haar", "roundtrip_db4",
+    "store_tier3", "max_subarray", "roundtrip_haar", "roundtrip_db4",
     "aggtree_ok", "codec_ok", "epn_quantiles", "epn_full",
     "parseval_ok", "resample64", "bandpass_coarse", "scale_energy",
-    "fft_magnitude", "dwt_haar", "dwt_db4", "gorilla_blocks", "normalize",
-    "cross_source_diff", "topk_tokens",
+    "fft_magnitude", "dwt_haar", "tier_pick", "dau_mau", "normalize",
+    "cross_source_diff", "peak_concurrency",
     # first-time-gated core queries (round 5 rotation)
     "sax_symbols", "best_shift", "best_shift_full", "scale_decomposition",
     "event_transitions",
