@@ -3678,3 +3678,59 @@ def test_kanon_audit_hand_checked():
     assert (int(out["n_groups"]), int(out["n_singletons"]),
             int(out["n_small_groups"]), int(out["n_docs_small"])) \
         == (3, 2, 3, 4)
+
+
+def test_fertility_by_lang_hand_checked():
+    """Hand-checked fertility: 'aa bb' -> 2 words / 4 chars
+    (1_000_000 * 4 // 2 = 2e6 ppm); 'abcdef' -> 1 word / 6 chars."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["aa bb", "abcdef"]),
+        "lang": pa.array(["en", "fr"]),
+    })
+    with mock.patch.object(dq, "_docs",
+                           lambda sf, columns=None:
+                           ray.data.from_arrow(docs)):
+        out = dq.q_fertility_by_lang("unused").to_pandas().set_index("lang")
+    assert (int(out.loc["en", "n_words"]), int(out.loc["en", "n_chars"]),
+            int(out.loc["en", "chars_per_word_ppm"])) == (2, 4, 2_000_000)
+    assert int(out.loc["fr", "chars_per_word_ppm"]) == 6_000_000
+
+
+def test_split_leakage_planted():
+    """Planted leakage: doc ids chosen so the splitmix bucket puts one
+    text-sharing pair across the split boundary; counts must see the
+    holdout copy as leaked."""
+    import unittest.mock as mock
+
+    import numpy as _np
+    import ray.data
+
+    from wavelet_decomposition_ray.functions import dedup as dd
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    # find a holdout id and a train id deterministically
+    ids = _np.arange(0, 4000, dtype=_np.int64)
+    b = dd.salted_bucket(ids, dd.SPLIT_SALT)
+    ho_ids = ids[b < dq.HOLDOUT_PERMILLE]
+    tr_ids = ids[b >= dq.HOLDOUT_PERMILLE]
+    assert len(ho_ids) >= 2 and len(tr_ids) >= 2
+    docs = pa.table({
+        "doc_id": pa.array([int(tr_ids[0]), int(ho_ids[0]),
+                            int(tr_ids[1]), int(ho_ids[1])],
+                           type=pa.int64()),
+        "text": pa.array(["LEAK", "LEAK", "train only", "holdout only"]),
+    })
+    with mock.patch.object(dq, "_docs",
+                           lambda sf, columns=None:
+                           ray.data.from_arrow(docs)):
+        out = dq.q_split_leakage("unused").to_pandas().iloc[0]
+    assert (int(out["n_train"]), int(out["n_holdout"]),
+            int(out["n_leaked_docs"]), int(out["n_leaked_texts"])) \
+        == (2, 2, 1, 1)

@@ -4130,6 +4130,132 @@ DEDUP_INCREMENTAL_SQL = (
 )
 
 
+def q_fertility_by_lang(sf_dir: str):
+    """Tokenizer-fertility audit per language — words, non-space chars
+    and chars_per_word_ppm = floor(10^6 · chars / words): the
+    cross-language cost model (a language whose words run long pays
+    proportionally more subword tokens per word under any BPE), checked
+    before setting per-language sampling weights.  Reuses the
+    ``token_count`` kernel per batch; the only exchange is a
+    language-alphabet-sized sum."""
+    import pandas as pd
+
+    ds = _docs(sf_dir, columns=("doc_id", "text", "lang"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = tx.token_count_batch(t)
+        g = pd.DataFrame(
+            {"lang": t["lang"].to_numpy(zero_copy_only=False),
+             "w": c["n_words"].to_numpy(zero_copy_only=False),
+             "ch": c["word_chars"].to_numpy(zero_copy_only=False)}
+        ).groupby("lang", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("w", alias_name="n_words"),
+                   Sum("ch", alias_name="n_chars"))
+        .to_pandas()  # language-alphabet-sized
+    )
+    agg["chars_per_word_ppm"] = (
+        agg["n_chars"].to_numpy().astype(np.int64) * 1_000_000
+        // agg["n_words"].to_numpy().astype(np.int64))
+    return pa.Table.from_pandas(
+        agg.astype({"n_words": np.int64, "n_chars": np.int64,
+                    "chars_per_word_ppm": np.int64}),
+        preserve_index=False,
+    )
+
+
+FERTILITY_BY_LANG_SQL = (
+    "WITH w AS (SELECT lang,"
+    " CAST(length(list_filter(string_split_regex(text, '\\s+'),"
+    "  x -> x <> '')) AS BIGINT) AS nw,"
+    " CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nc"
+    " FROM documents)"
+    " SELECT lang, CAST(sum(nw) AS BIGINT) AS n_words,"
+    " CAST(sum(nc) AS BIGINT) AS n_chars,"
+    " CAST(sum(nc) * 1000000 // sum(nw) AS BIGINT) AS chars_per_word_ppm"
+    " FROM w GROUP BY lang"
+)
+
+
+def q_split_leakage(sf_dir: str):
+    """Train/holdout leakage audit — documents in the holdout whose FULL
+    text also appears in train (exact-dup leakage across the
+    content-addressed split): the eval-integrity check every benchmark
+    pipeline must pass, composing ``split_train_holdout``'s splitmix
+    bucket with ``dedup_exact``'s content hashing.  Per-hash
+    (train_cnt, holdout_cnt) partials -> one corpus-distinct-sized
+    groupby -> a one-row fold; no split's member set is ever
+    broadcast."""
+    import pandas as pd
+
+    ds = _docs(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = dd.exact_hash_batch(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = dd.salted_bucket(ids, dd.SPLIT_SALT)
+        ho = (b < HOLDOUT_PERMILLE).astype(np.int64)
+        g = pd.DataFrame(
+            {"content_hash": h["content_hash"].to_numpy(
+                zero_copy_only=False),
+             "ho": ho, "tr": 1 - ho}
+        ).groupby("content_hash", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    per_hash = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(Sum("tr", alias_name="tr"), Sum("ho", alias_name="ho"))
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        tr = t["tr"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ho = t["ho"].to_numpy(zero_copy_only=False).astype(np.int64)
+        leak = (tr > 0)
+        return pa.table(
+            {"n_train": pa.array([int(tr.sum())]),
+             "n_holdout": pa.array([int(ho.sum())]),
+             "n_leaked_docs": pa.array([int(ho[leak].sum())]),
+             "n_leaked_texts": pa.array(
+                 [int((leak & (ho > 0)).sum())])}
+        )
+
+    tot = per_hash.map_batches(fold, batch_format="pyarrow").sum(
+        ["n_train", "n_holdout", "n_leaked_docs", "n_leaked_texts"])
+    out = pd.DataFrame(
+        {k: np.array([int(tot[f"sum({k})"])], dtype=np.int64)
+         for k in ("n_train", "n_holdout", "n_leaked_docs",
+                   "n_leaked_texts")})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _split_leakage_sql() -> str:
+    return (
+        f"WITH u AS (SELECT * FROM {_splitmix_bucket_sql(dd.SPLIT_SALT)}),"
+        " s AS (SELECT doc_id,"
+        f" CASE WHEN b < {HOLDOUT_PERMILLE} THEN 1 ELSE 0 END AS ho"
+        "  FROM u),"
+        " g AS (SELECT d.text, sum(s.ho) AS ho,"
+        "  sum(1 - s.ho) AS tr"
+        "  FROM documents d JOIN s USING (doc_id) GROUP BY d.text)"
+        " SELECT CAST(sum(tr) AS BIGINT) AS n_train,"
+        " CAST(sum(ho) AS BIGINT) AS n_holdout,"
+        " CAST(sum(CASE WHEN tr > 0 THEN ho ELSE 0 END) AS BIGINT)"
+        "  AS n_leaked_docs,"
+        " CAST(sum(CASE WHEN tr > 0 AND ho > 0 THEN 1 ELSE 0 END)"
+        "  AS BIGINT) AS n_leaked_texts"
+        " FROM g"
+    )
+
+
 def q_dup_source_matrix(sf_dir: str):
     """Cross-source near-dup matrix — verified near-dup PAIRS rolled up
     by the (unordered) source pair of their members: the mirror-site /
@@ -4529,4 +4655,6 @@ DATA_QUERIES = {
     "dedup_keep_best": (q_dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "dup_rate_by_source": (q_dup_rate_by_source, DUP_RATE_BY_SOURCE_SQL),
     "dup_source_matrix": (q_dup_source_matrix, DUP_SOURCE_MATRIX_SQL),
+    "fertility_by_lang": (q_fertility_by_lang, FERTILITY_BY_LANG_SQL),
+    "split_leakage": (q_split_leakage, _split_leakage_sql()),
 }
