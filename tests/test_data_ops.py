@@ -3734,3 +3734,48 @@ def test_split_leakage_planted():
     assert (int(out["n_train"]), int(out["n_holdout"]),
             int(out["n_leaked_docs"]), int(out["n_leaked_texts"])) \
         == (2, 2, 1, 1)
+
+
+def test_watermark_pick_hand_checked():
+    """Hand-checked lateness ranks: arrival order 10s, 0s, 10s, 10s ->
+    latenesses 0, 10000ms, 0, 0; p50 = rank 2 of [0,0,0,10000] = 0,
+    p999 = rank 4 = 10000."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    s = 1_000_000
+    ts = np.array([10 * s, 0, 10 * s, 10 * s], dtype=np.int64)
+    t = pa.table({"event_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                  "ts": pa.array(ts, type=pa.timestamp("us"))})
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_watermark_pick("unused").to_pandas().iloc[0]
+    assert (int(out["n_events"]), int(out["p50_ms"]), int(out["p99_ms"]),
+            int(out["p999_ms"]), int(out["max_ms"])) \
+        == (4, 0, 10_000, 10_000, 10_000)
+
+
+def test_quantize_compare_hand_checked():
+    """Hand-checked errors on the 0..255 ramp (each value once):
+    uniform width 16 -> err 16 * (0+..+15) = 1920; equalized edges sit
+    at the exact 1/16 ranks (15, 31, ..., 239), giving bins
+    [0,14], [15,30], ..., [239,255] -> 105 + 14*120 + 136 = 1921.
+    (On the skewed real corpus the equalized codebook wins -- see
+    BASELINE.md; on a flat ramp the two are near-identical by
+    construction, which this pins.)"""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    t = pa.table({"doc_id": ["d"], "tokens": [list(range(256))],
+                  "source": ["s"]})
+    with mock.patch.object(cq, "_seq_ds",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_quantize_compare("unused").to_pandas().iloc[0]
+    assert (int(out["n_tokens"]), int(out["err_uniform"]),
+            int(out["err_equalized"])) == (256, 1920, 1921)

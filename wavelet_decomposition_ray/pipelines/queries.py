@@ -9274,6 +9274,189 @@ HOD_MEDIAN_SQL = (
 )
 
 
+def q_watermark_pick(sf_dir: str) -> "pa.Table":
+    """Watermark-delay decision — the exact p50/p99/p99.9/max of event
+    LATENESS (running-max event-time at arrival minus own event-time,
+    ``late_events``'s statistic) in whole milliseconds, with integer
+    ranks ceil(q·n) computed explicitly on both sides (no float 0.999·n
+    anywhere): pick the p99.9 and you know precisely which fraction of
+    events a streaming window with that allowed-lateness would drop.
+    Same two-phase distributed prefix as late_events (bucketed arrival
+    maxima -> driver exclusive prefix -> seeded per-bucket folds), but
+    folding a distinct-ms lateness HISTOGRAM instead of per-type sums —
+    the only exchanges are bucket- and distinct-ms-sized."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+    NEG = -(2 ** 62)
+
+    def _eid_ts(t: pa.Table):
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return eid, ts
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        eid, ts = _eid_ts(t)
+        ub, inv = np.unique(eid >> LATE_BUCKET_BITS, return_inverse=True)
+        m = np.full(len(ub), NEG, dtype=np.int64)
+        np.maximum.at(m, inv, ts)
+        return pa.table({"bucket": pa.array(ub), "mts": pa.array(m)})
+
+    maxima = (
+        ds.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket").aggregate(Max("mts", alias_name="mts"))
+        .take_all()
+    )
+    maxima.sort(key=lambda r: r["bucket"])
+    pref: dict[int, int] = {}
+    run = NEG
+    for r in maxima:
+        pref[int(r["bucket"])] = run
+        run = max(run, int(r["mts"]))
+    pref_ref = ray.put(pref)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        eid, _ = _eid_ts(t)
+        return t.append_column(
+            "bucket", pa.array(eid >> LATE_BUCKET_BITS, type=pa.int64()))
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        p = ray.get(pref_ref)
+        seed = p.get(int(df["bucket"].iloc[0]), NEG)
+        df = df.sort_values("event_id", kind="mergesort")
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        late = np.maximum(np.maximum.accumulate(ts), seed) - ts
+        uk, cnt = np.unique(late // 1000, return_counts=True)
+        return pd.DataFrame({"lat_ms": uk, "cnt": cnt.astype(np.int64)})
+
+    hist = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("lat_ms").aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # distinct-ms-sized
+    )
+    hist = hist.sort_values("lat_ms", kind="mergesort")
+    c = hist["cnt"].to_numpy().astype(np.int64)
+    total = int(c.sum())
+    cum = np.cumsum(c)
+    ms = hist["lat_ms"].to_numpy().astype(np.int64)
+
+    def pick(num: int, den: int) -> int:
+        rank = (num * total + den - 1) // den
+        return int(ms[int(np.searchsorted(cum, rank))])
+
+    out = pd.DataFrame(
+        {"n_events": np.array([total], dtype=np.int64),
+         "p50_ms": np.array([pick(1, 2)], dtype=np.int64),
+         "p99_ms": np.array([pick(99, 100)], dtype=np.int64),
+         "p999_ms": np.array([pick(999, 1000)], dtype=np.int64),
+         "max_ms": np.array([int(ms[-1])], dtype=np.int64)})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+WATERMARK_PICK_SQL = (
+    "WITH w AS (SELECT (max(epoch_us(ts)) OVER (ORDER BY event_id"
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    "  - epoch_us(ts)) // 1000 AS lat_ms FROM events),"
+    " n AS (SELECT count(*) AS c FROM w),"
+    " r AS (SELECT lat_ms, row_number() OVER (ORDER BY lat_ms) AS rn"
+    "  FROM w)"
+    " SELECT CAST(n.c AS BIGINT) AS n_events,"
+    " CAST((SELECT lat_ms FROM r WHERE rn = (n.c + 1) // 2)"
+    "  AS BIGINT) AS p50_ms,"
+    " CAST((SELECT lat_ms FROM r WHERE rn = (99 * n.c + 99) // 100)"
+    "  AS BIGINT) AS p99_ms,"
+    " CAST((SELECT lat_ms FROM r WHERE rn = (999 * n.c + 999) // 1000)"
+    "  AS BIGINT) AS p999_ms,"
+    " CAST((SELECT max(lat_ms) FROM w) AS BIGINT) AS max_ms"
+    " FROM n"
+)
+
+
+QUANT_LEVELS = 16  # 4-bit codec comparison
+
+
+def q_quantize_compare(sf_dir: str) -> "pa.Table":
+    """4-bit codec bake-off — total L1 reconstruction error of a UNIFORM
+    16-level quantizer (recon = bin floor, width max_tok//16 + 1)
+    versus an EQUALIZED one whose bin edges sit at the exact 1/16
+    quantile ranks (ceil(k·n/16), floor representative = largest edge
+    <= x): the measured answer to "is a trained codebook worth it for
+    this corpus" — on skewed data the equalized bins concentrate where
+    the mass is and should win.  Everything derives from the global
+    distinct-token histogram (one groupby), so the comparison costs one
+    driver fold; both reconstructions are floor-representatives, so
+    err = Σ cnt·(tok − recon) with no abs needed."""
+    import pandas as pd
+
+    ds = _seq_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, _ = list_to_numpy(t["tokens"])
+        uk, cnt = np.unique(vals.astype(np.int64), return_counts=True)
+        return pa.table({"tok": pa.array(uk),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("tok").aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    hist = hist.sort_values("tok", kind="mergesort")
+    toks = hist["tok"].to_numpy().astype(np.int64)
+    c = hist["cnt"].to_numpy().astype(np.int64)
+    total = int(c.sum())
+    # uniform: recon = floor(tok / w) * w
+    w = int(toks.max()) // QUANT_LEVELS + 1
+    err_u = int((c * (toks % w)).sum())
+    # equalized: edges = min + the 15 exact 1/16-quantile values
+    cum = np.cumsum(c)
+    ranks = (np.arange(1, QUANT_LEVELS, dtype=np.int64) * total
+             + QUANT_LEVELS - 1) // QUANT_LEVELS
+    edges = np.concatenate(
+        ([toks[0]], toks[np.searchsorted(cum, ranks)]))
+    edges = np.sort(edges)
+    lev = np.searchsorted(edges, toks, side="right") - 1
+    recon = edges[lev]
+    err_e = int((c * (toks - recon)).sum())
+    out = pd.DataFrame(
+        {"n_tokens": np.array([total], dtype=np.int64),
+         "levels": np.array([QUANT_LEVELS], dtype=np.int64),
+         "err_uniform": np.array([err_u], dtype=np.int64),
+         "err_equalized": np.array([err_e], dtype=np.int64)})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+QUANTIZE_COMPARE_SQL = (
+    f"{_FLAT_CTE},"
+    " h AS (SELECT tok, count(*) AS cnt FROM flat GROUP BY tok),"
+    " tot AS (SELECT sum(cnt) AS n, max(tok) AS mx FROM h),"
+    " cu AS (SELECT tok, cnt, sum(cnt) OVER (ORDER BY tok) AS cum FROM h),"
+    f" ks AS (SELECT CAST(i AS BIGINT) AS k FROM range(1, {QUANT_LEVELS})"
+    "  t(i)),"
+    " ed AS (SELECT min(tok) AS e FROM h"
+    "  UNION ALL"
+    "  SELECT (SELECT min(tok) FROM cu"
+    f"   WHERE cum >= (ks.k * tot.n + {QUANT_LEVELS - 1}) // {QUANT_LEVELS})"
+    "   FROM ks, tot)"
+    " SELECT CAST(tot.n AS BIGINT) AS n_tokens,"
+    f" CAST({QUANT_LEVELS} AS BIGINT) AS levels,"
+    " CAST((SELECT sum(cnt * (tok % (tot.mx // "
+    f"{QUANT_LEVELS} + 1))) FROM h) AS BIGINT) AS err_uniform,"
+    " CAST((SELECT sum(cnt * (tok - (SELECT max(e) FROM ed"
+    "   WHERE e <= h.tok))) FROM h) AS BIGINT) AS err_equalized"
+    " FROM tot"
+)
+
+
 def q_vol_cluster(sf_dir: str) -> "ray.data.Dataset":
     """Volatility-clustering sufficient statistics — per doc, the exact
     integer moments of consecutive ABSOLUTE first-difference pairs
@@ -11216,4 +11399,6 @@ CORE_QUERIES = {
     "tier_pick": (q_tier_pick, TIER_PICK_SQL),
     "vol_cluster": (q_vol_cluster, VOL_CLUSTER_SQL),
     "kanon_audit": (q_kanon_audit, KANON_AUDIT_SQL),
+    "watermark_pick": (q_watermark_pick, WATERMARK_PICK_SQL),
+    "quantize_compare": (q_quantize_compare, QUANTIZE_COMPARE_SQL),
 }
