@@ -536,6 +536,79 @@ def rollup_stress(tmp: str) -> dict:
     }
 
 
+def engagement_stress(tmp: str) -> dict:
+    """The round-5 engagement/prefix family at 20M events / 200k users /
+    90 days: dau_mau's per-user interval merge, peak_concurrency's
+    bucketed sweep line and watermark_pick's distributed lateness prefix
+    all run on ~2000x the gate's event count, with exact invariants
+    checked (mau >= dau every day; new-user total == distinct users;
+    lateness percentiles monotone and inside the planted jitter bound).
+    Proves the bucket-prefix/driver-seed pattern stays bucket-sized, not
+    event-sized, as the stream grows."""
+    import ray.data as rd
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    n_ev, n_users, days = 20_000_000, 200_000, 90
+    day_us = 86_400_000_000
+    rng = np.random.default_rng(7)
+    span = days * day_us
+    base = np.sort(rng.integers(5_000_000, span, n_ev, dtype=np.int64))
+    jitter = rng.integers(0, 5_000_000, n_ev, dtype=np.int64)
+    ts = base - jitter  # arrival order = event_id; event-time jitters back
+    uid = (rng.pareto(1.2, n_ev) * 50).astype(np.int64) % n_users
+    ev_dir = os.path.join(tmp, "events_big")
+    os.makedirs(ev_dir)
+    shard = 2_000_000
+    for s in range(0, n_ev, shard):
+        e = min(s + shard, n_ev)
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array(np.arange(s, e, dtype=np.int64)),
+                "ts": pa.array(ts[s:e], type=pa.timestamp("us")),
+                "user_id": pa.array(uid[s:e]),
+                "event_type": pa.array(["click"] * (e - s)),
+                "value": pa.array(np.ones(e - s)),
+                "props": pa.array(["{}"] * (e - s)),
+            }),
+            os.path.join(ev_dir, f"part-{s//shard:03d}.parquet"),
+        )
+    # the queries read f"{sf_dir}/events.parquet"; point a symlink at the
+    # sharded dir (read_parquet handles directories)
+    os.symlink(ev_dir, os.path.join(tmp, "events.parquet"))
+
+    t0 = time.time()
+    dm = cq.q_dau_mau(tmp).to_pandas()
+    dm_s = time.time() - t0
+    assert (dm["mau"].to_numpy() >= dm["dau"].to_numpy()).all()
+    assert len(dm) == days
+
+    t1 = time.time()
+    nr = cq.q_new_vs_returning(tmp).to_pandas()
+    nr_s = time.time() - t1
+    assert int(nr["new_users"].sum()) == len(np.unique(uid))
+
+    t2 = time.time()
+    pk = cq.q_peak_concurrency(tmp).to_pandas().iloc[0]
+    pk_s = time.time() - t2
+    assert int(pk["peak"]) >= int(dm["dau"].max()) // days  # sanity floor
+
+    t3 = time.time()
+    wm = cq.q_watermark_pick(tmp).to_pandas().iloc[0]
+    wm_s = time.time() - t3
+    assert (int(wm["n_events"]) == n_ev
+            and 0 <= int(wm["p50_ms"]) <= int(wm["p99_ms"])
+            <= int(wm["p999_ms"]) <= int(wm["max_ms"]) <= 5_000)
+    return {
+        "n_events": n_ev, "n_users": int(len(np.unique(uid))),
+        "days": days,
+        "dau_mau_s": round(dm_s, 1), "new_vs_returning_s": round(nr_s, 1),
+        "peak_concurrency_s": round(pk_s, 1),
+        "peak": int(pk["peak"]),
+        "watermark_pick_s": round(wm_s, 1),
+        "p999_lateness_ms": int(wm["p999_ms"]),
+    }
+
+
 def main():
     import ray
 
@@ -546,9 +619,9 @@ def main():
     out = {}
     only = os.environ.get("STRESS_ONLY", "")
     assert only in ("", "simhash", "clean", "cc", "ann", "video",
-                    "seqdup", "rollup"), (
+                    "seqdup", "rollup", "engagement"), (
         f"STRESS_ONLY={only!r}: valid values are "
-        "simhash|clean|cc|ann|video|seqdup|rollup "
+        "simhash|clean|cc|ann|video|seqdup|rollup|engagement "
         "(or unset for all) — refusing to silently run nothing"
     )
     if only == "rollup":
@@ -573,6 +646,9 @@ def main():
     if only in ("", "seqdup"):
         with tempfile.TemporaryDirectory(dir="/tmp") as tmp4:
             out["seqdup_1m_docs"] = seqdup_stress(tmp4)
+    if only in ("", "engagement"):
+        with tempfile.TemporaryDirectory(dir="/tmp") as tmp6:
+            out["engagement_20m_events"] = engagement_stress(tmp6)
     if only in ("", "cc"):
         out["cc_6m_edges"] = cc_stress()
     print(json.dumps(out))
