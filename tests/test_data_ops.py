@@ -3779,3 +3779,54 @@ def test_quantize_compare_hand_checked():
         out = cq.q_quantize_compare("unused").to_pandas().iloc[0]
     assert (int(out["n_tokens"]), int(out["err_uniform"]),
             int(out["err_equalized"])) == (256, 1920, 1921)
+
+
+def test_bits_plan_hand_checked():
+    """Hand-checked widths: smooth source max 1000 (10 bits raw) with
+    max |delta| 1 (1+1=2 bits) -> saving 800000 ppm; constant source
+    (max 0) needs the 1-bit floor and gains nothing."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    t = pa.table({"doc_id": ["a", "b"],
+                  "tokens": [[999, 1000, 999], [0, 0, 0]],
+                  "source": ["smooth", "flat"]})
+    with mock.patch.object(cq, "_seq_ds",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_bits_plan("unused").to_pandas().set_index("source")
+    s = out.loc["smooth"]
+    assert (int(s["max_tok"]), int(s["max_absdelta"]), int(s["raw_bits"]),
+            int(s["delta_bits"])) == (1000, 1, 10, 2)
+    assert int(s["saving_ppm"]) == 8 * 1_000_000 // 10
+    f = out.loc["flat"]
+    assert (int(f["raw_bits"]), int(f["delta_bits"]),
+            int(f["saving_ppm"])) == (1, 2, 0)
+
+
+def test_session_count_hist_hand_checked():
+    """Hand-checked histogram: user 1 has 2 gap-separated sessions,
+    users 2 and 3 have 1 each -> {1: 2 users, 2: 1 user}."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    gap = cq.SESSION_GAP_US
+    rows = [(0, 0, 1), (1, gap + 2_000_000, 1), (2, 0, 2), (3, 5, 3)]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], dtype=np.int64),
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "value": pa.array([1.0] * len(rows), type=pa.float64()),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_session_count_hist("unused").to_pandas().set_index(
+            "n_sessions")
+    assert int(out.loc[1, "n_users"]) == 2
+    assert int(out.loc[2, "n_users"]) == 1

@@ -9409,6 +9409,141 @@ WATERMARK_PICK_SQL = (
 )
 
 
+def q_bits_plan(sf_dir: str) -> "pa.Table":
+    """Bit-width planner per source — max token, max |first difference|,
+    the bits needed to store raw values vs deltas (bits(x) = smallest k
+    with x < 2^k, computed by integer comparison on BOTH sides — no
+    float log2 anywhere) and the resulting saving_ppm: the one-pass
+    sizing estimate that decides whether delta-encoding is worth a
+    source's re-encode before the full Gorilla pass commits.  One
+    streaming max-fold (per-batch partials, sources-sized exchange)."""
+    import pandas as pd
+
+    ds = _seq_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        e = pa.array([], type=pa.int64())
+        if len(v) == 0:
+            return pa.table({"source": pa.array([], type=pa.string()),
+                             "mx": e, "mxd": e})
+        n = np.diff(off)
+        src = np.asarray(t["source"].to_pylist())
+        usrc, sinv = np.unique(src, return_inverse=True)
+        tok_src = np.repeat(sinv, n)
+        mx = np.zeros(len(usrc), dtype=np.int64)
+        np.maximum.at(mx, tok_src, v)
+        d = np.abs(v[1:] - v[:-1])
+        seg = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        dmask = seg[1:] == seg[:-1]
+        mxd = np.zeros(len(usrc), dtype=np.int64)
+        if dmask.any():
+            np.maximum.at(mxd, tok_src[1:][dmask], d[dmask])
+        return pa.table({"source": pa.array(usrc), "mx": pa.array(mx),
+                         "mxd": pa.array(mxd)})
+
+    from ray.data.aggregate import Max
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=256)
+        .groupby("source")
+        .aggregate(Max("mx", alias_name="mx"), Max("mxd", alias_name="mxd"))
+        .to_pandas()  # sources-sized
+    )
+
+    def bits(x: int) -> int:
+        k = 0
+        while x >= (1 << k):
+            k += 1
+        return max(k, 1)  # storing value 0 still costs one bit
+
+    agg["raw_bits"] = [bits(int(x)) for x in agg["mx"]]
+    agg["delta_bits"] = [bits(int(x)) + 1 for x in agg["mxd"]]  # sign bit
+    rb = agg["raw_bits"].to_numpy().astype(np.int64)
+    db = agg["delta_bits"].to_numpy().astype(np.int64)
+    agg["saving_ppm"] = np.maximum(rb - db, 0) * 1_000_000 // rb
+    out = agg.rename(columns={"mx": "max_tok", "mxd": "max_absdelta"})
+    return pa.Table.from_pandas(
+        out.astype({c: np.int64 for c in out.columns if c != "source"}),
+        preserve_index=False,
+    )
+
+
+def _bits_plan_sql() -> str:
+    # bits(x) = min k in 1..21 with x < 2^k — pure integer comparisons
+    pows = ", ".join(f"({k}, {1 << k})" for k in range(1, 22))
+    return (
+        f"{_FLAT_CTE},"
+        " l AS (SELECT doc_id, source, tok, abs(tok - lag(tok) OVER"
+        "  (PARTITION BY doc_id ORDER BY pos)) AS d FROM flat),"
+        " m AS (SELECT source, max(tok) AS max_tok,"
+        "  max(COALESCE(d, 0)) AS max_absdelta FROM l GROUP BY source),"
+        f" p(k, v) AS (VALUES {pows}),"
+        " b AS (SELECT source, max_tok, max_absdelta,"
+        "  (SELECT min(k) FROM p WHERE max_tok < v) AS raw_bits,"
+        "  (SELECT min(k) FROM p WHERE max_absdelta < v) + 1 AS delta_bits"
+        "  FROM m)"
+        " SELECT source, CAST(max_tok AS BIGINT) AS max_tok,"
+        " CAST(max_absdelta AS BIGINT) AS max_absdelta,"
+        " CAST(raw_bits AS BIGINT) AS raw_bits,"
+        " CAST(delta_bits AS BIGINT) AS delta_bits,"
+        " CAST(GREATEST(raw_bits - delta_bits, 0) * 1000000 // raw_bits"
+        "  AS BIGINT) AS saving_ppm FROM b"
+    )
+
+
+BITS_PLAN_SQL = _bits_plan_sql()
+
+
+def q_session_count_hist(sf_dir: str) -> "ray.data.Dataset":
+    """Sessions-per-user histogram — how many users had exactly k
+    sessions: the engagement-depth distribution (a spike at k=1 is a
+    bounce problem; a long tail is the power-user cohort
+    ``user_burstiness`` ranks individually).  Composes the sessionizer
+    with two count-rollups; every exchange is user- then
+    histogram-sized."""
+    import pandas as pd
+
+    sess = q_sessionize(sf_dir)
+
+    def per_user(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, cnt = np.unique(u, return_counts=True)
+        return pa.table({"user_id": pa.array(uk),
+                         "ns": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        sess.map_batches(per_user, batch_format="pyarrow")
+        .groupby("user_id").aggregate(Sum("ns", alias_name="ns"))
+        .map_batches(
+            lambda t: pa.table(
+                {"n_sessions": t["ns"],
+                 "one": pa.array(np.ones(len(t), dtype=np.int64))}),
+            batch_format="pyarrow")
+        .groupby("n_sessions").aggregate(Sum("one", alias_name="n_users"))
+    )
+    return hist.map_batches(
+        lambda t: t.rename_columns(["n_sessions", "n_users"]),
+        batch_format="pyarrow",
+    )
+
+
+SESSION_COUNT_HIST_SQL = (
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,"
+    " CASE WHEN lag(epoch_us(ts)) OVER w IS NULL"
+    f"  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}"
+    "  THEN 1 ELSE 0 END AS brk"
+    " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+    " u AS (SELECT user_id, CAST(sum(brk) AS BIGINT) AS ns FROM e"
+    "  GROUP BY user_id)"
+    " SELECT ns AS n_sessions, CAST(count(*) AS BIGINT) AS n_users"
+    " FROM u GROUP BY ns"
+)
+
+
 QUANT_LEVELS = 16  # 4-bit codec comparison
 
 
@@ -11431,4 +11566,6 @@ CORE_QUERIES = {
     "kanon_audit": (q_kanon_audit, KANON_AUDIT_SQL),
     "watermark_pick": (q_watermark_pick, WATERMARK_PICK_SQL),
     "quantize_compare": (q_quantize_compare, QUANTIZE_COMPARE_SQL),
+    "bits_plan": (q_bits_plan, BITS_PLAN_SQL),
+    "session_count_hist": (q_session_count_hist, SESSION_COUNT_HIST_SQL),
 }
