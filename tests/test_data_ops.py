@@ -3830,3 +3830,61 @@ def test_session_count_hist_hand_checked():
             "n_sessions")
     assert int(out.loc[1, "n_users"]) == 2
     assert int(out.loc[2, "n_users"]) == 1
+
+
+def test_q6_revenue_hand_checked():
+    """Hand-checked band filter: only the in-year, in-band, qty<24 row
+    survives -> revenue = 10000 cents * 6 pct."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    ship = np.array([np.datetime64("1996-06-01", "us"),
+                     np.datetime64("1996-06-01", "us"),
+                     np.datetime64("1996-06-01", "us")])
+    t = pa.table({
+        "l_shipdate": pa.array(ship.astype("datetime64[us]"),
+                               type=pa.timestamp("us")),
+        "l_discount": pa.array([0.06, 0.02, 0.06]),   # band is 5-7%
+        "l_quantity": pa.array([10.0, 10.0, 30.0]),   # qty < 24
+        "l_extendedprice": pa.array([100.0, 100.0, 100.0]),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_q6_revenue("unused").to_pandas().iloc[0]
+    assert (int(out["n_items"]), int(out["revenue_cent_pct"])) \
+        == (1, 10_000 * 6)
+
+
+def test_balance_vs_volume_diagonal():
+    """Five customers with perfectly correlated balance and order count
+    land on the 5x5 diagonal, one per cell."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    cust = pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "c_acctbal": pa.array([10.0, 20.0, 30.0, 40.0, 50.0]),
+    })
+    ck = []
+    for k in range(5):
+        ck += [k + 1] * (k + 1)
+    orders = pa.table({"o_custkey": pa.array(ck, type=pa.int64())})
+
+    real = cq.ray.data.read_parquet
+
+    def fake(path, columns=None, **kw):
+        if "customer" in path:
+            return ray.data.from_arrow(cust)
+        return ray.data.from_arrow(orders)
+
+    with mock.patch.object(cq.ray.data, "read_parquet", fake):
+        out = cq.q_balance_vs_volume("unused").to_pandas()
+    got = {(int(r["bal_b"]), int(r["vol_b"])): int(r["n"])
+           for _, r in out.iterrows()}
+    assert got == {(k, k): 1 for k in range(1, 6)}

@@ -9409,6 +9409,148 @@ WATERMARK_PICK_SQL = (
 )
 
 
+Q6_YEAR = 1996
+Q6_DISC_LO, Q6_DISC_HI = 5, 7   # discount band, integer percent
+Q6_QTY_LT = 24
+
+
+def q_q6_revenue(sf_dir: str) -> "pa.Table":
+    """TPC-H Q6 analog — forecast-revenue-change: Σ price·discount over
+    lineitems shipped in Q6_YEAR with discount in [5%, 7%] and quantity
+    < 24.  The minimal showcase of PRUNE-AT-THE-READ: only four columns
+    leave storage and the ship-year predicate is pushed into the parquet
+    scan (row-group pruning), so the streaming side sees a fraction of
+    the fact table and the whole query is one filter-aggregate with NO
+    shuffle at all.  Revenue carried as cents x integer-percent so the
+    distributed sum is order-independent and hash-exact."""
+    import pandas as pd
+    import pyarrow.compute as _pc
+
+    lo = np.datetime64(f"{Q6_YEAR}-01-01", "us")
+    hi = np.datetime64(f"{Q6_YEAR + 1}-01-01", "us")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"],
+        filter=((_pc.field("l_shipdate") >= lo)
+                & (_pc.field("l_shipdate") < hi)),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        keep = ((disc >= Q6_DISC_LO) & (disc <= Q6_DISC_HI)
+                & (qty < Q6_QTY_LT))
+        return pa.table(
+            {"n": pa.array([int(keep.sum())]),
+             "rev": pa.array([int((cents[keep] * disc[keep]).sum())])}
+        )
+
+    tot = ds.map_batches(partial, batch_format="pyarrow").sum(["n", "rev"])
+    out = pd.DataFrame(
+        {"n_items": np.array([int(tot["sum(n)"])], dtype=np.int64),
+         "revenue_cent_pct": np.array([int(tot["sum(rev)"])],
+                                      dtype=np.int64)})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+Q6_REVENUE_SQL = (
+    "SELECT CAST(count(*) AS BIGINT) AS n_items,"
+    " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    "  * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)"
+    "  AS revenue_cent_pct"
+    " FROM lineitem"
+    f" WHERE l_shipdate >= '{Q6_YEAR}-01-01'"
+    f"  AND l_shipdate < '{Q6_YEAR + 1}-01-01'"
+    f"  AND CAST(round(l_discount * 100) AS BIGINT)"
+    f"   BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}"
+    f"  AND l_quantity < {Q6_QTY_LT}"
+)
+
+
+def q_balance_vs_volume(sf_dir: str) -> "pa.Table":
+    """Wealth-vs-activity association — customers bucketed by account-
+    balance quintile (cents) x order-count quintile, 25-cell matrix:
+    does the high-balance segment actually order more?  Same explicit
+    integer quintile ranks as ``rfm_segments`` (ceil(k·n/5) over the
+    sorted stat, bucket = 1 + #breakpoints strictly below — no float
+    quantiles), but across TWO tables: per-customer order counts from a
+    customers-sized groupby, balances broadcast from the dimension
+    table; customers with zero orders count with volume 0."""
+    import pandas as pd
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).to_pandas()  # dimension-sized
+    cust["bal"] = np.rint(
+        cust["c_acctbal"].to_numpy() * 100).astype(np.int64)
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("o_custkey", as_index=False).size()
+        g.rename(columns={"size": "f"}, inplace=True)
+        g["f"] = g["f"].astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("o_custkey").aggregate(Sum("f", alias_name="f"))
+        .to_pandas()  # customers-with-orders-sized
+    )
+    m = cust.merge(counts, left_on="c_custkey", right_on="o_custkey",
+                   how="left")
+    f = m["f"].fillna(0).to_numpy().astype(np.int64)
+    bal = m["bal"].to_numpy().astype(np.int64)
+
+    def quint(v: np.ndarray) -> np.ndarray:
+        sv = np.sort(v)
+        n = len(sv)
+        ranks = (np.arange(1, 5, dtype=np.int64) * n + 4) // 5
+        brk = sv[ranks - 1]
+        return 1 + np.searchsorted(brk, v, side="left").astype(np.int64)
+
+    bb, fb = quint(bal), quint(f)
+    g = pd.DataFrame({"bal_b": bb, "vol_b": fb}).groupby(
+        ["bal_b", "vol_b"], as_index=False).size()
+    g.rename(columns={"size": "n"}, inplace=True)
+    return pa.Table.from_pandas(
+        g.astype({"bal_b": np.int64, "vol_b": np.int64, "n": np.int64}),
+        preserve_index=False,
+    )
+
+
+BALANCE_VS_VOLUME_SQL = (
+    "WITH a AS (SELECT c_custkey,"
+    " CAST(round(c_acctbal * 100) AS BIGINT) AS bal,"
+    " (SELECT CAST(count(*) AS BIGINT) FROM orders o"
+    "   WHERE o.o_custkey = c.c_custkey) AS f"
+    " FROM customer c),"
+    " cnt AS (SELECT count(*) AS n FROM a),"
+    " ks AS (SELECT CAST(i AS BIGINT) AS k FROM range(1, 5) t(i)),"
+    " bv AS (SELECT bal AS v, row_number() OVER (ORDER BY bal) AS rn"
+    "  FROM a),"
+    " fv AS (SELECT f AS v, row_number() OVER (ORDER BY f) AS rn FROM a),"
+    " bb AS (SELECT v FROM ks CROSS JOIN cnt"
+    "   JOIN bv ON bv.rn = (ks.k * cnt.n + 4) // 5),"
+    " fb AS (SELECT v FROM ks CROSS JOIN cnt"
+    "   JOIN fv ON fv.rn = (ks.k * cnt.n + 4) // 5)"
+    " SELECT CAST(1 + (SELECT count(*) FROM bb WHERE bb.v < a.bal)"
+    "  AS BIGINT) AS bal_b,"
+    " CAST(1 + (SELECT count(*) FROM fb WHERE fb.v < a.f)"
+    "  AS BIGINT) AS vol_b,"
+    " CAST(count(*) AS BIGINT) AS n"
+    " FROM a GROUP BY bal_b, vol_b"
+)
+
+
 def q_bits_plan(sf_dir: str) -> "pa.Table":
     """Bit-width planner per source — max token, max |first difference|,
     the bits needed to store raw values vs deltas (bits(x) = smallest k
@@ -11568,4 +11710,6 @@ CORE_QUERIES = {
     "quantize_compare": (q_quantize_compare, QUANTIZE_COMPARE_SQL),
     "bits_plan": (q_bits_plan, BITS_PLAN_SQL),
     "session_count_hist": (q_session_count_hist, SESSION_COUNT_HIST_SQL),
+    "q6_revenue": (q_q6_revenue, Q6_REVENUE_SQL),
+    "balance_vs_volume": (q_balance_vs_volume, BALANCE_VS_VOLUME_SQL),
 }
