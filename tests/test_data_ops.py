@@ -3888,3 +3888,58 @@ def test_balance_vs_volume_diagonal():
     got = {(int(r["bal_b"]), int(r["vol_b"])): int(r["n"])
            for _, r in out.iterrows()}
     assert got == {(k, k): 1 for k in range(1, 6)}
+
+
+def test_supplier_hhi_hand_checked():
+    """Hand-checked concentration: brand X ships 3+1 from two suppliers
+    (sum_q_sq = 10), brand Y is single-supplier (HHI = 1)."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    part = pa.table({
+        "p_partkey": pa.array([1, 2], type=pa.int64()),
+        "p_brand": pa.array(["X", "Y"]),
+    })
+    li = pa.table({
+        "l_partkey": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "l_suppkey": pa.array([10, 10, 20, 30], type=pa.int64()),
+        "l_quantity": pa.array([2.0, 1.0, 1.0, 5.0]),
+    })
+
+    def fake(path, columns=None, **kw):
+        return ray.data.from_arrow(part if "part" in path else li)
+
+    with mock.patch.object(cq.ray.data, "read_parquet", fake):
+        out = cq.q_supplier_hhi("unused").to_pandas().set_index("brand")
+    x = out.loc["X"]
+    assert (int(x["n_suppliers"]), int(x["total_qty"]),
+            int(x["sum_q_sq"])) == (2, 4, 10)
+    y = out.loc["Y"]
+    assert (int(y["n_suppliers"]), int(y["sum_q_sq"])) == (1, 25)
+
+
+def test_user_lifespan_hist_hand_checked():
+    """Hand-checked spans: user 1 spans days 0..5 (5), users 2-3 are
+    single-day (0)."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    day = 86_400_000_000
+    rows = [(1, 0), (1, 5), (2, 3), (3, 9)]
+    t = pa.table({
+        "ts": pa.array(np.array([d * day for _, d in rows],
+                                dtype=np.int64), type=pa.timestamp("us")),
+        "user_id": pa.array([u for u, _ in rows], type=pa.int64()),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_user_lifespan_hist("unused").to_pandas().set_index(
+            "span_days")
+    assert int(out.loc[0, "n_users"]) == 2
+    assert int(out.loc[5, "n_users"]) == 1

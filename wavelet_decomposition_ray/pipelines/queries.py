@@ -9409,6 +9409,127 @@ WATERMARK_PICK_SQL = (
 )
 
 
+def q_supplier_hhi(sf_dir: str) -> "ray.data.Dataset":
+    """Supplier-concentration audit per part brand — the Herfindahl
+    ingredients over shipped quantities: n_suppliers, total quantity Q
+    and Σq_s² (HHI = Σq_s²/Q², left as exact integers; a brand whose
+    mass sits on one supplier is a single-point-of-failure in the
+    supply chain — or, in the data-pipeline reading, a 'brand' of
+    content dominated by one feed).  The part->brand dimension
+    broadcasts once (sorted-key searchsorted probe, revenue_by_nation's
+    pattern); quantities pre-aggregate per (brand, supplier) inside
+    each batch, so the only exchange is brands x suppliers."""
+    import pandas as pd
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).to_pandas().sort_values("p_partkey")
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    # brand dictionary-encoded so the broadcast is two numpy arrays
+    ub, binv = np.unique(part["p_brand"].to_numpy(), return_inverse=True)
+    side_ref = ray.put((pk, binv.astype(np.int64), ub))
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        keys, bidx, brands = ray.get(side_ref)
+        lpk = df["l_partkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(keys, lpk)
+        assert (keys[pos] == lpk).all(), "dangling l_partkey"
+        g = pd.DataFrame(
+            {"brand": brands[bidx[pos]],
+             "supp": df["l_suppkey"].to_numpy().astype(np.int64),
+             "q": df["l_quantity"].to_numpy().astype(np.int64)}
+        ).groupby(["brand", "supp"], as_index=False)["q"].sum()
+        return g
+
+    from ray.data.aggregate import Sum
+
+    cells = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_quantity"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["brand", "supp"]).aggregate(Sum("q", alias_name="q"))
+    )
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        q = df["q"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {"brand": df["brand"].iloc[:1].to_numpy(),
+             "n_suppliers": np.array([len(q)], dtype=np.int64),
+             "total_qty": np.array([int(q.sum())], dtype=np.int64),
+             "sum_q_sq": np.array([int((q * q).sum())], dtype=np.int64)})
+
+    return cells.groupby("brand").map_groups(fold, batch_format="pandas")
+
+
+SUPPLIER_HHI_SQL = (
+    "WITH c AS (SELECT p.p_brand AS brand, l.l_suppkey AS supp,"
+    " CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q"
+    " FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey"
+    " GROUP BY brand, supp)"
+    " SELECT brand, CAST(count(*) AS BIGINT) AS n_suppliers,"
+    " CAST(sum(q) AS BIGINT) AS total_qty,"
+    " CAST(sum(q * q) AS BIGINT) AS sum_q_sq"
+    " FROM c GROUP BY brand"
+)
+
+
+def q_user_lifespan_hist(sf_dir: str) -> "ray.data.Dataset":
+    """User-lifespan histogram — how many users have an active span of
+    exactly k days (last active day − first active day): the
+    time-to-churn distribution behind ``churn_split``'s one-row
+    verdict (a mass at span 0 is drive-by traffic; the tail is the
+    durable cohort).  Distinct-(user, day) pass -> users-sized min/max
+    groupby -> span histogram; all counts exact."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def pairs_part(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.unique(u * (1 << 20) + ts_us // _DAY_US)
+        return pa.table({"user_id": pa.array(key >> 20),
+                         "day": pa.array(key & ((1 << 20) - 1))})
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    spans = (
+        ds.map_batches(pairs_part, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("day", alias_name="mnd"),
+                   Max("day", alias_name="mxd"))
+    )
+
+    def hist_part(t: pa.Table) -> pa.Table:
+        span = (t["mxd"].to_numpy(zero_copy_only=False).astype(np.int64)
+                - t["mnd"].to_numpy(zero_copy_only=False).astype(np.int64))
+        uk, cnt = np.unique(span, return_counts=True)
+        return pa.table({"span_days": pa.array(uk),
+                         "n_users": pa.array(cnt.astype(np.int64))})
+
+    agg = (
+        spans.map_batches(hist_part, batch_format="pyarrow")
+        .groupby("span_days").aggregate(Sum("n_users", alias_name="n_users"))
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["span_days", "n_users"]),
+        batch_format="pyarrow",
+    )
+
+
+USER_LIFESPAN_HIST_SQL = (
+    "WITH p AS (SELECT DISTINCT"
+    f" epoch_us(ts) // {_DAY_US} AS day, user_id FROM events),"
+    " u AS (SELECT user_id, max(day) - min(day) AS span FROM p"
+    "  GROUP BY user_id)"
+    " SELECT CAST(span AS BIGINT) AS span_days,"
+    " CAST(count(*) AS BIGINT) AS n_users FROM u GROUP BY span"
+)
+
+
 Q6_YEAR = 1996
 Q6_DISC_LO, Q6_DISC_HI = 5, 7   # discount band, integer percent
 Q6_QTY_LT = 24
@@ -11712,4 +11833,6 @@ CORE_QUERIES = {
     "session_count_hist": (q_session_count_hist, SESSION_COUNT_HIST_SQL),
     "q6_revenue": (q_q6_revenue, Q6_REVENUE_SQL),
     "balance_vs_volume": (q_balance_vs_volume, BALANCE_VS_VOLUME_SQL),
+    "supplier_hhi": (q_supplier_hhi, SUPPLIER_HHI_SQL),
+    "user_lifespan_hist": (q_user_lifespan_hist, USER_LIFESPAN_HIST_SQL),
 }
