@@ -3943,3 +3943,53 @@ def test_user_lifespan_hist_hand_checked():
             "span_days")
     assert int(out.loc[0, "n_users"]) == 2
     assert int(out.loc[5, "n_users"]) == 1
+
+
+def test_langid_confusion_planted():
+    """A clearly-English text declared 'fr' must land in the (fr, en)
+    off-diagonal cell."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.functions import text as tx
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    langs = sorted(tx.LangId.PROFILES)
+    assert "en" in langs
+    en_text = "the quick and the dead and the living is there for that"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array([en_text, en_text]),
+        "lang": pa.array(["fr", "en"]),
+    })
+    with mock.patch.object(dq, "_docs",
+                           lambda sf, columns=None:
+                           ray.data.from_arrow(docs)):
+        out = dq.q_langid_confusion("unused").to_pandas()
+    got = {(r["declared"], r["pred"]): int(r["n"])
+           for _, r in out.iterrows()}
+    assert got == {("fr", "en"): 1, ("en", "en"): 1}
+
+
+def test_ngram_novelty_hand_checked():
+    """Doc a shares its only 3-gram with doc b (df 2 -> novelty 0);
+    doc b adds one private gram (1 of 2 unique -> 500000 ppm)."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["alpha beta gamma", "alpha beta gamma delta"]),
+    })
+    with mock.patch.object(dq, "_docs",
+                           lambda sf, columns=None:
+                           ray.data.from_arrow(docs)):
+        out = dq.q_ngram_novelty("unused").to_pandas().set_index("doc_id")
+    assert (int(out.loc[1, "n_grams"]), int(out.loc[1, "n_unique"]),
+            int(out.loc[1, "novelty_ppm"])) == (1, 0, 0)
+    assert (int(out.loc[2, "n_grams"]), int(out.loc[2, "n_unique"]),
+            int(out.loc[2, "novelty_ppm"])) == (2, 1, 500_000)

@@ -4130,6 +4130,163 @@ DEDUP_INCREMENTAL_SQL = (
 )
 
 
+def q_langid_confusion(sf_dir: str):
+    """Language-ID confusion matrix — declared ``lang`` column vs the
+    trigram-profile prediction, counted per (declared, pred) cell: the
+    accuracy audit of the ``lang_id`` operator itself against the
+    corpus labels (off-diagonal mass = either mislabeled feeds or a
+    profile that needs more trigrams — both actionable).  Same actor-
+    pool scorer, plus a (langs²)-sized count rollup."""
+    import pandas as pd
+
+    ds = _docs(sf_dir, columns=("doc_id", "text", "lang"))
+
+    class _LangIdKeep:
+        """LangId drops non-(doc_id, text) columns; re-attach the
+        declared label (row order is preserved by the scorer)."""
+
+        def __init__(self):
+            self.inner = tx.LangId()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out = self.inner(t.select(["doc_id", "text"]))
+            return out.append_column("lang", t["lang"])
+
+    scored = ds.map_batches(_LangIdKeep, batch_format="pyarrow",
+                            batch_size=256, concurrency=2)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {"declared": t["lang"].to_numpy(zero_copy_only=False),
+             "pred": t["pred_lang"].to_numpy(zero_copy_only=False)}
+        ).groupby(["declared", "pred"], as_index=False).size()
+        g.rename(columns={"size": "n"}, inplace=True)
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        scored.map_batches(partial, batch_format="pyarrow")
+        .groupby(["declared", "pred"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["declared", "pred", "n"]),
+        batch_format="pyarrow",
+    )
+
+
+def _langid_confusion_sql() -> str:
+    rows = ", ".join(
+        f"('{lang}', '{g}')"
+        for lang in sorted(tx.LangId.PROFILES)
+        for g in tx.LangId.PROFILES[lang]
+    )
+    return (
+        "WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),"
+        f" p(lang, g) AS (SELECT * FROM (VALUES {rows})),"
+        " sc AS (SELECT doc_id, lang,"
+        "   CAST(sum((length(lt) - length(replace(lt, g, ''))) // length(g))"
+        "     AS BIGINT) AS score"
+        "   FROM t CROSS JOIN p GROUP BY doc_id, lang),"
+        " pr AS (SELECT doc_id, lang AS pred FROM sc"
+        "  QUALIFY row_number() OVER (PARTITION BY doc_id"
+        "    ORDER BY score DESC, lang) = 1)"
+        " SELECT d.lang AS declared, pr.pred,"
+        " CAST(count(*) AS BIGINT) AS n"
+        " FROM documents d JOIN pr USING (doc_id)"
+        " GROUP BY declared, pr.pred"
+    )
+
+
+LANGID_CONFUSION_SQL = _langid_confusion_sql()
+
+
+def q_ngram_novelty(sf_dir: str):
+    """Per-doc n-gram novelty — of each document's DISTINCT word
+    3-grams, how many occur in NO other document (global document
+    frequency 1), plus novelty_ppm = 10^6·unique/distinct: the
+    uniqueness score dual to ``boilerplate_3gram`` (which hunts the
+    most-shared grams) — low-novelty docs are template/mirror
+    candidates even when no single pair crosses a near-dup threshold.
+    Two gram-table-sized exchanges (the inverted-index scale every
+    shingle operator here pays): distinct (gram, doc) pairs ->
+    per-gram df -> df==1 grams re-keyed by their single owner."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Min, Sum
+
+    ds = _docs(sf_dir)
+
+    def grams(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_g, out_d = [], []
+        for did, txt in zip(ids, texts):
+            ws = txt.split()
+            gs = {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+            out_g.extend(gs)
+            out_d.extend([did] * len(gs))
+        return pa.table({"gram": pa.array(out_g, type=pa.string()),
+                         "doc_id": pa.array(np.asarray(out_d,
+                                                       dtype=np.int64))})
+
+    pairs = ds.map_batches(grams, batch_format="pyarrow",
+                           batch_size=256).materialize()
+    per_doc = (
+        pairs.groupby("doc_id").count().to_pandas()
+    )
+    per_doc.columns = ["doc_id", "n_grams"]
+
+    def uniq_part(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["df"], pa.scalar(1, type=t["df"].type))
+        kept = t.filter(m)
+        u = kept["owner"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, cnt = np.unique(u, return_counts=True)
+        return pa.table({"doc_id": pa.array(uk),
+                         "nu": pa.array(cnt.astype(np.int64))})
+
+    uniq = (
+        pairs.groupby("gram")
+        .aggregate(Count(alias_name="df"), Min("doc_id",
+                                               alias_name="owner"))
+        .map_batches(uniq_part, batch_format="pyarrow")
+        .groupby("doc_id").aggregate(Sum("nu", alias_name="n_unique"))
+        .to_pandas()
+    )
+    m = per_doc.merge(uniq, on="doc_id", how="left")
+    m["n_unique"] = m["n_unique"].fillna(0).astype(np.int64)
+    m["novelty_ppm"] = (m["n_unique"].to_numpy() * 1_000_000
+                        // m["n_grams"].to_numpy().astype(np.int64))
+    return pa.Table.from_pandas(
+        m.astype({"doc_id": np.int64, "n_grams": np.int64,
+                  "n_unique": np.int64, "novelty_ppm": np.int64}),
+        preserve_index=False,
+    )
+
+
+NGRAM_NOVELTY_SQL = (
+    "WITH w AS (SELECT doc_id,"
+    "  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws"
+    "  FROM documents),"
+    " g AS (SELECT DISTINCT doc_id,"
+    "  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram"
+    "  FROM w, UNNEST(range(1, length(ws) - 1)) AS t(i)"
+    "  WHERE length(ws) >= 3),"
+    " pd AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),"
+    " df AS (SELECT gram, count(*) AS df, min(doc_id) AS owner FROM g"
+    "  GROUP BY gram),"
+    " un AS (SELECT owner AS doc_id, CAST(count(*) AS BIGINT) AS n_unique"
+    "  FROM df WHERE df = 1 GROUP BY owner)"
+    " SELECT pd.doc_id, CAST(pd.n_grams AS BIGINT) AS n_grams,"
+    " CAST(COALESCE(un.n_unique, 0) AS BIGINT) AS n_unique,"
+    " CAST(COALESCE(un.n_unique, 0) * 1000000 // pd.n_grams AS BIGINT)"
+    "  AS novelty_ppm"
+    " FROM pd LEFT JOIN un USING (doc_id)"
+)
+
+
 def q_fertility_by_lang(sf_dir: str):
     """Tokenizer-fertility audit per language — words, non-space chars
     and chars_per_word_ppm = floor(10^6 · chars / words): the
@@ -4657,4 +4814,6 @@ DATA_QUERIES = {
     "dup_source_matrix": (q_dup_source_matrix, DUP_SOURCE_MATRIX_SQL),
     "fertility_by_lang": (q_fertility_by_lang, FERTILITY_BY_LANG_SQL),
     "split_leakage": (q_split_leakage, _split_leakage_sql()),
+    "langid_confusion": (q_langid_confusion, LANGID_CONFUSION_SQL),
+    "ngram_novelty": (q_ngram_novelty, NGRAM_NOVELTY_SQL),
 }
