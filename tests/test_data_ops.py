@@ -3993,3 +3993,52 @@ def test_ngram_novelty_hand_checked():
             int(out.loc[1, "novelty_ppm"])) == (1, 0, 0)
     assert (int(out.loc[2, "n_grams"]), int(out.loc[2, "n_unique"]),
             int(out.loc[2, "novelty_ppm"])) == (2, 1, 500_000)
+
+
+def test_best_atom_hand_checked():
+    """Hand-checked per-level argmax: doc [4, 0, 0, 0] -> level 0
+    details are [4, 0] (best k=0, d=4), level 1 detail is
+    (4+0)-(0+0) = 4 at k=0; a tie in |d| picks the smaller k; negative
+    d survives packing."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    t = pa.table({"doc_id": ["a", "b"],
+                  "tokens": [[4, 0, 0, 0], [0, 7, 7, 0]],
+                  "source": ["s", "s"]})
+    with mock.patch.object(cq, "_seq_ds",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_best_atom("unused").to_pandas().set_index(
+            ["doc_id", "level"])
+    assert (int(out.loc[("a", 0), "k"]), int(out.loc[("a", 0), "d"])) \
+        == (0, 4)
+    assert int(out.loc[("a", 1), "d"]) == 4
+    # doc b level 0: details [0-7, 7-0] = [-7, 7]: |d| ties -> k=0, d=-7
+    assert (int(out.loc[("b", 0), "k"]), int(out.loc[("b", 0), "d"])) \
+        == (0, -7)
+    # doc b level 1: (0+7) - (7+0) = 0
+    assert int(out.loc[("b", 1), "d"]) == 0
+
+
+def test_embed_norm_deciles_hand_checked():
+    """Ten vectors with strictly increasing quantized norms land one per
+    decile."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    q = 1.0 / (1 << 20)
+    vecs = [[k * q, 0.0] for k in range(1, 11)]  # qss = k^2
+    t = pa.table({
+        "vec_id": pa.array(list(range(10)), type=pa.int64()),
+        "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+    })
+    with mock.patch.object(dq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = dq.q_embed_norm_deciles("unused").to_pandas()
+    assert list(out["qss"]) == [k * k for k in range(1, 11)]

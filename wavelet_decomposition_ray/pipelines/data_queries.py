@@ -4634,6 +4634,59 @@ DEDUP_KEEP_BEST_SQL = (
 )
 
 
+def q_embed_norm_deciles(sf_dir: str) -> "pa.Table":
+    """Embedding-norm decile thresholds — the fixed-point squared-norm
+    ‖qx‖² value at each rank ceil(k·n/10): the magnitude-health
+    envelope (a drifting p90/p10 ratio means un-normalized vectors are
+    sneaking in, which silently re-weights every cosine and k-means
+    distance).  Value-histogram exact with explicit integer ranks (no
+    float 0.1·n anywhere); the histogram exchange is distinct-norm-
+    sized."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = sim.embedding_matrix(t).astype(np.float64)
+        qx = np.floor(m * float(_QSCALE) + 0.5).astype(np.int64)
+        ss = (qx * qx).sum(axis=1)
+        uk, cnt = np.unique(ss, return_counts=True)
+        return pa.table({"qss": pa.array(uk),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        _emb(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", batch_size=1024)
+        .groupby("qss").aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    hist = hist.sort_values("qss", kind="mergesort")
+    c = hist["cnt"].to_numpy().astype(np.int64)
+    total = int(c.sum())
+    cum = np.cumsum(c)
+    vals = hist["qss"].to_numpy().astype(np.int64)
+    ks = np.arange(1, 11, dtype=np.int64)
+    ranks = (ks * total + 9) // 10
+    out = pd.DataFrame(
+        {"decile": ks,
+         "qss": vals[np.searchsorted(cum, ranks)].astype(np.int64)})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EMBED_NORM_DECILES_SQL = (
+    "WITH e AS (SELECT vec_id,"
+    f" CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_QSCALE}.0 + 0.5)"
+    "   AS BIGINT) AS qv FROM embeddings),"
+    " s AS (SELECT vec_id, sum(qv * qv) AS ss FROM e GROUP BY vec_id),"
+    " n AS (SELECT count(*) AS c FROM s),"
+    " r AS (SELECT ss, row_number() OVER (ORDER BY ss) AS rn FROM s),"
+    " ks AS (SELECT CAST(i AS BIGINT) AS k FROM range(1, 11) t(i))"
+    " SELECT ks.k AS decile, CAST(r.ss AS BIGINT) AS qss"
+    " FROM ks CROSS JOIN n JOIN r ON r.rn = (ks.k * n.c + 9) // 10"
+)
+
+
+
 GRID_RES = 4       # cells per unit: cell = floor(x * 4), width 0.25
 GRID_TOPK = 20
 
@@ -4809,6 +4862,7 @@ DATA_QUERIES = {
     "median2_by_source": (q_median2_by_source, MEDIAN2_SQL),
     "embed_grid": (q_embed_grid, EMBED_GRID_SQL),
     "dim_variance": (q_dim_variance, DIM_VARIANCE_SQL),
+    "embed_norm_deciles": (q_embed_norm_deciles, EMBED_NORM_DECILES_SQL),
     "dedup_keep_best": (q_dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "dup_rate_by_source": (q_dup_rate_by_source, DUP_RATE_BY_SOURCE_SQL),
     "dup_source_matrix": (q_dup_source_matrix, DUP_SOURCE_MATRIX_SQL),

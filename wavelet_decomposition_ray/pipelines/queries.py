@@ -9409,6 +9409,60 @@ WATERMARK_PICK_SQL = (
 )
 
 
+def q_best_atom(sf_dir: str) -> "ray.data.Dataset":
+    """Per-(doc, level) best Haar atom — the position k and signed value
+    d of the LARGEST-|d| unnormalized detail coefficient at every scale
+    (ties -> smallest k): the per-scale peak localizer, i.e. one
+    matching-pursuit selection step per level of the dictionary the
+    reference builds (wavelet_decomposition.py's atom ranking), kept
+    integer-exact.  The argmax runs as a PACKED-int64 Max aggregate —
+    (|d| << 21) | (inverted k << 1) | sign — so there are no per-(doc,
+    level) micro-groups, just one (docs x levels)-keyed Max; |d| <
+    2^36 and k < 2^20 keep the packing collision-free (asserted)."""
+    details = q_haar_details(sf_dir)
+
+    def pack(t: pa.Table) -> pa.Table:
+        d = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        absd = np.abs(d)
+        assert absd.max(initial=0) < (1 << 36) and k.max(initial=0) < (1 << 20), \
+            "best_atom packing out of range"
+        sign = (d < 0).astype(np.int64)
+        packed = (absd << 21) | (((1 << 20) - 1 - k) << 1) | sign
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "level": t["level"].cast(pa.int64()),
+             "packed": pa.array(packed)}
+        )
+
+    from ray.data.aggregate import Max
+
+    agg = (
+        details.map_batches(pack, batch_format="pyarrow")
+        .groupby(["doc_id", "level"])
+        .aggregate(Max("packed", alias_name="packed"))
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        p = t["packed"].to_numpy(zero_copy_only=False).astype(np.int64)
+        absd = p >> 21
+        k = (1 << 20) - 1 - ((p >> 1) & ((1 << 20) - 1))
+        d = np.where(p & 1, -absd, absd)
+        return pa.table(
+            {"doc_id": t["doc_id"], "level": t["level"],
+             "k": pa.array(k), "d": pa.array(d)}
+        )
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+BEST_ATOM_SQL = (
+    HAAR_DETAILS_SQL.replace("SELECT f.doc_id,", "SELECT * FROM (SELECT f.doc_id,", 1)
+    + ") QUALIFY row_number() OVER (PARTITION BY doc_id, level"
+    "  ORDER BY abs(d) DESC, k) = 1"
+)
+
+
 def q_supplier_hhi(sf_dir: str) -> "ray.data.Dataset":
     """Supplier-concentration audit per part brand — the Herfindahl
     ingredients over shipped quantities: n_suppliers, total quantity Q
@@ -11835,4 +11889,5 @@ CORE_QUERIES = {
     "balance_vs_volume": (q_balance_vs_volume, BALANCE_VS_VOLUME_SQL),
     "supplier_hhi": (q_supplier_hhi, SUPPLIER_HHI_SQL),
     "user_lifespan_hist": (q_user_lifespan_hist, USER_LIFESPAN_HIST_SQL),
+    "best_atom": (q_best_atom, BEST_ATOM_SQL),
 }
