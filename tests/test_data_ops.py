@@ -4042,3 +4042,54 @@ def test_embed_norm_deciles_hand_checked():
                            return_value=ray.data.from_arrow(t)):
         out = dq.q_embed_norm_deciles("unused").to_pandas()
     assert list(out["qss"]) == [k * k for k in range(1, 11)]
+
+
+def test_type_mad_hand_checked():
+    """Hand-checked robust stats: values [1, 2, 3, 100] cents*100 ->
+    lower median 200, |dev| = [100, 0, 100, 9800] -> MAD 100 (the
+    outlier cannot move it)."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    t = pa.table({"event_type": pa.array(["A"] * 4),
+                  "value": pa.array([1.0, 2.0, 3.0, 100.0])})
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_type_mad("unused").to_pandas().set_index("event_type")
+    assert (int(out.loc["A", "n"]), int(out.loc["A", "med"]),
+            int(out.loc["A", "mad"])) == (4, 200, 100)
+
+
+def test_backlog_peak_hand_checked():
+    """Hand-checked sweep: orders open [0,5], [2,4], [4,8] (order day to
+    last ship day) -> all three overlap on day 4; earliest peak day is
+    4; an order with no lineitems never opens."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    day = 86_400_000_000
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 9], type=pa.int64()),
+        "o_orderdate": pa.array(
+            np.array([0, 2 * day, 4 * day, 0], dtype=np.int64),
+            type=pa.timestamp("us")),
+    })
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3], type=pa.int64()),
+        "l_shipdate": pa.array(
+            np.array([3 * day, 5 * day, 4 * day, 8 * day],
+                     dtype=np.int64), type=pa.timestamp("us")),
+    })
+
+    def fake(path, columns=None, **kw):
+        return ray.data.from_arrow(li if "lineitem" in path else orders)
+
+    with mock.patch.object(cq.ray.data, "read_parquet", fake):
+        out = cq.q_backlog_peak("unused").to_pandas().iloc[0]
+    assert (int(out["peak_open"]), int(out["day"])) == (3, 4)

@@ -9409,6 +9409,176 @@ WATERMARK_PICK_SQL = (
 )
 
 
+def q_type_mad(sf_dir: str) -> "pa.Table":
+    """Per-type median absolute deviation — the robust dispersion pair
+    (median, MAD) of each event type's cent values, both EXACT via two
+    value-histogram passes (rank = ceil(n/2), quantile_disc's lower-
+    median convention): pass 1 folds the (type, value) histogram and
+    takes each type's median on the driver; pass 2 histograms
+    |value − median| against the broadcast medians.  The outlier
+    threshold ``anomaly_mad`` applies per sequence, here per event
+    type — and the canonical example of a statistic that CANNOT be
+    one-pass streamed yet needs only two distinct-value-sized
+    exchanges, never the event stream."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def hist1(t: pa.Table) -> pa.Table:
+        tok = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {"event_type": t["event_type"].to_numpy(zero_copy_only=False),
+             "tok": tok}
+        ).groupby(["event_type", "tok"], as_index=False).size()
+        g.rename(columns={"size": "cnt"}, inplace=True)
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    def med_from(hist: "pd.DataFrame", vcol: str) -> dict:
+        out = {}
+        for ty, grp in hist.groupby("event_type"):
+            grp = grp.sort_values(vcol)
+            c = grp["cnt"].to_numpy().astype(np.int64)
+            cum = np.cumsum(c)
+            rank = (int(cum[-1]) + 1) // 2
+            out[ty] = int(grp[vcol].to_numpy()[
+                int(np.searchsorted(cum, rank))])
+        return out
+
+    h1 = (
+        ds.map_batches(hist1, batch_format="pyarrow")
+        .groupby(["event_type", "tok"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    med = med_from(h1, "tok")
+    med_ref = ray.put(med)
+
+    def hist2(t: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        ety = t["event_type"].to_numpy(zero_copy_only=False)
+        tok = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        meds = np.fromiter((m[x] for x in ety), dtype=np.int64,
+                           count=len(ety))
+        g = pd.DataFrame(
+            {"event_type": ety, "dev": np.abs(tok - meds)}
+        ).groupby(["event_type", "dev"], as_index=False).size()
+        g.rename(columns={"size": "cnt"}, inplace=True)
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    h2 = (
+        ds.map_batches(hist2, batch_format="pyarrow")
+        .groupby(["event_type", "dev"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    mad = med_from(h2, "dev")
+    n_by = h1.groupby("event_type")["cnt"].sum()
+    out = pd.DataFrame(
+        {"event_type": sorted(med),
+         "n": [int(n_by[t]) for t in sorted(med)],
+         "med": [med[t] for t in sorted(med)],
+         "mad": [mad[t] for t in sorted(med)]})
+    return pa.Table.from_pandas(
+        out.astype({"n": np.int64, "med": np.int64, "mad": np.int64}),
+        preserve_index=False,
+    )
+
+
+TYPE_MAD_SQL = (
+    "WITH e AS (SELECT event_type,"
+    " CAST(round(value * 100) AS BIGINT) AS tok FROM events),"
+    " m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,"
+    "  CAST(quantile_disc(tok, 0.5) AS BIGINT) AS med FROM e"
+    "  GROUP BY event_type)"
+    " SELECT e.event_type, m.n, m.med,"
+    " CAST(quantile_disc(abs(e.tok - m.med), 0.5) AS BIGINT) AS mad"
+    " FROM e JOIN m USING (event_type) GROUP BY e.event_type, m.n, m.med"
+)
+
+
+def q_backlog_peak(sf_dir: str) -> "pa.Table":
+    """Peak order backlog — each order is OPEN from its order date to
+    its last lineitem ship date; report the maximum number of
+    simultaneously open orders and the earliest day it occurs: the
+    working-capital / fulfillment-capacity headline, and
+    ``peak_concurrency``'s sweep line composed with a fact-fact JOIN
+    (per-order ship-completion from a partial-max groupby; orders
+    without lineitems never open).  Deltas at day granularity; the
+    day-bucketed running sum finishes on the driver over the
+    distinct-day table."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max
+
+    ships = (
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_shipdate"])
+        .map_batches(
+            lambda df: df.assign(
+                sd=df["l_shipdate"].to_numpy()
+                .astype("datetime64[us]").astype(np.int64) // _DAY_US)
+            .groupby("l_orderkey", as_index=False)["sd"].max(),
+            batch_format="pandas")
+        .groupby("l_orderkey").aggregate(Max("sd", alias_name="sd"))
+        .materialize()  # orders-sized
+    )
+    odays = (
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_orderdate"])
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {"o_orderkey": df["o_orderkey"].to_numpy(),
+                 "od": df["o_orderdate"].to_numpy()
+                 .astype("datetime64[us]").astype(np.int64) // _DAY_US}),
+            batch_format="pandas")
+        .to_pandas()  # orders-sized (driver finish; the join keys and
+        # deltas are order-count bounded, << lineitem)
+    )
+    st = ships.to_pandas()
+    m = odays.merge(st, left_on="o_orderkey", right_on="l_orderkey")
+    a = m["od"].to_numpy().astype(np.int64)
+    b = m["sd"].to_numpy().astype(np.int64) + 1
+    days = np.concatenate([a, b])
+    deltas = np.concatenate([np.ones(len(a), dtype=np.int64),
+                             -np.ones(len(b), dtype=np.int64)])
+    g = pd.DataFrame({"day": days, "d": deltas}).groupby(
+        "day", as_index=False)["d"].sum().sort_values("day")
+    conc = np.cumsum(g["d"].to_numpy().astype(np.int64))
+    i = int(np.argmax(conc))
+    out = pd.DataFrame(
+        {"peak_open": np.array([int(conc[i])], dtype=np.int64),
+         "day": np.array([int(g["day"].iloc[i])], dtype=np.int64)})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+BACKLOG_PEAK_SQL = (
+    "WITH s AS (SELECT l_orderkey,"
+    f" max(epoch_us(l_shipdate) // {86_400_000_000}) AS sd"
+    " FROM lineitem GROUP BY l_orderkey),"
+    " iv AS (SELECT epoch_us(o_orderdate)"
+    f" // {86_400_000_000} AS od, sd FROM orders"
+    "  JOIN s ON s.l_orderkey = o_orderkey),"
+    " d AS (SELECT od AS day, 1 AS dd FROM iv"
+    "  UNION ALL SELECT sd + 1, -1 FROM iv),"
+    " g AS (SELECT day, sum(dd) AS dd FROM d GROUP BY day),"
+    " r AS (SELECT day, sum(dd) OVER (ORDER BY day"
+    "   ROWS UNBOUNDED PRECEDING) AS conc FROM g)"
+    " SELECT CAST(conc AS BIGINT) AS peak_open,"
+    " CAST(min(day) AS BIGINT) AS day"
+    " FROM r WHERE conc = (SELECT max(conc) FROM r) GROUP BY conc"
+)
+
+
 def q_best_atom(sf_dir: str) -> "ray.data.Dataset":
     """Per-(doc, level) best Haar atom — the position k and signed value
     d of the LARGEST-|d| unnormalized detail coefficient at every scale
@@ -11890,4 +12060,6 @@ CORE_QUERIES = {
     "supplier_hhi": (q_supplier_hhi, SUPPLIER_HHI_SQL),
     "user_lifespan_hist": (q_user_lifespan_hist, USER_LIFESPAN_HIST_SQL),
     "best_atom": (q_best_atom, BEST_ATOM_SQL),
+    "type_mad": (q_type_mad, TYPE_MAD_SQL),
+    "backlog_peak": (q_backlog_peak, BACKLOG_PEAK_SQL),
 }
