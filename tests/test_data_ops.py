@@ -4093,3 +4093,48 @@ def test_backlog_peak_hand_checked():
     with mock.patch.object(cq.ray.data, "read_parquet", fake):
         out = cq.q_backlog_peak("unused").to_pandas().iloc[0]
     assert (int(out["peak_open"]), int(out["day"])) == (3, 4)
+
+
+def test_compress_bits_by_source_matches_doc_rollup():
+    """The per-source totals must equal summing doc_compress_bits per
+    source (same kernel, different fold); short docs drop on both
+    paths."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    t = pa.table({"doc_id": ["a", "b", "c"],
+                  "tokens": [[0, 0, 0, 10, 10000], [1, 2], [5, 5, 5]],
+                  "source": ["s1", "s1", "s2"]})
+    with mock.patch.object(cq, "_seq_ds",
+                           return_value=ray.data.from_arrow(t)):
+        per_src = cq.q_compress_bits_by_source("unused").to_pandas() \
+            .set_index("source")
+        per_doc = cq.q_doc_compress_bits("unused").to_pandas()
+    assert (int(per_src.loc["s1", "n_docs"]),
+            int(per_src.loc["s1", "n_dod"])) == (1, 3)  # doc b too short
+    assert int(per_src.loc["s1", "dod_bits"]) == int(
+        per_doc.set_index("doc_id").loc["a", "dod_bits"])
+    assert (int(per_src.loc["s2", "n_dod"]),
+            int(per_src.loc["s2", "dod_bits"])) == (1, 1)  # dod 0 -> 1 bit
+
+
+def test_coverage_curve_hand_checked():
+    """Hand-checked Zipf coverage: value 1 x90 + ten singletons -> top-10
+    covers 90+9 of 100 tokens = 990000 ppm."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    toks = [1] * 90 + list(range(100, 110))
+    t = pa.table({"doc_id": ["d"], "tokens": [toks], "source": ["s"]})
+    with mock.patch.object(cq, "_seq_ds",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_coverage_curve("unused").to_pandas().set_index("k")
+    assert int(out.loc[10, "mass_ppm"]) == 990_000
+    assert (int(out.loc[100, "n_values"]),
+            int(out.loc[100, "mass_ppm"])) == (11, 1_000_000)

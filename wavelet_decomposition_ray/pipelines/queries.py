@@ -9409,6 +9409,158 @@ WATERMARK_PICK_SQL = (
 )
 
 
+def q_compress_bits_by_source(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source Gorilla sizing table — docs, delta-of-delta count and
+    the exact total payload bits under the tier encoder's DOD budget:
+    the capacity-planning rollup of ``doc_compress_bits`` (which source
+    pays for the storage, and which compresses so well its tier can
+    deepen — feeds ``tier_pick``'s loss side with the size side).
+    Same one-pass masked second-difference kernel, folded per source
+    inside the batch; the only exchange is sources-sized."""
+    ds = _seq_ds(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        n_docs = len(off) - 1
+        e = pa.array([], type=pa.int64())
+        empty = pa.table(
+            {"source": pa.array([], type=pa.string()), "n_docs": e,
+             "n_dod": e, "dod_bits": e}
+        )
+        if n_docs == 0 or len(v) < 3:
+            return empty
+        n = np.diff(off)
+        kept = n >= 3
+        if not kept.any():
+            return empty
+        src = np.asarray(t["source"].to_pylist())
+        usrc, sinv = np.unique(src[kept], return_inverse=True)
+        seg = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+        dd = np.diff(v, n=2)
+        valid = seg[: len(dd)] == seg[2:]
+        bits = np.full(len(dd), DOD_CLASS_BITS[-1], dtype=np.int64)
+        for k, (lo, hi) in enumerate(reversed(DOD_BOUNDS)):
+            idx = len(DOD_BOUNDS) - k
+            bits[(dd >= lo) & (dd <= hi)] = DOD_CLASS_BITS[idx]
+        bits[dd == 0] = DOD_CLASS_BITS[0]
+        bits = np.where(valid, bits, 0)
+        bits = np.concatenate((bits, [0, 0]))
+        per_doc = np.add.reduceat(bits, off[:-1])[kept]
+        nb = np.zeros(len(usrc), dtype=np.int64)
+        nd = np.zeros(len(usrc), dtype=np.int64)
+        cnt = np.bincount(sinv, minlength=len(usrc)).astype(np.int64)
+        np.add.at(nb, sinv, per_doc)
+        np.add.at(nd, sinv, n[kept] - 2)
+        return pa.table(
+            {"source": pa.array(usrc), "n_docs": pa.array(cnt),
+             "n_dod": pa.array(nd), "dod_bits": pa.array(nb)}
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_dod", alias_name="n_dod"),
+                   Sum("dod_bits", alias_name="dod_bits"))
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["source", "n_docs", "n_dod",
+                                    "dod_bits"]),
+        batch_format="pyarrow",
+    )
+
+
+def _compress_by_source_sql() -> str:
+    cases = " ".join(
+        f"WHEN dod >= {lo} AND dod <= {hi} THEN {DOD_CLASS_BITS[i + 1]}"
+        for i, (lo, hi) in enumerate(DOD_BOUNDS)
+    )
+    return (
+        f"{_FLAT_CTE},"
+        " l AS (SELECT doc_id, source, tok,"
+        "  lag(tok) OVER w AS p1, lag(tok, 2) OVER w AS p2 FROM flat"
+        "  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),"
+        " d AS (SELECT doc_id, source, tok - 2 * p1 + p2 AS dod FROM l"
+        "  WHERE p2 IS NOT NULL)"
+        " SELECT source,"
+        " CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,"
+        " CAST(count(*) AS BIGINT) AS n_dod,"
+        f" CAST(sum(CASE WHEN dod = 0 THEN {DOD_CLASS_BITS[0]} {cases}"
+        f"  ELSE {DOD_CLASS_BITS[-1]} END) AS BIGINT) AS dod_bits"
+        " FROM d GROUP BY source"
+    )
+
+
+COMPRESS_BITS_BY_SOURCE_SQL = _compress_by_source_sql()
+
+
+COVERAGE_KS = (10, 100, 1000, 10000)
+
+
+def q_coverage_curve(sf_dir: str) -> "pa.Table":
+    """Vocabulary coverage curve — for k in COVERAGE_KS, the corpus
+    mass (ppm) carried by the k most frequent token values (ties ->
+    smaller token first, so the ranking is deterministic): the Zipf
+    coverage table that decides vocab truncation / hot-value caching
+    ("the top 1000 values cover 87% of the stream").  One
+    distinct-value histogram exchange, a sorted driver fold."""
+    import pandas as pd
+
+    ds = _seq_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, _ = list_to_numpy(t["tokens"])
+        uk, cnt = np.unique(vals.astype(np.int64), return_counts=True)
+        return pa.table({"tok": pa.array(uk),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("tok").aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    hist = hist.sort_values(["cnt", "tok"], ascending=[False, True],
+                            kind="mergesort")
+    c = hist["cnt"].to_numpy().astype(np.int64)
+    total = int(c.sum())
+    cum = np.cumsum(c)
+    rows = []
+    for k in COVERAGE_KS:
+        mass = int(cum[min(k, len(c)) - 1]) if len(c) else 0
+        rows.append((k, min(k, len(c)), mass * 1_000_000 // total))
+    out = pd.DataFrame(rows, columns=["k", "n_values", "mass_ppm"])
+    return pa.Table.from_pandas(
+        out.astype({"k": np.int64, "n_values": np.int64,
+                    "mass_ppm": np.int64}),
+        preserve_index=False,
+    )
+
+
+def _coverage_sql() -> str:
+    ks = ", ".join(str(k) for k in COVERAGE_KS)
+    return (
+        f"{_FLAT_CTE},"
+        " h AS (SELECT tok, count(*) AS cnt FROM flat GROUP BY tok),"
+        " r AS (SELECT cnt, row_number() OVER"
+        "  (ORDER BY cnt DESC, tok) AS rn FROM h),"
+        " tot AS (SELECT sum(cnt) AS n, count(*) AS nv FROM h),"
+        f" ks AS (SELECT CAST(unnest([{ks}]) AS BIGINT) AS k)"
+        " SELECT ks.k,"
+        " CAST(LEAST(ks.k, tot.nv) AS BIGINT) AS n_values,"
+        " CAST((SELECT sum(cnt) FROM r WHERE rn <= ks.k)"
+        "  * 1000000 // tot.n AS BIGINT) AS mass_ppm"
+        " FROM ks CROSS JOIN tot"
+    )
+
+
+COVERAGE_CURVE_SQL = _coverage_sql()
+
+
 def q_type_mad(sf_dir: str) -> "pa.Table":
     """Per-type median absolute deviation — the robust dispersion pair
     (median, MAD) of each event type's cent values, both EXACT via two
@@ -12061,5 +12213,9 @@ CORE_QUERIES = {
     "user_lifespan_hist": (q_user_lifespan_hist, USER_LIFESPAN_HIST_SQL),
     "best_atom": (q_best_atom, BEST_ATOM_SQL),
     "type_mad": (q_type_mad, TYPE_MAD_SQL),
+    "compress_bits_by_source": (
+        q_compress_bits_by_source, COMPRESS_BITS_BY_SOURCE_SQL
+    ),
+    "coverage_curve": (q_coverage_curve, COVERAGE_CURVE_SQL),
     "backlog_peak": (q_backlog_peak, BACKLOG_PEAK_SQL),
 }
