@@ -4138,3 +4138,50 @@ def test_coverage_curve_hand_checked():
     assert int(out.loc[10, "mass_ppm"]) == 990_000
     assert (int(out.loc[100, "n_values"]),
             int(out.loc[100, "mass_ppm"])) == (11, 1_000_000)
+
+
+def test_anomaly_days_hand_checked():
+    """Hand-checked fences: counts [10, 12, 10, 14, 100] sorted are
+    [10, 10, 12, 14, 100] -> lower median (rank ceil(5/2) = 3) = 12;
+    deviations [2, 0, 2, 2, 88] -> MAD = 2; only the 100-count day
+    breaks |n - 12| > 6."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    day = 86_400_000_000
+    counts = [10, 12, 10, 14, 100]
+    ts = np.concatenate([np.full(c, d * day, dtype=np.int64)
+                         for d, c in enumerate(counts)])
+    t = pa.table({"ts": pa.array(ts, type=pa.timestamp("us"))})
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_anomaly_days("unused").to_pandas().set_index("day")
+    assert (int(out.loc[0, "med"]), int(out.loc[0, "mad"])) == (12, 2)
+    assert list(out["is_anom"]) == [0, 0, 0, 0, 1]
+
+
+def test_fav_type_dist_hand_checked():
+    """Hand-checked favorites: user 1 favors click (2 v 1), user 2 ties
+    view/click -> alphabetical picks click, user 3 only errors."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    rows = [(1, "click"), (1, "click"), (1, "view"),
+            (2, "view"), (2, "click"), (3, "error")]
+    t = pa.table({
+        "user_id": pa.array([u for u, _ in rows], type=pa.int64()),
+        "event_type": pa.array([e for _, e in rows]),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_fav_type_dist("unused").to_pandas().set_index(
+            "event_type")
+    assert int(out.loc["click", "n_users"]) == 2
+    assert int(out.loc["error", "n_users"]) == 1
+    assert "view" not in out.index

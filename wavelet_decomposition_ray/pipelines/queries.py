@@ -9409,6 +9409,121 @@ WATERMARK_PICK_SQL = (
 )
 
 
+def q_anomaly_days(sf_dir: str) -> "pa.Table":
+    """Daily-volume anomaly flags — each active day's event count
+    against the robust fence |n − median| > 3·MAD (both exact from the
+    tiny day-count table; MAD from the deviations' own lower median):
+    the day-level incident detector a pipeline health page leads with,
+    composing ``daily_rollup``'s counting with ``type_mad``'s robust
+    dispersion.  One (active-days)-sized exchange, the fences a driver
+    fold."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(ts_us // _DAY_US, return_counts=True)
+        return pa.table({"day": pa.array(uk),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    days = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    days = days.sort_values("day", kind="mergesort")
+    n = days["n"].to_numpy().astype(np.int64)
+
+    def lower_median(v: np.ndarray) -> int:
+        sv = np.sort(v)
+        return int(sv[(len(sv) + 1) // 2 - 1])
+
+    med = lower_median(n)
+    mad = lower_median(np.abs(n - med))
+    out = pd.DataFrame(
+        {"day": days["day"].to_numpy().astype(np.int64), "n": n,
+         "med": np.full(len(n), med, dtype=np.int64),
+         "mad": np.full(len(n), mad, dtype=np.int64),
+         "is_anom": (np.abs(n - med) > 3 * mad).astype(np.int64)})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ANOMALY_DAYS_SQL = (
+    "WITH d AS (SELECT"
+    f" epoch_us(ts) // {_DAY_US} AS day, count(*) AS n FROM events"
+    "  GROUP BY day),"
+    " m AS (SELECT CAST(quantile_disc(n, 0.5) AS BIGINT) AS med FROM d),"
+    " md AS (SELECT CAST(quantile_disc(abs(n - med), 0.5) AS BIGINT)"
+    "  AS mad FROM d, m)"
+    " SELECT CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n,"
+    " med, mad,"
+    " CAST(CASE WHEN abs(n - med) > 3 * mad THEN 1 ELSE 0 END AS BIGINT)"
+    "  AS is_anom"
+    " FROM d, m, md"
+)
+
+
+def q_fav_type_dist(sf_dir: str) -> "pa.Table":
+    """Favorite-event-type distribution — per user the most frequent
+    type (ties -> alphabetical), then how many users favor each type:
+    the one-number behavioral segmentation (a population whose favorite
+    flips from 'view' to 'error' is an incident, not a trend).  Per-
+    (user, type) counts fold inside the same coarse user-hash
+    partitions as ``sessionize`` (no per-user micro-groups); the final
+    exchange is types-sized."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "part", pa.array(((u % N_EVENT_PARTS) + N_EVENT_PARTS)
+                             % N_EVENT_PARTS, type=pa.int32()))
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(["user_id", "event_type"], as_index=False).size()
+        g = g.sort_values(["user_id", "size", "event_type"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        fav = g.drop_duplicates("user_id", keep="first")
+        out = fav.groupby("event_type", as_index=False).size()
+        out.rename(columns={"size": "n_users"}, inplace=True)
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["event_type", "n_users"]),
+        batch_format="pyarrow",
+    )
+
+
+FAV_TYPE_DIST_SQL = (
+    "WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events"
+    "  GROUP BY user_id, event_type),"
+    " f AS (SELECT user_id, event_type FROM c"
+    "  QUALIFY row_number() OVER (PARTITION BY user_id"
+    "   ORDER BY n DESC, event_type) = 1)"
+    " SELECT event_type, CAST(count(*) AS BIGINT) AS n_users"
+    " FROM f GROUP BY event_type"
+)
+
+
 def q_compress_bits_by_source(sf_dir: str) -> "ray.data.Dataset":
     """Per-source Gorilla sizing table — docs, delta-of-delta count and
     the exact total payload bits under the tier encoder's DOD budget:
@@ -12217,5 +12332,7 @@ CORE_QUERIES = {
         q_compress_bits_by_source, COMPRESS_BITS_BY_SOURCE_SQL
     ),
     "coverage_curve": (q_coverage_curve, COVERAGE_CURVE_SQL),
+    "anomaly_days": (q_anomaly_days, ANOMALY_DAYS_SQL),
+    "fav_type_dist": (q_fav_type_dist, FAV_TYPE_DIST_SQL),
     "backlog_peak": (q_backlog_peak, BACKLOG_PEAK_SQL),
 }
