@@ -4185,3 +4185,32 @@ def test_fav_type_dist_hand_checked():
     assert int(out.loc["click", "n_users"]) == 2
     assert int(out.loc["error", "n_users"]) == 1
     assert "view" not in out.index
+
+
+def test_source_report_planted():
+    """Planted scorecard: source s1 has an exact-dup pair and one
+    mislabeled-language doc; s2 is clean."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    en = "the quick and the dead and the living is there for that"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([en, en, en + " extra", en + " more words"]),
+        "source": pa.array(["s1", "s1", "s1", "s2"]),
+        "lang": pa.array(["en", "en", "fr", "en"]),
+        "n_chars": pa.array([10, 10, 16, 15], type=pa.int64()),
+    })
+    with mock.patch.object(dq, "_docs",
+                           lambda sf, columns=None:
+                           ray.data.from_arrow(docs)):
+        out = dq.q_source_report("unused").to_pandas().set_index("source")
+    s1 = out.loc["s1"]
+    assert (int(s1["n_docs"]), int(s1["n_chars"]), int(s1["n_dup"]),
+            int(s1["n_lang_mismatch"])) == (3, 36, 2, 1)
+    s2 = out.loc["s2"]
+    assert (int(s2["n_docs"]), int(s2["n_dup"]),
+            int(s2["n_lang_mismatch"])) == (1, 0, 0)

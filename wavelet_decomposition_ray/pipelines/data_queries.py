@@ -4130,6 +4130,107 @@ DEDUP_INCREMENTAL_SQL = (
 )
 
 
+def q_source_report(sf_dir: str):
+    """Per-source curation scorecard — the one table a data-quality
+    review opens first: docs, total chars, exact-dup members
+    (``dup_rate_by_source``'s statistic) and language-label mismatches
+    (``langid_confusion``'s off-diagonal) per source, all in one
+    result.  Three streaming passes over the corpus (count+chars,
+    dup-hash membership, lang-ID) sharing the broadcast dup-hash set;
+    every exchange is source- or dup-sized.  The composite exists so a
+    pipeline run can gate promotion on ONE query instead of four."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    # dup-hash side (duplicates-only, << corpus)
+    hashed = _docs(sf_dir).map_batches(dd.exact_hash_batch,
+                                       batch_format="pyarrow")
+    groups = hashed.groupby("content_hash").aggregate(
+        Count(alias_name="c"))
+    dup = groups.filter(lambda r: r["c"] > 1).to_pandas()
+    dup_hashes = (np.sort(dup["content_hash"].to_numpy().astype("U32"))
+                  if len(dup) else np.empty(0, dtype="U32"))
+    dup_ref = ray.put(dup_hashes)
+
+    class _Score:
+        def __init__(self):
+            self.lang = tx.LangId()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            dh = ray.get(dup_ref)
+            h = dd.exact_hash_batch(t.select(["doc_id", "text"]))
+            hv = np.asarray(h["content_hash"].to_pylist(), dtype="U32")
+            isdup = np.zeros(len(hv), dtype=np.int64)
+            if len(dh):
+                idx = np.searchsorted(dh, hv)
+                idx[idx >= len(dh)] = 0
+                isdup = (dh[idx] == hv).astype(np.int64)
+            pred = self.lang(t.select(["doc_id", "text"]))["pred_lang"] \
+                .to_numpy(zero_copy_only=False)
+            declared = t["lang"].to_numpy(zero_copy_only=False)
+            g = pd.DataFrame(
+                {"source": t["source"].to_numpy(zero_copy_only=False),
+                 "nc": t["n_chars"].to_numpy(zero_copy_only=False)
+                 .astype(np.int64),
+                 "dup": isdup,
+                 "mism": (pred != declared).astype(np.int64)}
+            ).groupby("source", as_index=False).agg(
+                n_docs=("nc", "size"), n_chars=("nc", "sum"),
+                n_dup=("dup", "sum"), n_lang_mismatch=("mism", "sum"))
+            g["n_docs"] = g["n_docs"].astype(np.int64)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        _docs(sf_dir, columns=("doc_id", "text", "source", "lang",
+                               "n_chars"))
+        .map_batches(_Score, batch_format="pyarrow", batch_size=256,
+                     concurrency=2)
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_chars", alias_name="n_chars"),
+                   Sum("n_dup", alias_name="n_dup"),
+                   Sum("n_lang_mismatch", alias_name="n_lang_mismatch"))
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(
+            ["source", "n_docs", "n_chars", "n_dup", "n_lang_mismatch"]),
+        batch_format="pyarrow",
+    )
+
+
+def _source_report_sql() -> str:
+    rows = ", ".join(
+        f"('{lang}', '{g}')"
+        for lang in sorted(tx.LangId.PROFILES)
+        for g in tx.LangId.PROFILES[lang]
+    )
+    return (
+        "WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),"
+        f" p(lang, g) AS (SELECT * FROM (VALUES {rows})),"
+        " sc AS (SELECT doc_id, lang,"
+        "   CAST(sum((length(lt) - length(replace(lt, g, ''))) // length(g))"
+        "     AS BIGINT) AS score"
+        "   FROM t CROSS JOIN p GROUP BY doc_id, lang),"
+        " pr AS (SELECT doc_id, lang AS pred FROM sc"
+        "  QUALIFY row_number() OVER (PARTITION BY doc_id"
+        "    ORDER BY score DESC, lang) = 1),"
+        " dupt AS (SELECT text FROM documents GROUP BY text"
+        "  HAVING count(*) > 1)"
+        " SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(sum(d.n_chars) AS BIGINT) AS n_chars,"
+        " CAST(sum(CASE WHEN d.text IN (SELECT text FROM dupt)"
+        "  THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,"
+        " CAST(sum(CASE WHEN pr.pred <> d.lang THEN 1 ELSE 0 END)"
+        "  AS BIGINT) AS n_lang_mismatch"
+        " FROM documents d JOIN pr USING (doc_id)"
+        " GROUP BY d.source"
+    )
+
+
+SOURCE_REPORT_SQL = _source_report_sql()
+
+
 def q_langid_confusion(sf_dir: str):
     """Language-ID confusion matrix — declared ``lang`` column vs the
     trigram-profile prediction, counted per (declared, pred) cell: the
@@ -4869,5 +4970,6 @@ DATA_QUERIES = {
     "fertility_by_lang": (q_fertility_by_lang, FERTILITY_BY_LANG_SQL),
     "split_leakage": (q_split_leakage, _split_leakage_sql()),
     "langid_confusion": (q_langid_confusion, LANGID_CONFUSION_SQL),
+    "source_report": (q_source_report, SOURCE_REPORT_SQL),
     "ngram_novelty": (q_ngram_novelty, NGRAM_NOVELTY_SQL),
 }
