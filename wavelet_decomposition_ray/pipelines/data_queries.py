@@ -110,10 +110,10 @@ def q_lang_id(sf_dir: str):
     )
 
 
-def _lang_id_sql() -> str:
-    """Oracle for q_lang_id: the profile trigram counts are literal
-    substring counts (non-overlapping, same as the engine's compiled-regex
-    count), argmax with alphabetical tie-break."""
+def _langid_sc_cte() -> str:
+    """Shared SQL prefix scoring every (doc, language) pair with the
+    LangId trigram profiles — reused by lang_id, langid_confusion and
+    source_report so the score expression exists exactly once."""
     rows = ", ".join(
         f"('{lang}', '{g}')"
         for lang in sorted(tx.LangId.PROFILES)
@@ -126,7 +126,16 @@ def _lang_id_sql() -> str:
         "   CAST(sum((length(lt) - length(replace(lt, g, ''))) // length(g))"
         "     AS BIGINT) AS score"
         "   FROM t CROSS JOIN p GROUP BY doc_id, lang)"
-        " SELECT doc_id, lang AS pred_lang, score AS lang_score FROM sc"
+    )
+
+
+def _lang_id_sql() -> str:
+    """Oracle for q_lang_id: the profile trigram counts are literal
+    substring counts (non-overlapping, same as the engine's compiled-regex
+    count), argmax with alphabetical tie-break."""
+    return (
+        _langid_sc_cte()
+        + " SELECT doc_id, lang AS pred_lang, score AS lang_score FROM sc"
         " QUALIFY row_number() OVER (PARTITION BY doc_id"
         "   ORDER BY score DESC, lang) = 1"
     )
@@ -4130,6 +4139,34 @@ DEDUP_INCREMENTAL_SQL = (
 )
 
 
+def _dup_hash_ref(sf_dir: str):
+    """Broadcast handle on the sorted U32 array of content hashes that
+    occur more than once (duplicates-only, << corpus — the
+    dedup_exact_keep broadcast rule).  Shared by dup_rate_by_source and
+    source_report so the membership convention cannot drift."""
+    from ray.data.aggregate import Count
+
+    hashed = _docs(sf_dir).map_batches(dd.exact_hash_batch,
+                                       batch_format="pyarrow")
+    groups = hashed.groupby("content_hash").aggregate(
+        Count(alias_name="c"))
+    dup = groups.filter(lambda r: r["c"] > 1).to_pandas()  # dup-sized
+    # an all-empty Dataset loses its schema through to_pandas — a
+    # duplicate-free corpus must still broadcast an empty hash set
+    dup_hashes = (np.sort(dup["content_hash"].to_numpy().astype("U32"))
+                  if len(dup) else np.empty(0, dtype="U32"))
+    return ray.put(dup_hashes)
+
+
+def _dup_membership(hashes_u32: np.ndarray, dh: np.ndarray) -> np.ndarray:
+    """int64 0/1 membership of each hash in the sorted dup-hash array."""
+    if len(dh) == 0:
+        return np.zeros(len(hashes_u32), dtype=np.int64)
+    idx = np.searchsorted(dh, hashes_u32)
+    idx[idx >= len(dh)] = 0
+    return (dh[idx] == hashes_u32).astype(np.int64)
+
+
 def q_source_report(sf_dir: str):
     """Per-source curation scorecard — the one table a data-quality
     review opens first: docs, total chars, exact-dup members
@@ -4141,17 +4178,9 @@ def q_source_report(sf_dir: str):
     pipeline run can gate promotion on ONE query instead of four."""
     import pandas as pd
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
-    # dup-hash side (duplicates-only, << corpus)
-    hashed = _docs(sf_dir).map_batches(dd.exact_hash_batch,
-                                       batch_format="pyarrow")
-    groups = hashed.groupby("content_hash").aggregate(
-        Count(alias_name="c"))
-    dup = groups.filter(lambda r: r["c"] > 1).to_pandas()
-    dup_hashes = (np.sort(dup["content_hash"].to_numpy().astype("U32"))
-                  if len(dup) else np.empty(0, dtype="U32"))
-    dup_ref = ray.put(dup_hashes)
+    dup_ref = _dup_hash_ref(sf_dir)
 
     class _Score:
         def __init__(self):
@@ -4161,11 +4190,7 @@ def q_source_report(sf_dir: str):
             dh = ray.get(dup_ref)
             h = dd.exact_hash_batch(t.select(["doc_id", "text"]))
             hv = np.asarray(h["content_hash"].to_pylist(), dtype="U32")
-            isdup = np.zeros(len(hv), dtype=np.int64)
-            if len(dh):
-                idx = np.searchsorted(dh, hv)
-                idx[idx >= len(dh)] = 0
-                isdup = (dh[idx] == hv).astype(np.int64)
+            isdup = _dup_membership(hv, dh)
             pred = self.lang(t.select(["doc_id", "text"]))["pred_lang"] \
                 .to_numpy(zero_copy_only=False)
             declared = t["lang"].to_numpy(zero_copy_only=False)
@@ -4200,18 +4225,8 @@ def q_source_report(sf_dir: str):
 
 
 def _source_report_sql() -> str:
-    rows = ", ".join(
-        f"('{lang}', '{g}')"
-        for lang in sorted(tx.LangId.PROFILES)
-        for g in tx.LangId.PROFILES[lang]
-    )
     return (
-        "WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),"
-        f" p(lang, g) AS (SELECT * FROM (VALUES {rows})),"
-        " sc AS (SELECT doc_id, lang,"
-        "   CAST(sum((length(lt) - length(replace(lt, g, ''))) // length(g))"
-        "     AS BIGINT) AS score"
-        "   FROM t CROSS JOIN p GROUP BY doc_id, lang),"
+        _langid_sc_cte() + ","
         " pr AS (SELECT doc_id, lang AS pred FROM sc"
         "  QUALIFY row_number() OVER (PARTITION BY doc_id"
         "    ORDER BY score DESC, lang) = 1),"
@@ -4279,18 +4294,8 @@ def q_langid_confusion(sf_dir: str):
 
 
 def _langid_confusion_sql() -> str:
-    rows = ", ".join(
-        f"('{lang}', '{g}')"
-        for lang in sorted(tx.LangId.PROFILES)
-        for g in tx.LangId.PROFILES[lang]
-    )
     return (
-        "WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),"
-        f" p(lang, g) AS (SELECT * FROM (VALUES {rows})),"
-        " sc AS (SELECT doc_id, lang,"
-        "   CAST(sum((length(lt) - length(replace(lt, g, ''))) // length(g))"
-        "     AS BIGINT) AS score"
-        "   FROM t CROSS JOIN p GROUP BY doc_id, lang),"
+        _langid_sc_cte() + ","
         " pr AS (SELECT doc_id, lang AS pred FROM sc"
         "  QUALIFY row_number() OVER (PARTITION BY doc_id"
         "    ORDER BY score DESC, lang) = 1)"
@@ -4589,29 +4594,16 @@ def q_dup_rate_by_source(sf_dir: str):
     the dedup_exact_keep broadcast rule); pass 2 streams the corpus
     once, counting per-source membership in the broadcast dup-hash
     set."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
-    hashed = _docs(sf_dir).map_batches(dd.exact_hash_batch,
-                                       batch_format="pyarrow")
-    groups = hashed.groupby("content_hash").aggregate(
-        Count(alias_name="c"))
-    dup = groups.filter(lambda r: r["c"] > 1).to_pandas()  # dup-sized
-    # an all-empty Dataset loses its schema through to_pandas — a
-    # duplicate-free corpus must still broadcast an empty hash set
-    dup_hashes = (np.sort(dup["content_hash"].to_numpy().astype("U32"))
-                  if len(dup) else np.empty(0, dtype="U32"))
-    dup_ref = ray.put(dup_hashes)
+    dup_ref = _dup_hash_ref(sf_dir)
 
     def per_source(t: pa.Table) -> pa.Table:
         import pandas as pd
 
         dh = ray.get(dup_ref)
         h = np.asarray(t["content_hash"].to_pylist(), dtype="U32")
-        isdup = np.zeros(len(h), dtype=np.int64)
-        if len(dh):
-            idx = np.searchsorted(dh, h)
-            idx[idx >= len(dh)] = 0
-            isdup = (dh[idx] == h).astype(np.int64)
+        isdup = _dup_membership(h, dh)
         g = pd.DataFrame(
             {"source": t["source"].to_numpy(zero_copy_only=False),
              "d": isdup}

@@ -8659,6 +8659,114 @@ RSI_WINDOW_SQL = (
 
 LATE_BUCKET_BITS = 10   # arrival-order bucket = event_id >> 10
 LATE_PART_SHIFT = 5     # Ray group = 32 buckets (micro-group guard)
+
+_ARRIVAL_NEG = -(2 ** 62)
+
+
+def _eid_ts_arrays(t: pa.Table):
+    """(event_id int64, event-time µs int64) views of an events batch."""
+    eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = t["ts"].to_numpy(zero_copy_only=False).astype(
+        "datetime64[us]").astype(np.int64)
+    return eid, ts
+
+
+def _arrival_prefix_ref(ds: "ray.data.Dataset"):
+    """Distributed prefix-max scaffolding shared by late_events and
+    watermark_pick: fold a max event-time per arrival bucket
+    (event_id >> LATE_BUCKET_BITS), compute each bucket's EXCLUSIVE
+    prefix max on the (bucket-count-sized) driver table, ray.put the
+    seed dict.  Per-bucket folds then seed their local running max with
+    it, making the sequential watermark scan embarrassingly parallel."""
+    from ray.data.aggregate import Max
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        eid, ts = _eid_ts_arrays(t)
+        ub, inv = np.unique(eid >> LATE_BUCKET_BITS, return_inverse=True)
+        m = np.full(len(ub), _ARRIVAL_NEG, dtype=np.int64)
+        np.maximum.at(m, inv, ts)
+        return pa.table({"bucket": pa.array(ub), "mts": pa.array(m)})
+
+    maxima = (
+        ds.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket").aggregate(Max("mts", alias_name="mts"))
+        .take_all()  # bucket-count-sized, never the event stream
+    )
+    maxima.sort(key=lambda r: r["bucket"])
+    pref: dict[int, int] = {}
+    run = _ARRIVAL_NEG
+    for r in maxima:
+        pref[int(r["bucket"])] = run
+        run = max(run, int(r["mts"]))
+    return ray.put(pref)
+
+
+def _add_arrival_part(t: pa.Table) -> pa.Table:
+    """Coarse arrival-partition column: 2^LATE_PART_SHIFT buckets per
+    Ray group, so seeds stay bucket-grained while the shuffle moves far
+    fewer groups (the sessionize micro-group lesson)."""
+    eid, _ = _eid_ts_arrays(t)
+    return t.append_column(
+        "part", pa.array(eid >> (LATE_BUCKET_BITS + LATE_PART_SHIFT),
+                         type=pa.int64()))
+
+
+def _seeded_lateness(df, pref: dict) -> np.ndarray:
+    """Per-row lateness (running-max event-time − own event-time) inside
+    one arrival partition, each bucket's scan seeded with its exclusive
+    prefix.  Expects the partition frame SORTED by event_id."""
+    eid = df["event_id"].to_numpy().astype(np.int64)
+    ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    bkt = eid >> LATE_BUCKET_BITS
+    late = np.empty(len(ts), dtype=np.int64)
+    for b in np.unique(bkt):  # <= 2^LATE_PART_SHIFT slices
+        m = bkt == b
+        seed = pref.get(int(b), _ARRIVAL_NEG)
+        late[m] = np.maximum(np.maximum.accumulate(ts[m]), seed) - ts[m]
+    return late
+
+
+def _hist_rank_pick(values: np.ndarray, counts: np.ndarray):
+    """Exact-quantile picker over a SORTED value histogram: returns
+    (total, pick) where pick(num, den) is the value at 1-based rank
+    ceil(num/den · n) — quantile_disc's convention, in pure integer
+    arithmetic (shared by every percentile-envelope query)."""
+    cum = np.cumsum(counts)
+    total = int(cum[-1]) if len(cum) else 0
+
+    def pick(num: int, den: int) -> int:
+        rank = (num * total + den - 1) // den
+        return int(values[int(np.searchsorted(cum, rank))])
+
+    return total, pick
+
+
+def _user_day_part(t: pa.Table) -> pa.Table:
+    """Batch-local distinct (user_id, day) pairs — packs
+    (user << 20 | day) (epoch day < 2^20 until year ~4840, asserted)
+    and uniquifies within the batch.  Globally-distinct consumers add
+    the groupby (``_user_day_pairs``); min/max consumers (churn,
+    lifespan) fold these partials directly."""
+    ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    day = ts_us // _DAY_US
+    assert len(day) == 0 or (0 <= day.min() and day.max() < (1 << 20)), \
+        "_user_day_part day packing out of range"
+    key = np.unique(u * (1 << 20) + day)
+    return pa.table({"user_id": pa.array(key >> 20),
+                     "day": pa.array(key & ((1 << 20) - 1))})
+
+
+def _user_day_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """Globally-distinct (user_id, day) activity pairs — the dau base
+    table every engagement query starts from."""
+    return (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["ts", "user_id"])
+        .map_batches(_user_day_part, batch_format="pyarrow")
+        .groupby(["user_id", "day"]).count()
+        .select_columns(["user_id", "day"])
+    )
 LATE_THRESH_US = HOUR_US
 
 
@@ -8687,54 +8795,11 @@ def q_late_events(sf_dir: str) -> "ray.data.Dataset":
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "event_type"],
     )
-    NEG = -(2 ** 62)
-
-    def _eid_ts(t: pa.Table):
-        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ts = t["ts"].to_numpy(zero_copy_only=False).astype(
-            "datetime64[us]").astype(np.int64)
-        return eid, ts
-
-    def bucket_partial(t: pa.Table) -> pa.Table:
-        eid, ts = _eid_ts(t)
-        ub, inv = np.unique(eid >> LATE_BUCKET_BITS, return_inverse=True)
-        m = np.full(len(ub), NEG, dtype=np.int64)
-        np.maximum.at(m, inv, ts)
-        return pa.table({"bucket": pa.array(ub), "mts": pa.array(m)})
-
-    maxima = (
-        ds.map_batches(bucket_partial, batch_format="pyarrow")
-        .groupby("bucket")
-        .aggregate(Max("mts", alias_name="mts"))
-        .take_all()  # bucket-count-sized, never the event stream
-    )
-    maxima.sort(key=lambda r: r["bucket"])
-    pref: dict[int, int] = {}
-    run = NEG
-    for r in maxima:
-        pref[int(r["bucket"])] = run
-        run = max(run, int(r["mts"]))
-    pref_ref = ray.put(pref)
-
-    def add_part(t: pa.Table) -> pa.Table:
-        # 2^LATE_PART_SHIFT buckets per Ray group (see watermark_pick):
-        # seeds stay bucket-grained; the shuffle moves far fewer groups
-        eid, _ = _eid_ts(t)
-        return t.append_column(
-            "part", pa.array(eid >> (LATE_BUCKET_BITS + LATE_PART_SHIFT),
-                             type=pa.int64()))
+    pref_ref = _arrival_prefix_ref(ds)
 
     def fold(df: "pd.DataFrame") -> "pd.DataFrame":
-        p = ray.get(pref_ref)
         df = df.sort_values("event_id", kind="mergesort")
-        eid = df["event_id"].to_numpy().astype(np.int64)
-        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        bkt = eid >> LATE_BUCKET_BITS
-        late = np.empty(len(ts), dtype=np.int64)
-        for b in np.unique(bkt):  # <= 2^LATE_PART_SHIFT slices
-            m = bkt == b
-            seed = p.get(int(b), NEG)
-            late[m] = np.maximum(np.maximum.accumulate(ts[m]), seed) - ts[m]
+        late = _seeded_lateness(df, ray.get(pref_ref))
         g = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
                           "late": late})
         g["is_late"] = (g["late"] > LATE_THRESH_US).astype(np.int64)
@@ -8746,7 +8811,7 @@ def q_late_events(sf_dir: str) -> "ray.data.Dataset":
                            if c != "event_type"})
 
     return (
-        ds.map_batches(add_part, batch_format="pyarrow")
+        ds.map_batches(_add_arrival_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(fold, batch_format="pandas")
         .groupby("event_type")
@@ -9296,64 +9361,16 @@ def q_watermark_pick(sf_dir: str) -> "pa.Table":
     the only exchanges are bucket- and distinct-ms-sized."""
     import pandas as pd
 
-    from ray.data.aggregate import Max, Sum
-
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
     )
-    NEG = -(2 ** 62)
-
-    def _eid_ts(t: pa.Table):
-        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ts = t["ts"].to_numpy(zero_copy_only=False).astype(
-            "datetime64[us]").astype(np.int64)
-        return eid, ts
-
-    def bucket_partial(t: pa.Table) -> pa.Table:
-        eid, ts = _eid_ts(t)
-        ub, inv = np.unique(eid >> LATE_BUCKET_BITS, return_inverse=True)
-        m = np.full(len(ub), NEG, dtype=np.int64)
-        np.maximum.at(m, inv, ts)
-        return pa.table({"bucket": pa.array(ub), "mts": pa.array(m)})
-
-    maxima = (
-        ds.map_batches(bucket_partial, batch_format="pyarrow")
-        .groupby("bucket").aggregate(Max("mts", alias_name="mts"))
-        .take_all()
-    )
-    maxima.sort(key=lambda r: r["bucket"])
-    pref: dict[int, int] = {}
-    run = NEG
-    for r in maxima:
-        pref[int(r["bucket"])] = run
-        run = max(run, int(r["mts"]))
-    pref_ref = ray.put(pref)
-
-    def add_part(t: pa.Table) -> pa.Table:
-        # 2^LATE_PART_SHIFT buckets per Ray group: the seed table stays
-        # bucket-grained, but the shuffle moves ~1000x fewer groups than
-        # one-group-per-bucket would (measured 328 s -> seconds at 20M
-        # events; the sessionize micro-group lesson)
-        eid, _ = _eid_ts(t)
-        return t.append_column(
-            "part", pa.array(eid >> (LATE_BUCKET_BITS + LATE_PART_SHIFT),
-                             type=pa.int64()))
+    pref_ref = _arrival_prefix_ref(ds)
 
     def fold(df: "pd.DataFrame") -> "pd.DataFrame":
-        p = ray.get(pref_ref)
         df = df.sort_values("event_id", kind="mergesort")
-        eid = df["event_id"].to_numpy().astype(np.int64)
-        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        bkt = eid >> LATE_BUCKET_BITS
-        outs = []
-        for b in np.unique(bkt):  # <= 2^LATE_PART_SHIFT buckets, each
-            m = bkt == b          # slice fully vectorized
-            seed = p.get(int(b), NEG)
-            late = np.maximum(np.maximum.accumulate(ts[m]), seed) - ts[m]
-            uk, cnt = np.unique(late // 1000, return_counts=True)
-            outs.append(pd.DataFrame(
-                {"lat_ms": uk, "cnt": cnt.astype(np.int64)}))
-        return pd.concat(outs, ignore_index=True)
+        late = _seeded_lateness(df, ray.get(pref_ref))
+        uk, cnt = np.unique(late // 1000, return_counts=True)
+        return pd.DataFrame({"lat_ms": uk, "cnt": cnt.astype(np.int64)})
 
     # coalesce the per-part histograms BEFORE merging: a hash groupby
     # over hundreds of tiny partial blocks explodes into block x
@@ -9361,7 +9378,7 @@ def q_watermark_pick(sf_dir: str) -> "pa.Table":
     # repartition to a handful of blocks, merge locally, finish on the
     # driver (32 x distinct-ms rows)
     hist = (
-        ds.map_batches(add_part, batch_format="pyarrow")
+        ds.map_batches(_add_arrival_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(fold, batch_format="pandas")
         .repartition(32)
@@ -9372,14 +9389,9 @@ def q_watermark_pick(sf_dir: str) -> "pa.Table":
     )
     hist = hist.groupby("lat_ms", as_index=False)["cnt"].sum()
     hist = hist.sort_values("lat_ms", kind="mergesort")
-    c = hist["cnt"].to_numpy().astype(np.int64)
-    total = int(c.sum())
-    cum = np.cumsum(c)
     ms = hist["lat_ms"].to_numpy().astype(np.int64)
-
-    def pick(num: int, den: int) -> int:
-        rank = (num * total + den - 1) // den
-        return int(ms[int(np.searchsorted(cum, rank))])
+    total, pick = _hist_rank_pick(
+        ms, hist["cnt"].to_numpy().astype(np.int64))
 
     out = pd.DataFrame(
         {"n_events": np.array([total], dtype=np.int64),
@@ -9481,12 +9493,6 @@ def q_fav_type_dist(sf_dir: str) -> "pa.Table":
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
     )
 
-    def add_part(t: pa.Table) -> pa.Table:
-        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.append_column(
-            "part", pa.array(((u % N_EVENT_PARTS) + N_EVENT_PARTS)
-                             % N_EVENT_PARTS, type=pa.int32()))
-
     def fold(df: "pd.DataFrame") -> "pd.DataFrame":
         g = df.groupby(["user_id", "event_type"], as_index=False).size()
         g = g.sort_values(["user_id", "size", "event_type"],
@@ -9501,7 +9507,7 @@ def q_fav_type_dist(sf_dir: str) -> "pa.Table":
     from ray.data.aggregate import Sum
 
     agg = (
-        ds.map_batches(add_part, batch_format="pyarrow")
+        ds.map_batches(_add_user_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(fold, batch_format="pandas")
         .groupby("event_type")
@@ -9646,7 +9652,11 @@ def q_coverage_curve(sf_dir: str) -> "pa.Table":
     cum = np.cumsum(c)
     rows = []
     for k in COVERAGE_KS:
-        mass = int(cum[min(k, len(c)) - 1]) if len(c) else 0
+        # empty corpus: zero values covered, zero mass (no division)
+        if total == 0:
+            rows.append((k, 0, 0))
+            continue
+        mass = int(cum[min(k, len(c)) - 1])
         rows.append((k, min(k, len(c)), mass * 1_000_000 // total))
     out = pd.DataFrame(rows, columns=["k", "n_values", "mass_ppm"])
     return pa.Table.from_pandas(
@@ -9924,7 +9934,8 @@ def q_supplier_hhi(sf_dir: str) -> "ray.data.Dataset":
         keys, bidx, brands = ray.get(side_ref)
         lpk = df["l_partkey"].to_numpy().astype(np.int64)
         pos = np.searchsorted(keys, lpk)
-        assert (keys[pos] == lpk).all(), "dangling l_partkey"
+        assert (pos < len(keys)).all() and (keys[pos] == lpk).all(), \
+            "dangling l_partkey"
         g = pd.DataFrame(
             {"brand": brands[bidx[pos]],
              "supp": df["l_suppkey"].to_numpy().astype(np.int64),
@@ -9974,21 +9985,12 @@ def q_user_lifespan_hist(sf_dir: str) -> "ray.data.Dataset":
     groupby -> span histogram; all counts exact."""
     import pandas as pd
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
-    )
-
-    def pairs_part(t: pa.Table) -> pa.Table:
-        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        key = np.unique(u * (1 << 20) + ts_us // _DAY_US)
-        return pa.table({"user_id": pa.array(key >> 20),
-                         "day": pa.array(key & ((1 << 20) - 1))})
-
     from ray.data.aggregate import Max, Min, Sum
 
     spans = (
-        ds.map_batches(pairs_part, batch_format="pyarrow")
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["ts", "user_id"])
+        .map_batches(_user_day_part, batch_format="pyarrow")
         .groupby("user_id")
         .aggregate(Min("day", alias_name="mnd"),
                    Max("day", alias_name="mxd"))
@@ -10685,14 +10687,9 @@ def q_transition_latency(sf_dir: str) -> "pa.Table":
         .to_pandas()  # distinct-ms-sized
     )
     hist = hist.sort_values("lat_ms", kind="mergesort")
-    c = hist["cnt"].to_numpy().astype(np.int64)
-    total = int(c.sum())
-    cum = np.cumsum(c)
     ms = hist["lat_ms"].to_numpy().astype(np.int64)
-
-    def pick(num: int, den: int) -> int:
-        rank = (num * total + den - 1) // den
-        return int(ms[int(np.searchsorted(cum, rank))])
+    total, pick = _hist_rank_pick(
+        ms, hist["cnt"].to_numpy().astype(np.int64))
 
     out = pd.DataFrame(
         {"n_pairs": np.array([total], dtype=np.int64),
@@ -11105,21 +11102,12 @@ def q_churn_split(sf_dir: str) -> "pa.Table":
     distinct re-count."""
     import pandas as pd
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
-    )
-
-    def pairs_part(t: pa.Table) -> pa.Table:
-        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        key = np.unique(u * (1 << 20) + ts_us // _DAY_US)
-        return pa.table({"user_id": pa.array(key >> 20),
-                         "day": pa.array(key & ((1 << 20) - 1))})
-
     from ray.data.aggregate import Max, Min
 
     spans = (
-        ds.map_batches(pairs_part, batch_format="pyarrow")
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["ts", "user_id"])
+        .map_batches(_user_day_part, batch_format="pyarrow")
         .groupby("user_id")
         .aggregate(Min("day", alias_name="mnd"),
                    Max("day", alias_name="mxd"))
@@ -11191,22 +11179,8 @@ def q_dau_mau(sf_dir: str) -> "pa.Table":
     the SQL twin runs never happens here."""
     import pandas as pd
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
-    )
-
-    def pairs_part(t: pa.Table) -> pa.Table:
-        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        day = ts_us // _DAY_US
-        key = np.unique(u * (1 << 20) + day)  # day range << 2^20
-        return pa.table({"user_id": pa.array(key >> 20),
-                         "day": pa.array(key & ((1 << 20) - 1))})
-
     pairs = (
-        ds.map_batches(pairs_part, batch_format="pyarrow")
-        .groupby(["user_id", "day"]).count()
-        .select_columns(["user_id", "day"])
+        _user_day_pairs(sf_dir)
         .materialize()  # the distinct dau table, reused by both sides
     )
 
@@ -11214,12 +11188,6 @@ def q_dau_mau(sf_dir: str) -> "pa.Table":
         pairs.groupby("day").count().to_pandas()  # active-days-sized
     )
     dau.columns = ["day", "dau"]
-
-    def part_col(t: pa.Table) -> pa.Table:
-        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.append_column(
-            "part", pa.array(((u % N_EVENT_PARTS) + N_EVENT_PARTS)
-                             % N_EVENT_PARTS, type=pa.int32()))
 
     def interval_deltas(df: "pd.DataFrame") -> "pd.DataFrame":
         df = df.sort_values(["user_id", "day"], kind="mergesort")
@@ -11243,7 +11211,7 @@ def q_dau_mau(sf_dir: str) -> "pa.Table":
         return out.groupby("day", as_index=False)["delta"].sum()
 
     deltas = (
-        pairs.map_batches(part_col, batch_format="pyarrow")
+        pairs.map_batches(_add_user_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(interval_deltas, batch_format="pandas")
         .to_pandas()  # distinct boundary-days-sized
@@ -11285,25 +11253,9 @@ def q_new_vs_returning(sf_dir: str) -> "pa.Table":
     distinct-pairs scan; all counts exact."""
     import pandas as pd
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
-    )
-
-    def pairs_part(t: pa.Table) -> pa.Table:
-        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        key = np.unique(u * (1 << 20) + ts_us // _DAY_US)
-        return pa.table({"user_id": pa.array(key >> 20),
-                         "day": pa.array(key & ((1 << 20) - 1))})
-
     from ray.data.aggregate import Min, Sum
 
-    pairs = (
-        ds.map_batches(pairs_part, batch_format="pyarrow")
-        .groupby(["user_id", "day"]).count()
-        .select_columns(["user_id", "day"])
-        .materialize()
-    )
+    pairs = _user_day_pairs(sf_dir).materialize()
     first = (
         pairs.groupby("user_id")
         .aggregate(Min("day", alias_name="first_day"))
@@ -11705,14 +11657,9 @@ def q_session_duration_bands(sf_dir: str) -> "pa.Table":
         .to_pandas()  # bounded by distinct whole-second durations
     )
     hist = hist.sort_values("dur_s", kind="mergesort")
-    c = hist["cnt"].to_numpy().astype(np.int64)
-    total = int(c.sum())
-    cum = np.cumsum(c)
     durs = hist["dur_s"].to_numpy().astype(np.int64)
-
-    def pick(num: int, den: int) -> int:
-        rank = (num * total + den - 1) // den
-        return int(durs[int(np.searchsorted(cum, rank))])
+    total, pick = _hist_rank_pick(
+        durs, hist["cnt"].to_numpy().astype(np.int64))
 
     out = pd.DataFrame(
         {"n_sessions": np.array([total], dtype=np.int64),
@@ -11831,13 +11778,9 @@ def q_daily_value_bands(sf_dir: str) -> "ray.data.Dataset":
 
     def finish(df: "pd.DataFrame") -> "pd.DataFrame":
         df = df.sort_values("tok", kind="mergesort")
-        c = df["cnt"].to_numpy().astype(np.int64)
-        total = int(c.sum())
-        cum = np.cumsum(c)
-        toks = df["tok"].to_numpy()
-        def pick(num: int, den: int) -> int:
-            rank = (num * total + den - 1) // den  # ceil(q*n), 1-based
-            return int(toks[int(np.searchsorted(cum, rank))])
+        toks = df["tok"].to_numpy().astype(np.int64)
+        total, pick = _hist_rank_pick(
+            toks, df["cnt"].to_numpy().astype(np.int64))
         return pd.DataFrame(
             {"day": df["day"].iloc[:1].to_numpy(),
              "n": np.array([total], dtype=np.int64),
@@ -11899,6 +11842,7 @@ def q_pmi_buckets(sf_dir: str) -> "pa.Table":
         if len(v) < 2:
             return pa.table({"x": e, "y": e, "cnt": e})
         same = np.ones(len(v) - 1, dtype=bool)
+        assert (np.diff(off) > 0).all(), "pmi_buckets requires non-empty docs"
         ends = np.cumsum(np.diff(off))[:-1] - 1  # last token index per doc
         same[ends] = False
         key = (v[:-1] << 21) | v[1:]
