@@ -4214,3 +4214,55 @@ def test_source_report_planted():
     s2 = out.loc["s2"]
     assert (int(s2["n_docs"]), int(s2["n_dup"]),
             int(s2["n_lang_mismatch"])) == (1, 0, 0)
+
+
+def test_profile_outliers_hand_checked():
+    """Hand-checked profile residuals: cell (A, hod 0) has values
+    [100, 100, 400] cents -> mean 200; the 400 scores
+    |400*3 - 600|*1e6//3 = 2e8, the 100s score 1e8 each; ordering is
+    score desc then event_id."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2], type=pa.int64()),
+        "ts": pa.array(np.zeros(3, dtype=np.int64),
+                       type=pa.timestamp("us")),
+        "event_type": pa.array(["A"] * 3),
+        "value": pa.array([1.0, 1.0, 4.0]),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_profile_outliers("unused").to_pandas()
+    got = [(int(r["event_id"]), int(r["score"]))
+           for _, r in out.iterrows()]
+    assert got == [(2, 200_000_000), (0, 100_000_000),
+                   (1, 100_000_000)]
+
+
+def test_nn_purity_hand_checked():
+    """Two tight same-label pairs and one isolate: the pairs agree with
+    their neighbor, the isolate's nearest (label 1) disagrees."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    vecs = [[0.0, 0.0], [0.1, 0.0],      # label 1 cluster
+            [5.0, 5.0], [5.1, 5.0],      # label 2 cluster
+            [0.5, 0.0]]                  # label 3 isolate, nearest is l1
+    t = pa.table({
+        "vec_id": pa.array(list(range(5)), type=pa.int64()),
+        "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+        "label": pa.array([1, 1, 2, 2, 3], type=pa.int32()),
+    })
+    with mock.patch.object(dq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = dq.q_nn_purity("unused").to_pandas().set_index("label")
+    assert (int(out.loc[1, "n"]), int(out.loc[1, "n_agree"])) == (2, 2)
+    assert (int(out.loc[2, "n"]), int(out.loc[2, "n_agree"])) == (2, 2)
+    assert (int(out.loc[3, "n"]), int(out.loc[3, "n_agree"])) == (1, 0)

@@ -4780,6 +4780,94 @@ EMBED_NORM_DECILES_SQL = (
 
 
 
+def q_nn_purity(sf_dir: str):
+    """1-NN label purity — per label, how many vectors' nearest OTHER
+    vector (fixed-point squared L2, ties -> lowest vec_id) shares their
+    label: the classic embedding-quality eval (purity near 1/k means
+    the space carries no class structure; pairs with ``ncm_confusion``
+    as the local-vs-global view).  EXACT eval path: the quantized
+    matrix broadcasts once (ray.put) and every batch scores against it
+    with one int64 matmul — O(N²) compute by definition, bounded memory
+    (batch × corpus); at retrieval scale the ANN family (ann_lsh / ivf
+    / pq) replaces the scan, this stays the labeled ground-truth
+    complement, same as ``embed_dedup``."""
+    import pandas as pd
+
+    full = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    ).to_pandas()  # exact-eval path: corpus assumed dimension-scale
+    full = full.sort_values("vec_id")
+    ids = full["vec_id"].to_numpy().astype(np.int64)
+    lab = full["label"].to_numpy().astype(np.int64)
+    qm = np.floor(
+        np.stack(full["embedding"].to_numpy()) * float(_QSCALE) + 0.5
+    ).astype(np.int64)
+    nrm = (qm * qm).sum(axis=1)
+    side = ray.put((ids, lab, qm, nrm))
+
+    def score(t: pa.Table) -> pa.Table:
+        sids, slab, sqm, snrm = ray.get(side)
+        m = sim.embedding_matrix(t).astype(np.float64)
+        qx = np.floor(m * float(_QSCALE) + 0.5).astype(np.int64)
+        bids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # squared L2 up to the common ||x||^2 term: ||c||^2 - 2 x.c
+        sc = snrm[None, :] - 2 * (qx @ sqm.T)
+        # exclude self by id (argmin tie -> lowest vec_id = first index,
+        # since the broadcast side is vec_id-sorted)
+        self_pos = np.searchsorted(sids, bids)
+        sc[np.arange(len(bids)), self_pos] = np.iinfo(np.int64).max
+        nn = np.argmin(sc, axis=1)
+        agree = (slab[nn] == blab).astype(np.int64)
+        g = pd.DataFrame({"label": blab, "agree": agree}).groupby(
+            "label", as_index=False).agg(n=("agree", "size"),
+                                         n_agree=("agree", "sum"))
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding", "label"])
+        .map_batches(score, batch_format="pyarrow", batch_size=512)
+        .groupby("label")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("n_agree", alias_name="n_agree"))
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["label", "n", "n_agree"]),
+        batch_format="pyarrow",
+    )
+
+
+NN_PURITY_SQL = (
+    "WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,"
+    f" CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_QSCALE}.0 + 0.5)"
+    "   AS BIGINT) AS qv,"
+    " CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i"
+    " FROM embeddings),"
+    " nm AS (SELECT vec_id, sum(qv * qv) AS nrm FROM e GROUP BY vec_id),"
+    " d AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.qv * b.qv) AS dot"
+    "  FROM e a JOIN e b ON b.i = a.i AND b.vec_id <> a.vec_id"
+    "  GROUP BY va, vb),"
+    " s AS (SELECT d.va, d.vb, nm.nrm - 2 * d.dot AS score"
+    "  FROM d JOIN nm ON nm.vec_id = d.vb),"
+    " nn AS (SELECT va, vb FROM s"
+    "  QUALIFY row_number() OVER (PARTITION BY va"
+    "   ORDER BY score, vb) = 1),"
+    " lab AS (SELECT DISTINCT vec_id, label FROM e)"
+    " SELECT la.label, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END)"
+    "  AS BIGINT) AS n_agree"
+    " FROM nn JOIN lab la ON la.vec_id = nn.va"
+    " JOIN lab lb ON lb.vec_id = nn.vb"
+    " GROUP BY la.label"
+)
+
+
 GRID_RES = 4       # cells per unit: cell = floor(x * 4), width 0.25
 GRID_TOPK = 20
 
@@ -4956,6 +5044,7 @@ DATA_QUERIES = {
     "embed_grid": (q_embed_grid, EMBED_GRID_SQL),
     "dim_variance": (q_dim_variance, DIM_VARIANCE_SQL),
     "embed_norm_deciles": (q_embed_norm_deciles, EMBED_NORM_DECILES_SQL),
+    "nn_purity": (q_nn_purity, NN_PURITY_SQL),
     "dedup_keep_best": (q_dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "dup_rate_by_source": (q_dup_rate_by_source, DUP_RATE_BY_SOURCE_SQL),
     "dup_source_matrix": (q_dup_source_matrix, DUP_SOURCE_MATRIX_SQL),

@@ -9421,6 +9421,98 @@ WATERMARK_PICK_SQL = (
 )
 
 
+PROFILE_OUTLIER_K = 20
+
+
+def q_profile_outliers(sf_dir: str) -> "pa.Table":
+    """Seasonal-profile residual outliers — the PROFILE_OUTLIER_K events
+    deviating most from their (event_type, hour-of-day) cell mean,
+    scored integer-exactly as |tok·n_cell − sum_cell| · 10^6 // n_cell
+    (the |residual| in micro-cents, cross-multiplied so no float mean
+    exists on either side; ties -> event_id).  The profile-RELATIVE
+    anomaly list — ``events_zscore16`` flags deviation from a trailing
+    window, this flags deviation from the seasonal norm, catching
+    'normal for 3am, absurd for 9am' cases.  The tiny (type × 24)
+    profile broadcasts once; one scoring scan emits per-batch top-k."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+
+    def prof_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = pd.DataFrame(
+            {"event_type": df["event_type"].to_numpy(),
+             "hod": (ts_us // HOUR_US) % 24,
+             "tok": np.rint(df["value"].to_numpy() * 100).astype(np.int64)}
+        ).groupby(["event_type", "hod"], as_index=False).agg(
+            pn=("tok", "size"), ps=("tok", "sum"))
+        g["pn"] = g["pn"].astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Sum
+
+    prof = (
+        ds.map_batches(prof_part, batch_format="pandas")
+        .groupby(["event_type", "hod"])
+        .aggregate(Sum("pn", alias_name="n"), Sum("ps", alias_name="s"))
+        .to_pandas()  # type-alphabet x 24
+    )
+    pmap = {(r["event_type"], int(r["hod"])): (int(r["n"]), int(r["s"]))
+            for _, r in prof.iterrows()}
+    p_ref = ray.put(pmap)
+
+    def score(df: "pd.DataFrame") -> "pd.DataFrame":
+        pm = ray.get(p_ref)
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        hod = (ts_us // HOUR_US) % 24
+        tok = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        ety = df["event_type"].to_numpy()
+        n = np.fromiter((pm[(e, int(h))][0] for e, h in zip(ety, hod)),
+                        dtype=np.int64, count=len(ety))
+        sm = np.fromiter((pm[(e, int(h))][1] for e, h in zip(ety, hod)),
+                         dtype=np.int64, count=len(ety))
+        sc = np.abs(tok * n - sm) * 1_000_000 // n
+        out = pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy().astype(np.int64),
+             "event_type": ety, "hod": hod, "tok": tok, "score": sc})
+        out = out.sort_values(["score", "event_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(PROFILE_OUTLIER_K)
+        return out
+
+    cand = (
+        ds.map_batches(score, batch_format="pandas")
+        .to_pandas()  # <= K per batch
+    )
+    cand = cand.sort_values(["score", "event_id"],
+                            ascending=[False, True],
+                            kind="mergesort").head(PROFILE_OUTLIER_K)
+    return pa.Table.from_pandas(
+        cand.astype({"event_id": np.int64, "hod": np.int64,
+                     "tok": np.int64, "score": np.int64})
+        .reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+PROFILE_OUTLIERS_SQL = (
+    "WITH e AS (SELECT event_id, event_type,"
+    f" (epoch_us(ts) // {HOUR_US}) % 24 AS hod,"
+    " CAST(round(value * 100) AS BIGINT) AS tok FROM events),"
+    " p AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n,"
+    "  CAST(sum(tok) AS BIGINT) AS s FROM e GROUP BY event_type, hod)"
+    " SELECT e.event_id, e.event_type, CAST(e.hod AS BIGINT) AS hod,"
+    " e.tok,"
+    " CAST(abs(e.tok * p.n - p.s) * 1000000 // p.n AS BIGINT) AS score"
+    " FROM e JOIN p USING (event_type, hod)"
+    " ORDER BY score DESC, e.event_id"
+    f" LIMIT {PROFILE_OUTLIER_K}"
+)
+
+
 def q_anomaly_days(sf_dir: str) -> "pa.Table":
     """Daily-volume anomaly flags — each active day's event count
     against the robust fence |n − median| > 3·MAD (both exact from the
@@ -12277,6 +12369,7 @@ CORE_QUERIES = {
     ),
     "coverage_curve": (q_coverage_curve, COVERAGE_CURVE_SQL),
     "anomaly_days": (q_anomaly_days, ANOMALY_DAYS_SQL),
+    "profile_outliers": (q_profile_outliers, PROFILE_OUTLIERS_SQL),
     "fav_type_dist": (q_fav_type_dist, FAV_TYPE_DIST_SQL),
     "backlog_peak": (q_backlog_peak, BACKLOG_PEAK_SQL),
 }
