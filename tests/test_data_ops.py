@@ -4266,3 +4266,68 @@ def test_nn_purity_hand_checked():
     assert (int(out.loc[1, "n"]), int(out.loc[1, "n_agree"])) == (2, 2)
     assert (int(out.loc[2, "n"]), int(out.loc[2, "n_agree"])) == (2, 2)
     assert (int(out.loc[3, "n"]), int(out.loc[3, "n_agree"])) == (1, 0)
+
+
+def test_repurchase_interval_hand_checked():
+    """Hand-checked gaps: customer 1 (BUILDING) orders on days 0, 10,
+    40 -> gaps [10, 30], lower median 10; single-order customers
+    contribute nothing."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    day = 86_400_000_000
+    cust = pa.table({
+        "c_custkey": pa.array([1, 2], type=pa.int64()),
+        "c_mktsegment": pa.array(["BUILDING", "AUTO"]),
+    })
+    orders = pa.table({
+        "o_custkey": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "o_orderdate": pa.array(
+            np.array([0, 10 * day, 40 * day, 5 * day], dtype=np.int64),
+            type=pa.timestamp("us")),
+    })
+
+    def fake(path, columns=None, **kw):
+        return ray.data.from_arrow(cust if "customer" in path else orders)
+
+    with mock.patch.object(cq.ray.data, "read_parquet", fake):
+        out = cq.q_repurchase_interval("unused").to_pandas().set_index(
+            "segment")
+    assert (int(out.loc["BUILDING", "n_gaps"]),
+            int(out.loc["BUILDING", "p50_gap_days"])) == (2, 10)
+    assert "AUTO" not in out.index
+
+
+def test_discount_uplift_hand_checked():
+    """Hand-checked uplift: brand X sells qty [10, 20] discounted and
+    [5] undiscounted -> uplift = 30*1 - 5*2 = 20 (discounted lines move
+    more); brand Y undiscounted-only -> uplift negative of q_free*0=0
+    ... -> 0*1 - 8*0 = 0."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    part = pa.table({
+        "p_partkey": pa.array([1, 2], type=pa.int64()),
+        "p_brand": pa.array(["X", "Y"]),
+    })
+    li = pa.table({
+        "l_partkey": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "l_discount": pa.array([0.05, 0.07, 0.0, 0.0]),
+        "l_quantity": pa.array([10.0, 20.0, 5.0, 8.0]),
+    })
+
+    def fake(path, columns=None, **kw):
+        return ray.data.from_arrow(part if "part" in path else li)
+
+    with mock.patch.object(cq.ray.data, "read_parquet", fake):
+        out = cq.q_discount_uplift("unused").to_pandas().set_index("brand")
+    x = out.loc["X"]
+    assert (int(x["n_disc"]), int(x["q_disc"]), int(x["n_free"]),
+            int(x["q_free"]), int(x["uplift"])) == (2, 30, 1, 5, 20)
+    assert int(out.loc["Y", "uplift"]) == 0

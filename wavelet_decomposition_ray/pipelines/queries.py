@@ -9421,6 +9421,174 @@ WATERMARK_PICK_SQL = (
 )
 
 
+def q_repurchase_interval(sf_dir: str) -> "pa.Table":
+    """Median reorder interval per market segment — for every customer
+    with 2+ orders, the gaps (days) between consecutive orders,
+    histogrammed per segment and reduced to n_gaps + the exact lower-
+    median gap: the replenishment-cycle metric behind inventory and
+    re-engagement timing.  The customer->segment dimension broadcasts
+    as sorted arrays; gaps fold inside coarse customer-hash partitions
+    (one sort + diff per partition — no per-customer micro-groups);
+    the only global exchange is the (segment x distinct-gap)
+    histogram."""
+    import pandas as pd
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    ).to_pandas().sort_values("c_custkey")
+    ckeys = cust["c_custkey"].to_numpy().astype(np.int64)
+    useg, seg_inv = np.unique(cust["c_mktsegment"].to_numpy(),
+                              return_inverse=True)
+    side = ray.put((ckeys, seg_inv.astype(np.int64), useg))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "part", pa.array(u % N_EVENT_PARTS, type=pa.int32()))
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        keys, sinv, segs = ray.get(side)
+        df = df.sort_values(["o_custkey", "o_orderdate"],
+                            kind="mergesort")
+        ck = df["o_custkey"].to_numpy().astype(np.int64)
+        day = (df["o_orderdate"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // _DAY_US)
+        if len(ck) < 2:
+            return pd.DataFrame({"segment": np.empty(0, dtype=object),
+                                 "gap": np.empty(0, dtype=np.int64),
+                                 "cnt": np.empty(0, dtype=np.int64)})
+        gap = np.diff(day)
+        same = ck[1:] == ck[:-1]
+        gap, gck = gap[same], ck[1:][same]
+        pos = np.searchsorted(keys, gck)
+        assert (pos < len(keys)).all() and (keys[pos] == gck).all(), \
+            "dangling o_custkey"
+        g = pd.DataFrame({"segment": segs[sinv[pos]], "gap": gap}) \
+            .groupby(["segment", "gap"], as_index=False).size()
+        g.rename(columns={"size": "cnt"}, inplace=True)
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby(["segment", "gap"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # segments x distinct gaps
+    )
+    rows = []
+    for seg, grp in hist.groupby("segment"):
+        grp = grp.sort_values("gap")
+        total, pick = _hist_rank_pick(
+            grp["gap"].to_numpy().astype(np.int64),
+            grp["cnt"].to_numpy().astype(np.int64))
+        rows.append((seg, total, pick(1, 2)))
+    out = pd.DataFrame(rows, columns=["segment", "n_gaps", "p50_gap_days"])
+    return pa.Table.from_pandas(
+        out.astype({"n_gaps": np.int64, "p50_gap_days": np.int64}),
+        preserve_index=False,
+    )
+
+
+REPURCHASE_INTERVAL_SQL = (
+    "WITH o AS (SELECT o_custkey,"
+    f" epoch_us(o_orderdate) // {86_400_000_000} AS day FROM orders),"
+    " g AS (SELECT o_custkey, day - lag(day) OVER"
+    "  (PARTITION BY o_custkey ORDER BY day) AS gap FROM o),"
+    " j AS (SELECT c.c_mktsegment AS segment, g.gap FROM g"
+    "  JOIN customer c ON c.c_custkey = g.o_custkey"
+    "  WHERE g.gap IS NOT NULL)"
+    " SELECT segment, CAST(count(*) AS BIGINT) AS n_gaps,"
+    " CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_gap_days"
+    " FROM j GROUP BY segment"
+)
+
+
+def q_discount_uplift(sf_dir: str) -> "ray.data.Dataset":
+    """Discount uplift per brand — do discounted lineitems move MORE
+    units?  Per p_brand: discounted/undiscounted line counts and
+    quantity sums plus the exact cross-statistic uplift =
+    q_disc·n_free − q_free·n_disc (positive iff the discounted mean
+    quantity exceeds the undiscounted one, no division): the promo-
+    effectiveness read-out, with the part->brand dimension broadcast
+    exactly as in ``supplier_hhi``.  One streaming pass, a brands-sized
+    exchange."""
+    import pandas as pd
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).to_pandas().sort_values("p_partkey")
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    ub, binv = np.unique(part["p_brand"].to_numpy(), return_inverse=True)
+    side = ray.put((pk, binv.astype(np.int64), ub))
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        keys, bidx, brands = ray.get(side)
+        lpk = df["l_partkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(keys, lpk)
+        assert (pos < len(keys)).all() and (keys[pos] == lpk).all(), \
+            "dangling l_partkey"
+        disc = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        qty = df["l_quantity"].to_numpy().astype(np.int64)
+        isd = (disc > 0).astype(np.int64)
+        g = pd.DataFrame(
+            {"brand": brands[bidx[pos]], "n_disc": isd,
+             "q_disc": qty * isd, "n_free": 1 - isd,
+             "q_free": qty * (1 - isd)}
+        ).groupby("brand", as_index=False).sum()
+        return g
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_discount", "l_quantity"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("brand")
+        .aggregate(Sum("n_disc", alias_name="n_disc"),
+                   Sum("q_disc", alias_name="q_disc"),
+                   Sum("n_free", alias_name="n_free"),
+                   Sum("q_free", alias_name="q_free"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["brand", "n_disc", "q_disc", "n_free",
+                              "q_free"])
+        qd = t["q_disc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qf = t["q_free"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = t["n_disc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nf = t["n_free"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("uplift", pa.array(qd * nf - qf * nd))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+DISCOUNT_UPLIFT_SQL = (
+    "WITH l AS (SELECT p.p_brand AS brand,"
+    " CASE WHEN CAST(round(l_discount * 100) AS BIGINT) > 0"
+    "  THEN 1 ELSE 0 END AS isd,"
+    " CAST(l_quantity AS BIGINT) AS qty"
+    " FROM lineitem JOIN part p ON p.p_partkey = l_partkey),"
+    " c AS (SELECT brand, CAST(sum(isd) AS BIGINT) AS n_disc,"
+    "  CAST(sum(qty * isd) AS BIGINT) AS q_disc,"
+    "  CAST(sum(1 - isd) AS BIGINT) AS n_free,"
+    "  CAST(sum(qty * (1 - isd)) AS BIGINT) AS q_free"
+    "  FROM l GROUP BY brand)"
+    " SELECT brand, n_disc, q_disc, n_free, q_free,"
+    " CAST(q_disc * n_free - q_free * n_disc AS BIGINT) AS uplift"
+    " FROM c"
+)
+
+
 PROFILE_OUTLIER_K = 20
 
 
@@ -12370,6 +12538,10 @@ CORE_QUERIES = {
     "coverage_curve": (q_coverage_curve, COVERAGE_CURVE_SQL),
     "anomaly_days": (q_anomaly_days, ANOMALY_DAYS_SQL),
     "profile_outliers": (q_profile_outliers, PROFILE_OUTLIERS_SQL),
+    "repurchase_interval": (
+        q_repurchase_interval, REPURCHASE_INTERVAL_SQL
+    ),
+    "discount_uplift": (q_discount_uplift, DISCOUNT_UPLIFT_SQL),
     "fav_type_dist": (q_fav_type_dist, FAV_TYPE_DIST_SQL),
     "backlog_peak": (q_backlog_peak, BACKLOG_PEAK_SQL),
 }
