@@ -4331,3 +4331,22 @@ def test_discount_uplift_hand_checked():
     assert (int(x["n_disc"]), int(x["q_disc"]), int(x["n_free"]),
             int(x["q_free"]), int(x["uplift"])) == (2, 30, 1, 5, 20)
     assert int(out.loc["Y", "uplift"]) == 0
+
+
+def test_rank_code_bits_hand_checked():
+    """Hand-checked gamma budget: value 7 x4 (rank 1, 1 bit each), value
+    3 x2 (rank 2, 3 bits), value 9 x1 (rank 3, 3 bits) -> 4 + 6 + 3 =
+    13 bits."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    t = pa.table({"doc_id": ["d"], "tokens": [[7, 7, 7, 7, 3, 3, 9]],
+                  "source": ["s"]})
+    with mock.patch.object(cq, "_seq_ds",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_rank_code_bits("unused").to_pandas().iloc[0]
+    assert (int(out["n_tokens"]), int(out["n_values"]),
+            int(out["total_bits"])) == (7, 3, 13)

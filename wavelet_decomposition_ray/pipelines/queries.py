@@ -9421,6 +9421,69 @@ WATERMARK_PICK_SQL = (
 )
 
 
+def q_rank_code_bits(sf_dir: str) -> "pa.Table":
+    """Universal-code budget — the exact total bits to Elias-gamma code
+    every token by its global frequency RANK (1-based, ties -> smaller
+    token first; gamma(r) costs 2·floor(log2 r) + 1 bits): the
+    entropy-style compressibility estimate that needs NO logarithms of
+    probabilities — rank-coding a Zipfian stream is within a constant
+    of its entropy, so this single number tracks corpus compressibility
+    across rounds exactly.  One distinct-value histogram exchange;
+    floor(log2) is pure integer bit-length on the engine side and a
+    powers-of-two table join in SQL (the ``bits_plan`` trick)."""
+    import pandas as pd
+
+    ds = _seq_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, _ = list_to_numpy(t["tokens"])
+        uk, cnt = np.unique(vals.astype(np.int64), return_counts=True)
+        return pa.table({"tok": pa.array(uk),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("tok").aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    hist = hist.sort_values(["cnt", "tok"], ascending=[False, True],
+                            kind="mergesort")
+    c = hist["cnt"].to_numpy().astype(np.int64)
+    rank = np.arange(1, len(c) + 1, dtype=np.int64)
+    # floor(log2(rank)): int64 bit_length - 1, vectorized
+    lg = np.frompyfunc(lambda r: int(r).bit_length() - 1, 1, 1)(rank) \
+        .astype(np.int64)
+    total_bits = int((c * (2 * lg + 1)).sum())
+    out = pd.DataFrame(
+        {"n_tokens": np.array([int(c.sum())], dtype=np.int64),
+         "n_values": np.array([len(c)], dtype=np.int64),
+         "total_bits": np.array([total_bits], dtype=np.int64)})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _rank_code_sql() -> str:
+    # floor(log2(r)) = k - 1 for the smallest k with r < 2^k (r <= 2^21)
+    pows = ", ".join(f"({k}, {1 << k})" for k in range(1, 22))
+    return (
+        f"{_FLAT_CTE},"
+        " h AS (SELECT tok, count(*) AS cnt FROM flat GROUP BY tok),"
+        " r AS (SELECT cnt, row_number() OVER"
+        "  (ORDER BY cnt DESC, tok) AS rnk FROM h),"
+        f" p(k, v) AS (VALUES {pows}),"
+        " b AS (SELECT cnt, (SELECT min(k) FROM p WHERE rnk < v) - 1"
+        "  AS lg FROM r)"
+        " SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,"
+        " CAST(count(*) AS BIGINT) AS n_values,"
+        " CAST(sum(cnt * (2 * lg + 1)) AS BIGINT) AS total_bits"
+        " FROM b"
+    )
+
+
+RANK_CODE_BITS_SQL = _rank_code_sql()
+
+
 def q_repurchase_interval(sf_dir: str) -> "pa.Table":
     """Median reorder interval per market segment — for every customer
     with 2+ orders, the gaps (days) between consecutive orders,
@@ -12542,6 +12605,7 @@ CORE_QUERIES = {
         q_repurchase_interval, REPURCHASE_INTERVAL_SQL
     ),
     "discount_uplift": (q_discount_uplift, DISCOUNT_UPLIFT_SQL),
+    "rank_code_bits": (q_rank_code_bits, RANK_CODE_BITS_SQL),
     "fav_type_dist": (q_fav_type_dist, FAV_TYPE_DIST_SQL),
     "backlog_peak": (q_backlog_peak, BACKLOG_PEAK_SQL),
 }
