@@ -4350,3 +4350,55 @@ def test_rank_code_bits_hand_checked():
         out = cq.q_rank_code_bits("unused").to_pandas().iloc[0]
     assert (int(out["n_tokens"]), int(out["n_values"]),
             int(out["total_bits"])) == (7, 3, 13)
+
+
+def test_probe_align_recovers_planted_shift():
+    """Two equal-length sequences where one is a circular shift of the
+    other: the scan must recover the planted lag; unequal lengths pair
+    with nobody."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    base = np.zeros(128, dtype=np.int64)
+    base[:16] = 1000
+    shifted = np.roll(base, 5)  # b[(i+5) % n] == base -> best lag 5
+    t = pa.table({
+        "doc_id": ["a", "b", "short"],
+        "tokens": [base.tolist(), shifted.tolist(), [1, 2, 3]],
+        "source": ["probe"] * 3,
+    })
+    with mock.patch.object(cq, "_seq_ds",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_probe_align("unused").to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["doc_a"], r["doc_b"], int(r["n"]),
+            int(r["best_lag"])) == ("a", "b", 128, 5)
+    assert int(r["best_dot"]) == 16 * 1000 * 1000
+
+
+def test_bucket_skew_hand_checked():
+    """Exact balance arithmetic on a 4-doc corpus: skew_ppm =
+    max_cnt * 1000 * 1e6 // 4 with the real splitmix buckets."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.functions import dedup as dd
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    ids = np.array([1, 2, 3, 4], dtype=np.int64)
+    b = dd.salted_bucket(ids, dd.SPLIT_SALT, mod=dq.SKEW_MOD)
+    _, counts = np.unique(b, return_counts=True)
+    docs = pa.table({"doc_id": pa.array(ids)})
+    with mock.patch.object(dq, "_docs",
+                           lambda sf, columns=None:
+                           ray.data.from_arrow(docs)):
+        out = dq.q_bucket_skew("unused").to_pandas().iloc[0]
+    assert int(out["total"]) == 4
+    assert int(out["n_occupied"]) == len(counts)
+    assert int(out["max_cnt"]) == int(counts.max())
+    assert int(out["skew_ppm"]) == int(counts.max()) * 1000 * 1_000_000 // 4

@@ -4780,6 +4780,68 @@ EMBED_NORM_DECILES_SQL = (
 
 
 
+SKEW_MOD = 1000  # buckets audited (the per-mille partitioner)
+
+
+def q_bucket_skew(sf_dir: str) -> "pa.Table":
+    """Partitioner-skew audit — document counts per splitmix64 per-mille
+    bucket reduced to occupancy, max/min bucket sizes and skew_ppm =
+    max_cnt · SKEW_MOD · 10^6 // total (10^6 = perfectly balanced):
+    the health check every hash-partitioned stage (dedup, split,
+    mixture, the rollup store's buckets) silently assumes, made
+    queryable — a broken or correlated key shows up here before it
+    shows up as one straggling partition at 100 TB.  One buckets-sized
+    exchange."""
+    import pandas as pd
+
+    ds = _docs(sf_dir, columns=("doc_id",))
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = dd.salted_bucket(ids, dd.SPLIT_SALT, mod=SKEW_MOD)
+        uk, cnt = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(uk),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("b").aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    c = hist["cnt"].to_numpy().astype(np.int64)
+    total = int(c.sum())
+    out = pd.DataFrame(
+        {"mod": np.array([SKEW_MOD], dtype=np.int64),
+         "n_occupied": np.array([len(c)], dtype=np.int64),
+         "max_cnt": np.array([int(c.max())], dtype=np.int64),
+         "min_cnt": np.array([int(c.min())], dtype=np.int64),
+         "total": np.array([total], dtype=np.int64),
+         "skew_ppm": np.array([int(c.max()) * SKEW_MOD * 1_000_000
+                               // total], dtype=np.int64)})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _bucket_skew_sql() -> str:
+    return (
+        f"WITH u AS (SELECT * FROM {_splitmix_bucket_sql(dd.SPLIT_SALT)}),"
+        " h AS (SELECT b, count(*) AS cnt FROM u GROUP BY b)"
+        f" SELECT CAST({SKEW_MOD} AS BIGINT) AS mod,"
+        " CAST(count(*) AS BIGINT) AS n_occupied,"
+        " CAST(max(cnt) AS BIGINT) AS max_cnt,"
+        " CAST(min(cnt) AS BIGINT) AS min_cnt,"
+        " CAST(sum(cnt) AS BIGINT) AS total,"
+        f" CAST(max(cnt) * {SKEW_MOD} * 1000000 // sum(cnt) AS BIGINT)"
+        "  AS skew_ppm"
+        " FROM h"
+    )
+
+
+
+
+BUCKET_SKEW_SQL = _bucket_skew_sql()
+
+
 def q_nn_purity(sf_dir: str):
     """1-NN label purity — per label, how many vectors' nearest OTHER
     vector (fixed-point squared L2, ties -> lowest vec_id) shares their
@@ -5045,6 +5107,7 @@ DATA_QUERIES = {
     "dim_variance": (q_dim_variance, DIM_VARIANCE_SQL),
     "embed_norm_deciles": (q_embed_norm_deciles, EMBED_NORM_DECILES_SQL),
     "nn_purity": (q_nn_purity, NN_PURITY_SQL),
+    "bucket_skew": (q_bucket_skew, BUCKET_SKEW_SQL),
     "dedup_keep_best": (q_dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "dup_rate_by_source": (q_dup_rate_by_source, DUP_RATE_BY_SOURCE_SQL),
     "dup_source_matrix": (q_dup_source_matrix, DUP_SOURCE_MATRIX_SQL),

@@ -9421,6 +9421,73 @@ WATERMARK_PICK_SQL = (
 )
 
 
+ALIGN_LAGS = 64  # circular lags scanned (the calibration grid width)
+
+
+def q_probe_align(sf_dir: str) -> "pa.Table":
+    """Pairwise probe alignment — for every equal-length pair of the
+    fixture's closed-form probe sequences, the circular lag in
+    [0, ALIGN_LAGS) maximizing the circular cross-correlation (exact
+    int64 dot products, ties -> smallest lag): the pairwise analog of
+    ``best_shift``'s self-calibration, i.e. the reference's
+    translation-alignment step applied BETWEEN signals
+    (calc_translations.py's intent across series).  The probe family is
+    O(1) rows by construction, so the scan is a driver-side numpy fold
+    over a filtered read; the SQL twin does the same 64-lag scan with a
+    modular join."""
+    import pandas as pd
+
+    ds = _seq_ds(sf_dir).filter(lambda r: r["source"] == "probe")
+    probes = ds.to_pandas()  # O(1) fixture rows
+    probes = probes.sort_values("doc_id")
+    rows = []
+    recs = [(r["doc_id"], np.asarray(r["tokens"], dtype=np.int64))
+            for _, r in probes.iterrows()]
+    for i in range(len(recs)):
+        for j in range(i + 1, len(recs)):
+            da, va = recs[i]
+            db, vb = recs[j]
+            if len(va) != len(vb):
+                continue
+            n = len(va)
+            best_lag, best_dot = 0, None
+            for lag in range(min(ALIGN_LAGS, n)):
+                dot = int(va @ np.roll(vb, -lag))
+                if best_dot is None or dot > best_dot:
+                    best_lag, best_dot = lag, dot
+            rows.append((da, db, n, best_lag, best_dot))
+    out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "n",
+                                      "best_lag", "best_dot"])
+    return pa.Table.from_pandas(
+        out.astype({"n": np.int64, "best_lag": np.int64,
+                    "best_dot": np.int64}),
+        preserve_index=False,
+    )
+
+
+PROBE_ALIGN_SQL = (
+    f"{_FLAT_CTE},"
+    " f AS (SELECT doc_id, tok, pos FROM flat WHERE source = 'probe'),"
+    " n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS L FROM f"
+    "  GROUP BY doc_id),"
+    " pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.L"
+    "  FROM n a JOIN n b ON a.L = b.L AND a.doc_id < b.doc_id),"
+    f" ls AS (SELECT CAST(i AS BIGINT) AS lag FROM range(0, {ALIGN_LAGS})"
+    "  t(i)),"
+    " d AS (SELECT pr.doc_a, pr.doc_b, pr.L, ls.lag,"
+    "  CAST(sum(fa.tok * fb.tok) AS BIGINT) AS dot"
+    "  FROM pr JOIN ls ON ls.lag < pr.L"
+    "  JOIN f fa ON fa.doc_id = pr.doc_a"
+    "  JOIN f fb ON fb.doc_id = pr.doc_b"
+    "   AND fb.pos = (fa.pos + ls.lag) % pr.L"
+    "  GROUP BY pr.doc_a, pr.doc_b, pr.L, ls.lag)"
+    " SELECT doc_a, doc_b, L AS n, CAST(lag AS BIGINT) AS best_lag,"
+    " dot AS best_dot FROM d"
+    " QUALIFY row_number() OVER (PARTITION BY doc_a, doc_b"
+    "  ORDER BY dot DESC, lag) = 1"
+)
+
+
 def q_rank_code_bits(sf_dir: str) -> "pa.Table":
     """Universal-code budget — the exact total bits to Elias-gamma code
     every token by its global frequency RANK (1-based, ties -> smaller
@@ -12606,6 +12673,7 @@ CORE_QUERIES = {
     ),
     "discount_uplift": (q_discount_uplift, DISCOUNT_UPLIFT_SQL),
     "rank_code_bits": (q_rank_code_bits, RANK_CODE_BITS_SQL),
+    "probe_align": (q_probe_align, PROBE_ALIGN_SQL),
     "fav_type_dist": (q_fav_type_dist, FAV_TYPE_DIST_SQL),
     "backlog_peak": (q_backlog_peak, BACKLOG_PEAK_SQL),
 }
