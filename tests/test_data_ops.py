@@ -4402,3 +4402,44 @@ def test_bucket_skew_hand_checked():
     assert int(out["n_occupied"]) == len(counts)
     assert int(out["max_cnt"]) == int(counts.max())
     assert int(out["skew_ppm"]) == int(counts.max()) * 1000 * 1_000_000 // 4
+
+
+def test_lines_per_order_hist_hand_checked():
+    """Orders with 3, 1 and 1 lines -> {1: 2 orders, 3: 1 order}."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    t = pa.table({"l_orderkey": pa.array([7, 7, 7, 8, 9],
+                                         type=pa.int64())})
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_lines_per_order_hist("unused").to_pandas().set_index(
+            "n_lines")
+    assert int(out.loc[1, "n_orders"]) == 2
+    assert int(out.loc[3, "n_orders"]) == 1
+
+
+def test_types_per_user_hist_hand_checked():
+    """User 1 touches 2 types (repeats don't count), users 2-3 touch
+    one each -> {1: 2, 2: 1}."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    rows = [(1, "view"), (1, "view"), (1, "click"), (2, "view"),
+            (3, "error")]
+    t = pa.table({
+        "user_id": pa.array([u for u, _ in rows], type=pa.int64()),
+        "event_type": pa.array([e for _, e in rows]),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_types_per_user_hist("unused").to_pandas().set_index(
+            "n_types")
+    assert int(out.loc[1, "n_users"]) == 2
+    assert int(out.loc[2, "n_users"]) == 1

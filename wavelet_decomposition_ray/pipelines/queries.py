@@ -9421,6 +9421,96 @@ WATERMARK_PICK_SQL = (
 )
 
 
+def q_lines_per_order_hist(sf_dir: str) -> "ray.data.Dataset":
+    """Order-complexity histogram — how many orders have exactly k
+    lineitems: the fan-out distribution that sizes the order->lineitem
+    join's skew budget (a fat tail here is tomorrow's straggling
+    co-partition task).  Per-batch partial counts, an orders-sized
+    count groupby, a histogram-sized second rollup."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, cnt = np.unique(k, return_counts=True)
+        return pa.table({"o": pa.array(uk),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o").aggregate(Sum("c", alias_name="c"))
+        .map_batches(
+            lambda t: pa.table(
+                {"n_lines": t["c"],
+                 "one": pa.array(np.ones(len(t), dtype=np.int64))}),
+            batch_format="pyarrow")
+        .groupby("n_lines").aggregate(Sum("one", alias_name="n_orders"))
+    )
+    return hist.map_batches(
+        lambda t: t.rename_columns(["n_lines", "n_orders"]),
+        batch_format="pyarrow",
+    )
+
+
+LINES_PER_ORDER_HIST_SQL = (
+    "WITH c AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines"
+    " FROM lineitem GROUP BY l_orderkey)"
+    " SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders"
+    " FROM c GROUP BY n_lines"
+)
+
+
+def q_types_per_user_hist(sf_dir: str) -> "ray.data.Dataset":
+    """Behavioral-breadth histogram — how many users touch exactly k
+    distinct event types: the engagement-diversity distribution
+    (single-type users are bots or single-feature visitors; full-
+    spectrum users are the retention core ``fav_type_dist`` labels by
+    their dominant type).  Distinct (user, type) pairs -> per-user
+    distinct counts -> a <=|types|-bin histogram; every exchange is
+    pair- or histogram-sized."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.drop_duplicates(["user_id", "event_type"])
+        return g[["user_id", "event_type"]]
+
+    from ray.data.aggregate import Count, Sum
+
+    hist = (
+        ds.map_batches(pairs, batch_format="pandas")
+        .groupby(["user_id", "event_type"]).count()
+        .select_columns(["user_id"])
+        .groupby("user_id").count()
+        .map_batches(
+            lambda t: pa.table(
+                {"n_types": pc.cast(t["count()"], pa.int64()),
+                 "one": pa.array(np.ones(len(t), dtype=np.int64))}),
+            batch_format="pyarrow")
+        .groupby("n_types").aggregate(Sum("one", alias_name="n_users"))
+    )
+    return hist.map_batches(
+        lambda t: t.rename_columns(["n_types", "n_users"]),
+        batch_format="pyarrow",
+    )
+
+
+TYPES_PER_USER_HIST_SQL = (
+    "WITH u AS (SELECT user_id,"
+    " CAST(count(DISTINCT event_type) AS BIGINT) AS n_types"
+    " FROM events GROUP BY user_id)"
+    " SELECT n_types, CAST(count(*) AS BIGINT) AS n_users"
+    " FROM u GROUP BY n_types"
+)
+
+
 ALIGN_LAGS = 64  # circular lags scanned (the calibration grid width)
 
 
@@ -12674,6 +12764,12 @@ CORE_QUERIES = {
     "discount_uplift": (q_discount_uplift, DISCOUNT_UPLIFT_SQL),
     "rank_code_bits": (q_rank_code_bits, RANK_CODE_BITS_SQL),
     "probe_align": (q_probe_align, PROBE_ALIGN_SQL),
+    "lines_per_order_hist": (
+        q_lines_per_order_hist, LINES_PER_ORDER_HIST_SQL
+    ),
+    "types_per_user_hist": (
+        q_types_per_user_hist, TYPES_PER_USER_HIST_SQL
+    ),
     "fav_type_dist": (q_fav_type_dist, FAV_TYPE_DIST_SQL),
     "backlog_peak": (q_backlog_peak, BACKLOG_PEAK_SQL),
 }
