@@ -4443,3 +4443,50 @@ def test_types_per_user_hist_hand_checked():
             "n_types")
     assert int(out.loc[1, "n_users"]) == 2
     assert int(out.loc[2, "n_users"]) == 1
+
+
+def test_local_maxima_kernel_hand_checked():
+    """Hand-checked peaks: [1, 3, 2, 5, 5, 1] has one strict peak (3) —
+    the 5,5 plateau is not strict; endpoints and doc boundaries never
+    qualify (doc b's 9 at position 0 is an endpoint)."""
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    fn = _capture_batch_fn(cq.q_local_maxima, "unused")
+    t = pa.table({"doc_id": ["a", "b"],
+                  "tokens": [[1, 3, 2, 5, 5, 1], [9, 1]]})
+    df = fn(t).to_pandas().set_index("doc_id")
+    assert int(df.loc["a", "n_peaks"]) == 1
+    assert int(df.loc["b", "n_peaks"]) == 0
+
+
+def test_order_value_delta_hand_checked():
+    """Customer 1 goes 10 -> 30 (up), customer 2 goes 20 -> 20 via a
+    same-day pair ordered by orderkey (flat), customer 3 has one order
+    (excluded)."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    day = 86_400_000_000
+    rows = [  # (cust, day, okey, price)
+        (1, 0, 1, 10.0), (1, 5, 2, 30.0),
+        (2, 3, 3, 20.0), (2, 3, 4, 20.0),
+        (3, 1, 5, 99.0),
+    ]
+    t = pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], type=pa.int64()),
+        "o_orderdate": pa.array(
+            np.array([r[1] * day for r in rows], dtype=np.int64),
+            type=pa.timestamp("us")),
+        "o_orderkey": pa.array([r[2] for r in rows], type=pa.int64()),
+        "o_totalprice": pa.array([r[3] for r in rows]),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_order_value_delta("unused").to_pandas().iloc[0]
+    assert (int(out["n_cust"]), int(out["n_up"]), int(out["n_down"]),
+            int(out["n_flat"])) == (2, 1, 0, 1)
+    assert (int(out["first_cents"]), int(out["last_cents"])) \
+        == (1000 + 2000, 3000 + 2000)

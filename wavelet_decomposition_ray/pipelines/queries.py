@@ -9421,6 +9421,141 @@ WATERMARK_PICK_SQL = (
 )
 
 
+def q_local_maxima(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc peak census — count of STRICT local maxima (tok >
+    both neighbors; endpoints never qualify) and the mean peak spacing
+    numerator (n_tok, so consumers get spacing = n/(peaks+1) exactly):
+    the peakiness audit separating oscillatory sequences from trends
+    before a motif or period pass is even worth scheduling.  One
+    vectorized neighbor compare, boundary triples masked, one
+    reduceat."""
+    ds = _seq_ds(sf_dir)
+
+    def peaks(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        D = len(off) - 1
+        e = pa.array([], type=pa.int64())
+        if D == 0 or len(v) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.string()), "n": e,
+                 "n_peaks": e}
+            )
+        n = np.diff(off)
+        assert (n > 0).all(), "local_maxima requires non-empty docs"
+        N = len(v)
+        seg = np.repeat(np.arange(D, dtype=np.int64), n)
+        ok = np.zeros(N, dtype=np.int64)
+        if N >= 3:
+            mid = ((v[1:-1] > v[:-2]) & (v[1:-1] > v[2:])
+                   & (seg[1:-1] == seg[:-2]) & (seg[1:-1] == seg[2:]))
+            ok[1:-1] = mid.astype(np.int64)
+        cnt = np.add.reduceat(ok, off[:-1])
+        return pa.table(
+            {"doc_id": t["doc_id"], "n": pa.array(n.astype(np.int64)),
+             "n_peaks": pa.array(cnt)}
+        )
+
+    return ds.map_batches(peaks, batch_format="pyarrow", batch_size=512)
+
+
+LOCAL_MAXIMA_SQL = (
+    f"{_FLAT_CTE},"
+    " l AS (SELECT doc_id, tok,"
+    "  lag(tok) OVER w AS p, lead(tok) OVER w AS nx FROM flat"
+    "  WINDOW w AS (PARTITION BY doc_id ORDER BY pos))"
+    " SELECT doc_id, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(sum(CASE WHEN p IS NOT NULL AND nx IS NOT NULL"
+    "  AND tok > p AND tok > nx THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks"
+    " FROM l GROUP BY doc_id"
+)
+
+
+def q_order_value_delta(sf_dir: str) -> "pa.Table":
+    """Customer spend-trajectory split — of the customers with 2+
+    orders, how many spent MORE on their last order than their first
+    (up), less (down), or the same (flat), plus the exact cent sums of
+    firsts and lasts: the expansion-vs-contraction headline a revenue
+    review opens with.  First/last by (order date, order key) — fully
+    deterministic; per-customer extraction folds inside coarse
+    customer-hash partitions (one sort per partition), the finish is a
+    single-row sum."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey",
+                 "o_totalprice"],
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "part", pa.array(u % N_EVENT_PARTS, type=pa.int32()))
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                            kind="mergesort")
+        ck = df["o_custkey"].to_numpy().astype(np.int64)
+        cents = np.rint(df["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        n = len(ck)
+        start = np.ones(n, dtype=bool)
+        start[1:] = ck[1:] != ck[:-1]
+        si = np.flatnonzero(start)
+        ei = np.append(si[1:], n) - 1
+        multi = ei > si  # customers with 2+ orders
+        first, last = cents[si[multi]], cents[ei[multi]]
+        return pd.DataFrame(
+            {"n_cust": np.array([int(multi.sum())], dtype=np.int64),
+             "n_up": np.array([int((last > first).sum())],
+                              dtype=np.int64),
+             "n_down": np.array([int((last < first).sum())],
+                                dtype=np.int64),
+             "n_flat": np.array([int((last == first).sum())],
+                                dtype=np.int64),
+             "first_cents": np.array([int(first.sum())], dtype=np.int64),
+             "last_cents": np.array([int(last.sum())], dtype=np.int64)})
+
+    tot = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .sum(["n_cust", "n_up", "n_down", "n_flat", "first_cents",
+              "last_cents"])
+    )
+    out = pd.DataFrame(
+        {k: np.array([int(tot[f"sum({k})"])], dtype=np.int64)
+         for k in ("n_cust", "n_up", "n_down", "n_flat", "first_cents",
+                   "last_cents")})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ORDER_VALUE_DELTA_SQL = (
+    "WITH o AS (SELECT o_custkey,"
+    " CAST(round(o_totalprice * 100) AS BIGINT) AS cents,"
+    " row_number() OVER (PARTITION BY o_custkey"
+    "  ORDER BY o_orderdate, o_orderkey) AS rf,"
+    " row_number() OVER (PARTITION BY o_custkey"
+    "  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rl,"
+    " count(*) OVER (PARTITION BY o_custkey) AS nc FROM orders),"
+    " fl AS (SELECT o_custkey,"
+    "  max(CASE WHEN rf = 1 THEN cents END) AS first_c,"
+    "  max(CASE WHEN rl = 1 THEN cents END) AS last_c"
+    "  FROM o WHERE nc >= 2 GROUP BY o_custkey)"
+    " SELECT CAST(count(*) AS BIGINT) AS n_cust,"
+    " CAST(sum(CASE WHEN last_c > first_c THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS n_up,"
+    " CAST(sum(CASE WHEN last_c < first_c THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS n_down,"
+    " CAST(sum(CASE WHEN last_c = first_c THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS n_flat,"
+    " CAST(sum(first_c) AS BIGINT) AS first_cents,"
+    " CAST(sum(last_c) AS BIGINT) AS last_cents"
+    " FROM fl"
+)
+
+
 def q_lines_per_order_hist(sf_dir: str) -> "ray.data.Dataset":
     """Order-complexity histogram — how many orders have exactly k
     lineitems: the fan-out distribution that sizes the order->lineitem
@@ -12770,6 +12905,8 @@ CORE_QUERIES = {
     "types_per_user_hist": (
         q_types_per_user_hist, TYPES_PER_USER_HIST_SQL
     ),
+    "local_maxima": (q_local_maxima, LOCAL_MAXIMA_SQL),
+    "order_value_delta": (q_order_value_delta, ORDER_VALUE_DELTA_SQL),
     "fav_type_dist": (q_fav_type_dist, FAV_TYPE_DIST_SQL),
     "backlog_peak": (q_backlog_peak, BACKLOG_PEAK_SQL),
 }
