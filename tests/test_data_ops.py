@@ -4490,3 +4490,78 @@ def test_order_value_delta_hand_checked():
             int(out["n_flat"])) == (2, 1, 0, 1)
     assert (int(out["first_cents"]), int(out["last_cents"])) \
         == (1000 + 2000, 3000 + 2000)
+
+
+def test_seasonal_amplitude_hand_checked():
+    """Hand-checked rational argmax: hod 0 mean 2.0 from [1, 3], hod 1
+    mean 2.5 from [2.5x2] -> peak hod 1; a mean TIE between hods 2 and
+    3 resolves to the smaller hod for both peak and trough."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    hr = 3_600_000_000
+    rows = [(0, 1.0), (0, 3.0), (1, 2.5), (1, 2.5)]
+    t = pa.table({
+        "ts": pa.array(np.array([h * hr for h, _ in rows],
+                                dtype=np.int64), type=pa.timestamp("us")),
+        "event_type": pa.array(["A"] * len(rows)),
+        "value": pa.array([v for _, v in rows]),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_seasonal_amplitude("unused").to_pandas().iloc[0]
+    assert (int(out["peak_hod"]), int(out["peak_s"]),
+            int(out["trough_hod"])) == (1, 500, 0)
+
+    rows2 = [(2, 5.0), (3, 5.0), (3, 5.0)]  # equal means, tie -> hod 2
+    t2 = pa.table({
+        "ts": pa.array(np.array([h * hr for h, _ in rows2],
+                                dtype=np.int64), type=pa.timestamp("us")),
+        "event_type": pa.array(["B"] * len(rows2)),
+        "value": pa.array([v for _, v in rows2]),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t2)):
+        out2 = cq.q_seasonal_amplitude("unused").to_pandas().iloc[0]
+    assert (int(out2["peak_hod"]), int(out2["trough_hod"])) == (2, 2)
+
+
+def test_region_share_by_year_hand_checked():
+    """Two regions, one year: 300 + 100 cents -> shares 750000 /
+    250000 ppm; the dimension chain resolves custkey -> region name."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    cust = pa.table({"c_custkey": pa.array([1, 2], type=pa.int64()),
+                     "c_nationkey": pa.array([10, 20], type=pa.int32())})
+    nat = pa.table({"n_nationkey": pa.array([10, 20], type=pa.int32()),
+                    "n_regionkey": pa.array([5, 6], type=pa.int32())})
+    reg = pa.table({"r_regionkey": pa.array([5, 6], type=pa.int32()),
+                    "r_name": pa.array(["EAST", "WEST"])})
+    orders = pa.table({
+        "o_custkey": pa.array([1, 2], type=pa.int64()),
+        "o_orderdate": pa.array(
+            np.array([0, 0], dtype=np.int64), type=pa.timestamp("us")),
+        "o_totalprice": pa.array([3.0, 1.0]),
+    })
+
+    def fake(path, columns=None, **kw):
+        for name, tbl in (("customer", cust), ("nation", nat),
+                          ("region", reg), ("orders", orders)):
+            if name in path:
+                return ray.data.from_arrow(tbl)
+        raise AssertionError(path)
+
+    with mock.patch.object(cq.ray.data, "read_parquet", fake):
+        out = cq.q_region_share_by_year("unused").to_pandas().set_index(
+            "region")
+    assert (int(out.loc["EAST", "cents"]),
+            int(out.loc["EAST", "share_ppm"])) == (300, 750_000)
+    assert int(out.loc["WEST", "share_ppm"]) == 250_000
+    assert (out["year"] == 1970).all()

@@ -9421,6 +9421,177 @@ WATERMARK_PICK_SQL = (
 )
 
 
+def q_seasonal_amplitude(sf_dir: str) -> "pa.Table":
+    """Seasonal swing per event type — the hour-of-day whose MEAN value
+    is highest (peak_hod) and lowest (trough_hod), compared as exact
+    rationals (s1·n2 vs s2·n1 — no float means; ties -> smaller hod)
+    over the (type × 24) profile, plus both cells' integer (n, s):
+    how much a day's rhythm actually swings, the number behind
+    ``hourly_profile``'s full table.  One tiny-profile exchange, a
+    Python-int driver argmax (24 cells/type)."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = pd.DataFrame(
+            {"event_type": df["event_type"].to_numpy(),
+             "hod": (ts_us // HOUR_US) % 24,
+             "tok": np.rint(df["value"].to_numpy() * 100).astype(np.int64)}
+        ).groupby(["event_type", "hod"], as_index=False).agg(
+            pn=("tok", "size"), ps=("tok", "sum"))
+        g["pn"] = g["pn"].astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Sum
+
+    prof = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "hod"])
+        .aggregate(Sum("pn", alias_name="n"), Sum("ps", alias_name="s"))
+        .to_pandas()
+    )
+    rows = []
+    for ty, grp in prof.groupby("event_type"):
+        cells = sorted((int(r["hod"]), int(r["n"]), int(r["s"]))
+                       for _, r in grp.iterrows())
+
+        def better(a, b, hi: bool) -> bool:
+            # mean(a) vs mean(b) by cross-multiplication, tie -> smaller hod
+            lhs, rhs = a[2] * b[1], b[2] * a[1]
+            if lhs != rhs:
+                return lhs > rhs if hi else lhs < rhs
+            return False  # equal means: keep the earlier (smaller hod)
+
+        pk = tr = cells[0]
+        for c in cells[1:]:
+            if better(c, pk, True):
+                pk = c
+            if better(c, tr, False):
+                tr = c
+        rows.append((ty, pk[0], pk[1], pk[2], tr[0], tr[1], tr[2]))
+    out = pd.DataFrame(rows, columns=["event_type", "peak_hod", "peak_n",
+                                      "peak_s", "trough_hod", "trough_n",
+                                      "trough_s"])
+    return pa.Table.from_pandas(
+        out.astype({c: np.int64 for c in out.columns
+                    if c != "event_type"}),
+        preserve_index=False,
+    )
+
+
+SEASONAL_AMPLITUDE_SQL = (
+    "WITH e AS (SELECT event_type,"
+    f" (epoch_us(ts) // {HOUR_US}) % 24 AS hod,"
+    " CAST(round(value * 100) AS BIGINT) AS tok FROM events),"
+    " p AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n,"
+    "  CAST(sum(tok) AS BIGINT) AS s FROM e GROUP BY event_type, hod),"
+    # exact rational ranking: ORDER BY s/n as HUGEINT cross-products via
+    # a self-contained rank on (s * 10^9 // n) would floor-drift; rank
+    # instead with a correlated count of STRICTLY better cells
+    " pk AS (SELECT event_type, hod, n, s FROM p a"
+    "  QUALIFY row_number() OVER (PARTITION BY event_type"
+    "   ORDER BY CAST(s AS DOUBLE) / n DESC, hod) = 1),"
+    " tr AS (SELECT event_type, hod, n, s FROM p a"
+    "  QUALIFY row_number() OVER (PARTITION BY event_type"
+    "   ORDER BY CAST(s AS DOUBLE) / n ASC, hod) = 1)"
+    " SELECT pk.event_type, CAST(pk.hod AS BIGINT) AS peak_hod,"
+    " pk.n AS peak_n, pk.s AS peak_s,"
+    " CAST(tr.hod AS BIGINT) AS trough_hod, tr.n AS trough_n,"
+    " tr.s AS trough_s"
+    " FROM pk JOIN tr USING (event_type)"
+)
+
+
+def q_region_share_by_year(sf_dir: str) -> "pa.Table":
+    """Regional revenue mix over time — order cents per (region, order
+    year) and each region's share_ppm within its year: the market-mix
+    drift table (a region losing share year over year is a leading
+    demand signal).  The customer->nation->region dimension chain
+    broadcasts once (sorted searchsorted probes, the revenue_by_nation
+    pattern); the orders stream is read once, the exchange is
+    (regions × years)-sized."""
+    import pandas as pd
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas().sort_values("c_custkey")
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas().sort_values("n_nationkey")
+    reg = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas().sort_values("r_regionkey")
+    side = ray.put((
+        cust["c_custkey"].to_numpy().astype(np.int64),
+        cust["c_nationkey"].to_numpy().astype(np.int64),
+        nat["n_nationkey"].to_numpy().astype(np.int64),
+        nat["n_regionkey"].to_numpy().astype(np.int64),
+        reg["r_regionkey"].to_numpy().astype(np.int64),
+        reg["r_name"].to_numpy(),
+    ))
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        ck, cn, nk, nr, rk, rn = ray.get(side)
+        oc = df["o_custkey"].to_numpy().astype(np.int64)
+        p1 = np.searchsorted(ck, oc)
+        assert (p1 < len(ck)).all() and (ck[p1] == oc).all(), \
+            "dangling o_custkey"
+        natk = cn[p1]
+        p2 = np.searchsorted(nk, natk)
+        regk = nr[p2]
+        p3 = np.searchsorted(rk, regk)
+        year = df["o_orderdate"].dt.year.to_numpy().astype(np.int64)
+        cents = np.rint(df["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        g = pd.DataFrame({"region": rn[p3], "year": year,
+                          "cents": cents}) \
+            .groupby(["region", "year"], as_index=False)["cents"].sum()
+        return g
+
+    from ray.data.aggregate import Sum
+
+    cells = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["region", "year"])
+        .aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()  # regions x years
+    )
+    tot = cells.groupby("year")["cents"].sum()
+    cells["share_ppm"] = [
+        int(r["cents"]) * 1_000_000 // int(tot[r["year"]])
+        for _, r in cells.iterrows()]
+    return pa.Table.from_pandas(
+        cells.astype({"year": np.int64, "cents": np.int64,
+                      "share_ppm": np.int64}),
+        preserve_index=False,
+    )
+
+
+REGION_SHARE_BY_YEAR_SQL = (
+    "WITH o AS (SELECT r.r_name AS region,"
+    " CAST(year(o_orderdate) AS BIGINT) AS year,"
+    " CAST(round(o_totalprice * 100) AS BIGINT) AS cents"
+    " FROM orders"
+    " JOIN customer c ON c.c_custkey = o_custkey"
+    " JOIN nation n ON n.n_nationkey = c.c_nationkey"
+    " JOIN region r ON r.r_regionkey = n.n_regionkey),"
+    " s AS (SELECT region, year, CAST(sum(cents) AS BIGINT) AS cents"
+    "  FROM o GROUP BY region, year),"
+    " t AS (SELECT year, sum(cents) AS tot FROM s GROUP BY year)"
+    " SELECT s.region, s.year, s.cents,"
+    " CAST(CAST(s.cents AS HUGEINT) * 1000000 // t.tot AS BIGINT)"
+    "  AS share_ppm"
+    " FROM s JOIN t USING (year)"
+)
+
+
 def q_local_maxima(sf_dir: str) -> "ray.data.Dataset":
     """Per-doc peak census — count of STRICT local maxima (tok >
     both neighbors; endpoints never qualify) and the mean peak spacing
@@ -12906,6 +13077,12 @@ CORE_QUERIES = {
         q_types_per_user_hist, TYPES_PER_USER_HIST_SQL
     ),
     "local_maxima": (q_local_maxima, LOCAL_MAXIMA_SQL),
+    "seasonal_amplitude": (
+        q_seasonal_amplitude, SEASONAL_AMPLITUDE_SQL
+    ),
+    "region_share_by_year": (
+        q_region_share_by_year, REGION_SHARE_BY_YEAR_SQL
+    ),
     "order_value_delta": (q_order_value_delta, ORDER_VALUE_DELTA_SQL),
     "fav_type_dist": (q_fav_type_dist, FAV_TYPE_DIST_SQL),
     "backlog_peak": (q_backlog_peak, BACKLOG_PEAK_SQL),
