@@ -4565,3 +4565,43 @@ def test_region_share_by_year_hand_checked():
             int(out.loc["EAST", "share_ppm"])) == (300, 750_000)
     assert int(out.loc["WEST", "share_ppm"]) == 250_000
     assert (out["year"] == 1970).all()
+
+
+def test_bigram_code_bits_hand_checked():
+    """Hand-checked gamma budget over pairs: doc [1,2,1,2,1] has pairs
+    (1,2)x2, (2,1)x2 -> ranks 1 (1 bit) and 2 (3 bits) -> 2+6 = 8 bits;
+    boundary to doc b contributes nothing; doc b's single pair (7,7)
+    ranks 3 -> +3 bits."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    t = pa.table({"doc_id": ["a", "b"],
+                  "tokens": [[1, 2, 1, 2, 1], [7, 7]],
+                  "source": ["s", "s"]})
+    with mock.patch.object(cq, "_seq_ds",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_bigram_code_bits("unused").to_pandas().iloc[0]
+    assert (int(out["n_pairs"]), int(out["n_distinct"]),
+            int(out["total_bits"])) == (5, 3, 11)
+
+
+def test_lang_source_mix_hand_checked():
+    """web = 3 en + 1 fr -> shares 750000 / 250000 ppm."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    t = pa.table({"source": pa.array(["web"] * 4 + ["cc"]),
+                  "lang": pa.array(["en", "en", "en", "fr", "en"])})
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_lang_source_mix("unused").to_pandas().set_index(
+            ["source", "lang"])
+    assert int(out.loc[("web", "en"), "share_ppm"]) == 750_000
+    assert int(out.loc[("web", "fr"), "share_ppm"]) == 250_000
+    assert int(out.loc[("cc", "en"), "share_ppm"]) == 1_000_000

@@ -9421,6 +9421,128 @@ WATERMARK_PICK_SQL = (
 )
 
 
+def q_bigram_code_bits(sf_dir: str) -> "pa.Table":
+    """Contextual coding budget — Elias-gamma bits to code every
+    within-doc adjacent token PAIR by its global pair-frequency rank
+    (same convention as ``rank_code_bits``): the drop from
+    2·rank_code_bits to this number is exactly how much one token of
+    context compresses the stream — the division-free, log-free stand-in
+    for conditional entropy that a tokenizer/codec decision can act on.
+    One distinct-pair histogram exchange (cooc-table class), the gamma
+    fold on the driver."""
+    import pandas as pd
+
+    ds = _seq_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        e = pa.array([], type=pa.int64())
+        if len(v) < 2:
+            return pa.table({"x": e, "y": e, "cnt": e})
+        n = np.diff(off)
+        assert (n > 0).all(), "bigram_code_bits requires non-empty docs"
+        same = np.ones(len(v) - 1, dtype=bool)
+        ends = np.cumsum(n)[:-1] - 1
+        same[ends] = False
+        key = (v[:-1] << 21) | v[1:]   # tok < 2^20 -> collision-free
+        uk, cnt = np.unique(key[same], return_counts=True)
+        return pa.table(
+            {"x": pa.array(uk >> 21), "y": pa.array(uk & ((1 << 21) - 1)),
+             "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["x", "y"]).aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # distinct-pair-sized
+    )
+    hist = hist.sort_values(["cnt", "x", "y"],
+                            ascending=[False, True, True],
+                            kind="mergesort")
+    c = hist["cnt"].to_numpy().astype(np.int64)
+    rank = np.arange(1, len(c) + 1, dtype=np.int64)
+    lg = np.frompyfunc(lambda r: int(r).bit_length() - 1, 1, 1)(rank) \
+        .astype(np.int64)
+    out = pd.DataFrame(
+        {"n_pairs": np.array([int(c.sum())], dtype=np.int64),
+         "n_distinct": np.array([len(c)], dtype=np.int64),
+         "total_bits": np.array([int((c * (2 * lg + 1)).sum())],
+                                dtype=np.int64)})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _bigram_code_sql() -> str:
+    pows = ", ".join(f"({k}, {1 << k})" for k in range(1, 43))
+    return (
+        f"{_FLAT_CTE},"
+        " bg AS (SELECT tok AS x, lead(tok) OVER"
+        "  (PARTITION BY doc_id ORDER BY pos) AS y FROM flat),"
+        " h AS (SELECT x, y, count(*) AS cnt FROM bg"
+        "  WHERE y IS NOT NULL GROUP BY x, y),"
+        " r AS (SELECT cnt, row_number() OVER"
+        "  (ORDER BY cnt DESC, x, y) AS rnk FROM h),"
+        f" p(k, v) AS (VALUES {pows}),"
+        " b AS (SELECT cnt, (SELECT min(k) FROM p WHERE rnk < v) - 1"
+        "  AS lg FROM r)"
+        " SELECT CAST(sum(cnt) AS BIGINT) AS n_pairs,"
+        " CAST(count(*) AS BIGINT) AS n_distinct,"
+        " CAST(sum(cnt * (2 * lg + 1)) AS BIGINT) AS total_bits"
+        " FROM b"
+    )
+
+
+BIGRAM_CODE_BITS_SQL = _bigram_code_sql()
+
+
+def q_lang_source_mix(sf_dir: str):
+    """Language × source mix — document counts per (source, lang) plus
+    each language's share_ppm within its source: the mixture table a
+    per-language sampling-weight pass reads (and the context for
+    ``langid_confusion``'s mismatches — a source that is 2% German
+    explains a 2% 'de' confusion row).  One (sources × langs)-sized
+    exchange, shares a driver fold."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "lang"])
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(["source", "lang"], as_index=False).size()
+        g.rename(columns={"size": "n"}, inplace=True)
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Sum
+
+    cells = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    tot = cells.groupby("source")["n"].sum()
+    cells["share_ppm"] = [
+        int(r["n"]) * 1_000_000 // int(tot[r["source"]])
+        for _, r in cells.iterrows()]
+    return pa.Table.from_pandas(
+        cells.astype({"n": np.int64, "share_ppm": np.int64}),
+        preserve_index=False,
+    )
+
+
+LANG_SOURCE_MIX_SQL = (
+    "WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n"
+    " FROM documents GROUP BY source, lang),"
+    " t AS (SELECT source, sum(n) AS tot FROM c GROUP BY source)"
+    " SELECT c.source, c.lang, c.n,"
+    " CAST(c.n * 1000000 // t.tot AS BIGINT) AS share_ppm"
+    " FROM c JOIN t USING (source)"
+)
+
+
 def q_seasonal_amplitude(sf_dir: str) -> "pa.Table":
     """Seasonal swing per event type — the hour-of-day whose MEAN value
     is highest (peak_hod) and lowest (trough_hod), compared as exact
@@ -13083,6 +13205,8 @@ CORE_QUERIES = {
     "region_share_by_year": (
         q_region_share_by_year, REGION_SHARE_BY_YEAR_SQL
     ),
+    "bigram_code_bits": (q_bigram_code_bits, BIGRAM_CODE_BITS_SQL),
+    "lang_source_mix": (q_lang_source_mix, LANG_SOURCE_MIX_SQL),
     "order_value_delta": (q_order_value_delta, ORDER_VALUE_DELTA_SQL),
     "fav_type_dist": (q_fav_type_dist, FAV_TYPE_DIST_SQL),
     "backlog_peak": (q_backlog_peak, BACKLOG_PEAK_SQL),
