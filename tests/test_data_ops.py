@@ -4605,3 +4605,30 @@ def test_lang_source_mix_hand_checked():
     assert int(out.loc[("web", "en"), "share_ppm"]) == 750_000
     assert int(out.loc[("web", "fr"), "share_ppm"]) == 250_000
     assert int(out.loc[("cc", "en"), "share_ppm"]) == 1_000_000
+
+
+def test_gap_cluster_hand_checked():
+    """User 1 events at 0, 10s, 20s, 100s -> gaps [10, 10, 80]; pairs
+    (10,10), (10,80): n=2, sx=20, sy=90, sxy=900, sxx=200, syy=6500.
+    User 2's single gap pairs with nothing; users never chain."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    s = 1_000_000
+    rows = [(0, 0, 1), (1, 10 * s, 1), (2, 20 * s, 1), (3, 100 * s, 1),
+            (4, 0, 2), (5, 30 * s, 2)]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], dtype=np.int64),
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_gap_cluster("unused").to_pandas().iloc[0]
+    assert (int(out["n_pairs"]), int(out["sx"]), int(out["sy"]),
+            int(out["sxy"]), int(out["sxx"]), int(out["syy"])) \
+        == (2, 20, 90, 900, 200, 6500)

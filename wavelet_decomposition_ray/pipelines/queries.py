@@ -9421,6 +9421,75 @@ WATERMARK_PICK_SQL = (
 )
 
 
+def q_gap_cluster(sf_dir: str) -> "pa.Table":
+    """Inter-arrival clustering — the exact integer moments of
+    consecutive per-user gap pairs (g_t, g_{t+1}) in whole seconds,
+    corpus-wide: n_pairs, Σx, Σy, Σxy, Σx², Σy².  The lag-1 Pearson
+    numerator n·Σxy − Σx·Σy > 0 means short gaps follow short gaps —
+    BURSTS have structure beyond what ``interarrival_stats``'s marginal
+    histogram or ``user_burstiness``'s per-user dispersion can see
+    (``vol_cluster``'s ARCH test, applied to the arrival process).
+    Same coarse user-hash partition fold as sessionize; the exchange is
+    six integers.  SECOND granularity keeps Σx² exact in int64 (a
+    month-long gap squares to ~7e12; ms granularity measured an actual
+    int64 overflow on this fixture)."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = len(df)
+        cols = ("n_pairs", "sx", "sy", "sxy", "sxx", "syy")
+        if n < 3:
+            return pd.DataFrame({c: np.zeros(1, dtype=np.int64)
+                                 for c in cols})
+        g = (ts[1:] - ts[:-1]) // 1_000_000
+        vg = uid[1:] == uid[:-1]
+        ok = vg[:-1] & vg[1:]
+        x = np.where(ok, g[:-1], 0)
+        y = np.where(ok, g[1:], 0)
+        return pd.DataFrame(
+            {"n_pairs": np.array([int(ok.sum())], dtype=np.int64),
+             "sx": np.array([int(x.sum())], dtype=np.int64),
+             "sy": np.array([int(y.sum())], dtype=np.int64),
+             "sxy": np.array([int((x * y).sum())], dtype=np.int64),
+             "sxx": np.array([int((x * x).sum())], dtype=np.int64),
+             "syy": np.array([int((y * y).sum())], dtype=np.int64)})
+
+    tot = (
+        ds.map_batches(_add_user_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .sum(["n_pairs", "sx", "sy", "sxy", "sxx", "syy"])
+    )
+    out = pd.DataFrame(
+        {k: np.array([int(tot[f"sum({k})"])], dtype=np.int64)
+         for k in ("n_pairs", "sx", "sy", "sxy", "sxx", "syy")})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+GAP_CLUSTER_SQL = (
+    "WITH g AS (SELECT user_id, epoch_us(ts) AS tu, event_id,"
+    " (epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000 AS gp"
+    " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+    " p AS (SELECT gp AS x, lead(gp) OVER"
+    "  (PARTITION BY user_id ORDER BY tu, event_id) AS y FROM g"
+    "  WHERE gp IS NOT NULL)"
+    " SELECT CAST(count(*) AS BIGINT) AS n_pairs,"
+    " CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,"
+    " CAST(sum(x * y) AS BIGINT) AS sxy,"
+    " CAST(sum(x * x) AS BIGINT) AS sxx,"
+    " CAST(sum(y * y) AS BIGINT) AS syy"
+    " FROM p WHERE y IS NOT NULL"
+)
+
+
 def q_bigram_code_bits(sf_dir: str) -> "pa.Table":
     """Contextual coding budget — Elias-gamma bits to code every
     within-doc adjacent token PAIR by its global pair-frequency rank
@@ -13206,6 +13275,7 @@ CORE_QUERIES = {
         q_region_share_by_year, REGION_SHARE_BY_YEAR_SQL
     ),
     "bigram_code_bits": (q_bigram_code_bits, BIGRAM_CODE_BITS_SQL),
+    "gap_cluster": (q_gap_cluster, GAP_CLUSTER_SQL),
     "lang_source_mix": (q_lang_source_mix, LANG_SOURCE_MIX_SQL),
     "order_value_delta": (q_order_value_delta, ORDER_VALUE_DELTA_SQL),
     "fav_type_dist": (q_fav_type_dist, FAV_TYPE_DIST_SQL),
