@@ -4809,6 +4809,15 @@ def q_bucket_skew(sf_dir: str) -> "pa.Table":
         .groupby("b").aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
     )
+    # empty corpus: to_pandas drops the schema entirely — emit the
+    # all-zero row the SQL twin's COALESCEd aggregates produce
+    if len(hist) == 0:
+        z = np.zeros(1, dtype=np.int64)
+        return pa.Table.from_pandas(
+            pd.DataFrame({"mod": np.array([SKEW_MOD], dtype=np.int64),
+                          "n_occupied": z, "max_cnt": z, "min_cnt": z,
+                          "total": z, "skew_ppm": z}),
+            preserve_index=False)
     c = hist["cnt"].to_numpy().astype(np.int64)
     total = int(c.sum())
     out = pd.DataFrame(
@@ -4828,10 +4837,11 @@ def _bucket_skew_sql() -> str:
         " h AS (SELECT b, count(*) AS cnt FROM u GROUP BY b)"
         f" SELECT CAST({SKEW_MOD} AS BIGINT) AS mod,"
         " CAST(count(*) AS BIGINT) AS n_occupied,"
-        " CAST(max(cnt) AS BIGINT) AS max_cnt,"
-        " CAST(min(cnt) AS BIGINT) AS min_cnt,"
-        " CAST(sum(cnt) AS BIGINT) AS total,"
-        f" CAST(max(cnt) * {SKEW_MOD} * 1000000 // sum(cnt) AS BIGINT)"
+        " CAST(COALESCE(max(cnt), 0) AS BIGINT) AS max_cnt,"
+        " CAST(COALESCE(min(cnt), 0) AS BIGINT) AS min_cnt,"
+        " CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS total,"
+        f" CAST(CASE WHEN sum(cnt) IS NULL THEN 0 ELSE"
+        f"  max(cnt) * {SKEW_MOD} * 1000000 // sum(cnt) END AS BIGINT)"
         "  AS skew_ppm"
         " FROM h"
     )
@@ -4860,6 +4870,11 @@ def q_nn_purity(sf_dir: str):
         columns=["vec_id", "embedding", "label"],
     ).to_pandas()  # exact-eval path: corpus assumed dimension-scale
     full = full.sort_values("vec_id")
+    if len(full) < 2:
+        # no OTHER vector exists: match the SQL twin's self-excluding
+        # join, which emits nothing
+        e = pa.array([], type=pa.int64())
+        return pa.table({"label": e, "n": e, "n_agree": e})
     ids = full["vec_id"].to_numpy().astype(np.int64)
     lab = full["label"].to_numpy().astype(np.int64)
     qm = np.floor(

@@ -9320,14 +9320,13 @@ def q_hod_median(sf_dir: str) -> "ray.data.Dataset":
 
     def finish(df: "pd.DataFrame") -> "pd.DataFrame":
         df = df.sort_values("tok", kind="mergesort")
-        c = df["cnt"].to_numpy().astype(np.int64)
-        total = int(c.sum())
-        cum = np.cumsum(c)
-        med = df["tok"].to_numpy()[int(np.searchsorted(
-            cum, (total - 1) // 2 + 1))]
+        total, pick = _hist_rank_pick(
+            df["tok"].to_numpy().astype(np.int64),
+            df["cnt"].to_numpy().astype(np.int64))
         return pd.DataFrame({"hod": df["hod"].iloc[:1].to_numpy(),
                              "n": np.array([total], dtype=np.int64),
-                             "med": np.array([med], dtype=np.int64)})
+                             "med": np.array([pick(1, 2)],
+                                             dtype=np.int64)})
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -9452,6 +9451,10 @@ def q_gap_cluster(sf_dir: str) -> "pa.Table":
         g = (ts[1:] - ts[:-1]) // 1_000_000
         vg = uid[1:] == uid[:-1]
         ok = vg[:-1] & vg[1:]
+        if ok.any():
+            mg, npairs = int(g[:-1][ok].max()), int(ok.sum())
+            assert mg * mg * max(npairs, 1) < (1 << 63), \
+                "gap_cluster int64 guard: coarsen gap granularity"
         x = np.where(ok, g[:-1], 0)
         y = np.where(ok, g[1:], 0)
         return pd.DataFrame(
@@ -9680,15 +9683,17 @@ SEASONAL_AMPLITUDE_SQL = (
     " CAST(round(value * 100) AS BIGINT) AS tok FROM events),"
     " p AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n,"
     "  CAST(sum(tok) AS BIGINT) AS s FROM e GROUP BY event_type, hod),"
-    # exact rational ranking: ORDER BY s/n as HUGEINT cross-products via
-    # a self-contained rank on (s * 10^9 // n) would floor-drift; rank
-    # instead with a correlated count of STRICTLY better cells
+    # exact rational ranking WITHOUT division: floor(s * 2^62 / n) is a
+    # total order consistent with s/n because distinct means differ by
+    # >= 1/(n1*n2) > 2^-62 for n < 2^31 — HUGEINT keeps s * 2^62 exact
     " pk AS (SELECT event_type, hod, n, s FROM p a"
     "  QUALIFY row_number() OVER (PARTITION BY event_type"
-    "   ORDER BY CAST(s AS DOUBLE) / n DESC, hod) = 1),"
+    "   ORDER BY CAST(s AS HUGEINT) * 4611686018427387904 // n DESC,"
+    "    hod) = 1),"
     " tr AS (SELECT event_type, hod, n, s FROM p a"
     "  QUALIFY row_number() OVER (PARTITION BY event_type"
-    "   ORDER BY CAST(s AS DOUBLE) / n ASC, hod) = 1)"
+    "   ORDER BY CAST(s AS HUGEINT) * 4611686018427387904 // n ASC,"
+    "    hod) = 1)"
     " SELECT pk.event_type, CAST(pk.hod AS BIGINT) AS peak_hod,"
     " pk.n AS peak_n, pk.s AS peak_s,"
     " CAST(tr.hod AS BIGINT) AS trough_hod, tr.n AS trough_n,"
@@ -9733,8 +9738,12 @@ def q_region_share_by_year(sf_dir: str) -> "pa.Table":
             "dangling o_custkey"
         natk = cn[p1]
         p2 = np.searchsorted(nk, natk)
+        assert (p2 < len(nk)).all() and (nk[p2] == natk).all(), \
+            "dangling c_nationkey"
         regk = nr[p2]
         p3 = np.searchsorted(rk, regk)
+        assert (p3 < len(rk)).all() and (rk[p3] == regk).all(), \
+            "dangling n_regionkey"
         year = df["o_orderdate"].dt.year.to_numpy().astype(np.int64)
         cents = np.rint(df["o_totalprice"].to_numpy() * 100) \
             .astype(np.int64)
@@ -10345,21 +10354,30 @@ def q_profile_outliers(sf_dir: str) -> "pa.Table":
         .aggregate(Sum("pn", alias_name="n"), Sum("ps", alias_name="s"))
         .to_pandas()  # type-alphabet x 24
     )
-    pmap = {(r["event_type"], int(r["hod"])): (int(r["n"]), int(r["s"]))
-            for _, r in prof.iterrows()}
-    p_ref = ray.put(pmap)
+    utypes = np.sort(prof["event_type"].unique())
+    tn = np.zeros((len(utypes), 24), dtype=np.int64)
+    tsum = np.zeros((len(utypes), 24), dtype=np.int64)
+    ti = np.searchsorted(utypes, prof["event_type"].to_numpy())
+    tn[ti, prof["hod"].to_numpy().astype(np.int64)] = \
+        prof["n"].to_numpy().astype(np.int64)
+    tsum[ti, prof["hod"].to_numpy().astype(np.int64)] = \
+        prof["s"].to_numpy().astype(np.int64)
+    p_ref = ray.put((utypes, tn, tsum))
 
     def score(df: "pd.DataFrame") -> "pd.DataFrame":
-        pm = ray.get(p_ref)
+        uty, pn, ps = ray.get(p_ref)
         ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         hod = (ts_us // HOUR_US) % 24
         tok = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
         ety = df["event_type"].to_numpy()
-        n = np.fromiter((pm[(e, int(h))][0] for e, h in zip(ety, hod)),
-                        dtype=np.int64, count=len(ety))
-        sm = np.fromiter((pm[(e, int(h))][1] for e, h in zip(ety, hod)),
-                         dtype=np.int64, count=len(ety))
-        sc = np.abs(tok * n - sm) * 1_000_000 // n
+        tpos = np.searchsorted(uty, ety)  # dense vectorized gather
+        n = pn[tpos, hod]
+        sm = ps[tpos, hod]
+        resid = np.abs(tok * n - sm)
+        assert len(resid) == 0 or \
+            int(resid.max()) < (1 << 63) // 1_000_000, \
+            "profile_outliers int64 guard: residual x 1e6 would wrap"
+        sc = resid * 1_000_000 // n
         out = pd.DataFrame(
             {"event_id": df["event_id"].to_numpy().astype(np.int64),
              "event_type": ety, "hod": hod, "tok": tok, "score": sc})
