@@ -4632,3 +4632,46 @@ def test_gap_cluster_hand_checked():
     assert (int(out["n_pairs"]), int(out["sx"]), int(out["sy"]),
             int(out["sxy"]), int(out["sxx"]), int(out["syy"])) \
         == (2, 20, 90, 900, 200, 6500)
+
+
+def test_case_profile_hand_checked():
+    """'AaB1 !' -> 2 upper, 1 lower, 1 digit, 2 other (space + !);
+    upper_ppm over cased letters only."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    docs = pa.table({"text": pa.array(["AaB1 !", "zzzz"]),
+                     "source": pa.array(["s1", "s2"])})
+    with mock.patch.object(dq, "_docs",
+                           lambda sf, columns=None:
+                           ray.data.from_arrow(docs)):
+        out = dq.q_case_profile("unused").to_pandas().set_index("source")
+    s1 = out.loc["s1"]
+    assert (int(s1["n_upper"]), int(s1["n_lower"]), int(s1["n_digit"]),
+            int(s1["n_other"])) == (2, 1, 1, 2)
+    assert int(s1["upper_ppm"]) == 2 * 1_000_000 // 3
+    assert int(out.loc["s2", "upper_ppm"]) == 0
+
+
+def test_parts_per_supplier_hist_hand_checked():
+    """Supplier 1 ships parts {10, 11} (repeats collapse), supplier 2
+    ships one part -> {1: 1, 2: 1}."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    t = pa.table({
+        "l_suppkey": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "l_partkey": pa.array([10, 10, 11, 12], type=pa.int64()),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_parts_per_supplier_hist("unused").to_pandas() \
+            .set_index("n_parts")
+    assert int(out.loc[1, "n_suppliers"]) == 1
+    assert int(out.loc[2, "n_suppliers"]) == 1

@@ -4852,6 +4852,73 @@ def _bucket_skew_sql() -> str:
 BUCKET_SKEW_SQL = _bucket_skew_sql()
 
 
+def q_case_profile(sf_dir: str):
+    """Character-class profile per source — exact counts of uppercase,
+    lowercase, digit and other characters plus upper_ppm (share of
+    cased letters that are uppercase): the SHOUTING/boilerplate-case
+    audit (OCR dumps and scraped headers skew upper; a source whose
+    upper_ppm jumps changed its extractor).  One vectorized pandas
+    string pass per batch, a sources-sized exchange."""
+    import pandas as pd
+
+    ds = _docs(sf_dir, columns=("text", "source"))
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        t = df["text"]
+        up = t.str.count(r"[A-Z]").to_numpy().astype(np.int64)
+        lo = t.str.count(r"[a-z]").to_numpy().astype(np.int64)
+        dg = t.str.count(r"[0-9]").to_numpy().astype(np.int64)
+        tot = t.str.len().to_numpy().astype(np.int64)
+        g = pd.DataFrame(
+            {"source": df["source"].to_numpy(), "n_upper": up,
+             "n_lower": lo, "n_digit": dg,
+             "n_other": tot - up - lo - dg}
+        ).groupby("source", as_index=False).sum()
+        return g
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("n_upper", alias_name="n_upper"),
+                   Sum("n_lower", alias_name="n_lower"),
+                   Sum("n_digit", alias_name="n_digit"),
+                   Sum("n_other", alias_name="n_other"))
+        .to_pandas()
+    )
+    cased = (agg["n_upper"].to_numpy().astype(np.int64)
+             + agg["n_lower"].to_numpy().astype(np.int64))
+    agg["upper_ppm"] = np.where(
+        cased > 0,
+        agg["n_upper"].to_numpy().astype(np.int64) * 1_000_000
+        // np.maximum(cased, 1),
+        0)
+    return pa.Table.from_pandas(
+        agg.astype({c: np.int64 for c in agg.columns if c != "source"}),
+        preserve_index=False,
+    )
+
+
+CASE_PROFILE_SQL = (
+    "WITH c AS (SELECT source,"
+    " CAST(sum(length(regexp_replace(text, '[^A-Z]', '', 'g')))"
+    "  AS BIGINT) AS n_upper,"
+    " CAST(sum(length(regexp_replace(text, '[^a-z]', '', 'g')))"
+    "  AS BIGINT) AS n_lower,"
+    " CAST(sum(length(regexp_replace(text, '[^0-9]', '', 'g')))"
+    "  AS BIGINT) AS n_digit,"
+    " CAST(sum(length(regexp_replace(text, '[A-Za-z0-9]', '', 'g')))"
+    "  AS BIGINT) AS n_other"
+    " FROM documents GROUP BY source)"
+    " SELECT source, n_upper, n_lower, n_digit, n_other,"
+    " CAST(CASE WHEN n_upper + n_lower > 0 THEN"
+    "  n_upper * 1000000 // (n_upper + n_lower) ELSE 0 END AS BIGINT)"
+    "  AS upper_ppm"
+    " FROM c"
+)
+
+
 def q_nn_purity(sf_dir: str):
     """1-NN label purity — per label, how many vectors' nearest OTHER
     vector (fixed-point squared L2, ties -> lowest vec_id) shares their
@@ -5123,6 +5190,7 @@ DATA_QUERIES = {
     "embed_norm_deciles": (q_embed_norm_deciles, EMBED_NORM_DECILES_SQL),
     "nn_purity": (q_nn_purity, NN_PURITY_SQL),
     "bucket_skew": (q_bucket_skew, BUCKET_SKEW_SQL),
+    "case_profile": (q_case_profile, CASE_PROFILE_SQL),
     "dedup_keep_best": (q_dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "dup_rate_by_source": (q_dup_rate_by_source, DUP_RATE_BY_SOURCE_SQL),
     "dup_source_matrix": (q_dup_source_matrix, DUP_SOURCE_MATRIX_SQL),

@@ -9420,6 +9420,54 @@ WATERMARK_PICK_SQL = (
 )
 
 
+def q_parts_per_supplier_hist(sf_dir: str) -> "ray.data.Dataset":
+    """Supplier catalog-breadth histogram — how many suppliers ship
+    exactly k distinct parts: the assortment fan-out that bounds the
+    worst-case width of any supplier-side co-partition, dual to
+    ``lines_per_order_hist``'s order fan-out and ``supplier_hhi``'s
+    per-brand concentration.  Distinct (supp, part) pairs -> per-supp
+    distinct counts -> a histogram; every exchange pair- or
+    histogram-sized."""
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_suppkey", "l_partkey"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        assert pk.max(initial=0) < (1 << 31), "parts key packing"
+        key = np.unique(sk * (1 << 31) + pk)
+        return pa.table({"s": pa.array(key >> 31),
+                         "p": pa.array(key & ((1 << 31) - 1))})
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["s", "p"]).count()
+        .select_columns(["s"])
+        .groupby("s").count()
+        .map_batches(
+            lambda t: pa.table(
+                {"n_parts": pc.cast(t["count()"], pa.int64()),
+                 "one": pa.array(np.ones(len(t), dtype=np.int64))}),
+            batch_format="pyarrow")
+        .groupby("n_parts").aggregate(Sum("one", alias_name="n_suppliers"))
+    )
+    return hist.map_batches(
+        lambda t: t.rename_columns(["n_parts", "n_suppliers"]),
+        batch_format="pyarrow",
+    )
+
+
+PARTS_PER_SUPPLIER_HIST_SQL = (
+    "WITH u AS (SELECT l_suppkey,"
+    " CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts"
+    " FROM lineitem GROUP BY l_suppkey)"
+    " SELECT n_parts, CAST(count(*) AS BIGINT) AS n_suppliers"
+    " FROM u GROUP BY n_parts"
+)
+
+
 def q_gap_cluster(sf_dir: str) -> "pa.Table":
     """Inter-arrival clustering — the exact integer moments of
     consecutive per-user gap pairs (g_t, g_{t+1}) in whole seconds,
@@ -13294,6 +13342,9 @@ CORE_QUERIES = {
     ),
     "bigram_code_bits": (q_bigram_code_bits, BIGRAM_CODE_BITS_SQL),
     "gap_cluster": (q_gap_cluster, GAP_CLUSTER_SQL),
+    "parts_per_supplier_hist": (
+        q_parts_per_supplier_hist, PARTS_PER_SUPPLIER_HIST_SQL
+    ),
     "lang_source_mix": (q_lang_source_mix, LANG_SOURCE_MIX_SQL),
     "order_value_delta": (q_order_value_delta, ORDER_VALUE_DELTA_SQL),
     "fav_type_dist": (q_fav_type_dist, FAV_TYPE_DIST_SQL),
