@@ -4675,3 +4675,50 @@ def test_parts_per_supplier_hist_hand_checked():
             .set_index("n_parts")
     assert int(out.loc[1, "n_suppliers"]) == 1
     assert int(out.loc[2, "n_suppliers"]) == 1
+
+
+def test_kmeans3_converges_on_planted_clusters():
+    """Two tight planted clusters: after three Lloyd iterations the two
+    nearest seeded centroids must land exactly on the cluster means
+    (fixed-point floor(mean + 1/2)), with the right member counts, and
+    every empty cluster must keep its seed centroid."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    rng = np.random.default_rng(5)
+    a = rng.normal(0.5, 0.01, (20, 64)).astype(np.float32)
+    b = rng.normal(-0.5, 0.01, (20, 64)).astype(np.float32)
+    vecs = np.vstack([a, b])
+    t = pa.table({
+        "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+        "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+    })
+    with mock.patch.object(dq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = dq.q_kmeans3("unused").to_pandas()
+    counts = out.groupby("cluster")["cnt"].first()
+    occupied = counts[counts > 0]
+    assert sorted(occupied) == [20, 20]
+    # occupied centroids = exact fixed-point means of their members
+    q = np.floor(vecs.astype(np.float64) * (1 << 20) + 0.5).astype(np.int64)
+    means = {0: q[:20], 1: q[20:]}
+    got = {cl: out[out["cluster"] == cl].sort_values("i")["w"].to_numpy()
+           for cl in occupied.index}
+    matched = 0
+    for cl, w in got.items():
+        for m in means.values():
+            s = m.sum(axis=0)
+            n = len(m)
+            exact = np.floor_divide(2 * s + n, 2 * n)
+            if (w == exact).all():
+                matched += 1
+                break
+    assert matched == 2
+    # empty clusters keep the seed codebook rows
+    seed = dq._kmeans_codebook()
+    for cl in counts[counts == 0].index:
+        w = out[out["cluster"] == cl].sort_values("i")["w"].to_numpy()
+        assert (w == seed[int(cl)]).all()

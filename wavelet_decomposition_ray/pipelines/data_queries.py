@@ -4852,6 +4852,132 @@ def _bucket_skew_sql() -> str:
 BUCKET_SKEW_SQL = _bucket_skew_sql()
 
 
+KMEANS3_ITERS = 3
+
+
+def q_kmeans3(sf_dir: str):
+    """Three full Lloyd iterations — the ITERATIVE distributed algorithm
+    showcase: starting from the deterministic seeded codebook, run
+    assign -> update three times and return the final fixed-point
+    centroids with their member counts.  Each iteration is ONE
+    streaming corpus scan (the kmeans_update kernel: int64 matmul
+    assignment + K x 64 scatter partials, only K x 64 rows reach the
+    groupby) with the refreshed codebook re-broadcast via ray.put;
+    centroid rounding is floor(mean + 1/2) in pure integers
+    (floor_divide(2·qsum + cnt, 2·cnt), the ncm_confusion convention),
+    and EMPTY clusters keep their previous centroid.  The SQL twin
+    unrolls the same three passes as chained CTEs — convergence is a
+    property you can now value-check, not just assert."""
+    import pandas as pd
+
+    qc = _kmeans_codebook().copy()
+    K, D = qc.shape
+    last_cnt = np.zeros(K, dtype=np.int64)
+
+    for _ in range(KMEANS3_ITERS):
+        qc_ref = ray.put((qc, (qc * qc).sum(axis=1)))
+
+        def partial(t: pa.Table) -> pa.Table:
+            cb, nrm = ray.get(qc_ref)
+            m = sim.embedding_matrix(t).astype(np.float64)
+            qx = np.floor(m * float(_QSCALE) + 0.5).astype(np.int64)
+            cl = np.argmin(nrm[None, :] - 2 * (qx @ cb.T), axis=1)
+            sums = np.zeros((K, D), dtype=np.int64)
+            np.add.at(sums, cl, qx)
+            cnt = np.bincount(cl, minlength=K).astype(np.int64)
+            keep = np.repeat(cnt > 0, D)
+            return pa.table(
+                {"cluster": pa.array(
+                    np.repeat(np.arange(K, dtype=np.int64), D)[keep]),
+                 "i": pa.array(np.tile(
+                     np.arange(1, D + 1, dtype=np.int64), K)[keep]),
+                 "qsum": pa.array(sums.ravel()[keep]),
+                 "cnt": pa.array(np.repeat(cnt, D)[keep])}
+            )
+
+        agg = (
+            _emb(sf_dir)
+            .map_batches(partial, batch_format="pyarrow", batch_size=1024)
+            .groupby(["cluster", "i"]).sum(["qsum", "cnt"])
+            .to_pandas()  # K x 64 rows
+        )
+        qsum = np.zeros((K, D), dtype=np.int64)
+        cnt = np.zeros(K, dtype=np.int64)
+        ci = agg["cluster"].to_numpy().astype(np.int64)
+        di = agg["i"].to_numpy().astype(np.int64) - 1
+        qsum[ci, di] = agg["sum(qsum)"].to_numpy().astype(np.int64)
+        cnt[ci] = agg["sum(cnt)"].to_numpy().astype(np.int64)
+        nz = cnt > 0
+        newc = qc.copy()
+        newc[nz] = np.floor_divide(
+            2 * qsum[nz] + cnt[nz, None], 2 * cnt[nz, None])
+        qc, last_cnt = newc, cnt
+
+    rows = pd.DataFrame(
+        {"cluster": np.repeat(np.arange(K, dtype=np.int64), D),
+         "i": np.tile(np.arange(1, D + 1, dtype=np.int64), K),
+         "w": qc.ravel(),
+         "cnt": np.repeat(last_cnt, D)})
+    return pa.Table.from_pandas(rows, preserve_index=False)
+
+
+def _kmeans3_sql() -> str:
+    """Unrolled three-iteration Lloyd oracle: chained CTEs, each level =
+    assignment (exact integer argmin, ties -> lowest cluster) + update
+    (floor(mean + 1/2) with the non-negative-mod floor correction,
+    empty clusters COALESCE to the previous centroid)."""
+    qc = _kmeans_codebook()
+    K, D = qc.shape
+    vals = ", ".join(
+        f"({cl}, {i + 1}, {int(qc[cl, i])})"
+        for cl in range(K) for i in range(D)
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id,"
+        f" CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_QSCALE}.0"
+        "  + 0.5) AS BIGINT) AS qv,"
+        " CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i"
+        " FROM embeddings),"
+        " c0(cl, i, w) AS (SELECT cl, i, CAST(w AS BIGINT)"
+        f"  FROM (VALUES {vals}) t(cl, i, w))"
+    ]
+    for t in range(KMEANS3_ITERS):
+        parts.append(
+            f", n{t} AS (SELECT cl, sum(w * w) AS nrm FROM c{t}"
+            " GROUP BY cl)"
+            f", d{t} AS (SELECT e.vec_id, c.cl, sum(e.qv * c.w) AS dot"
+            f"  FROM e JOIN c{t} c ON c.i = e.i GROUP BY e.vec_id, c.cl)"
+            f", a{t} AS (SELECT vec_id, cl FROM ("
+            f"  SELECT d.vec_id, d.cl, row_number() OVER ("
+            "    PARTITION BY d.vec_id"
+            "    ORDER BY n.nrm - 2 * d.dot, d.cl) AS rn"
+            f"  FROM d{t} d JOIN n{t} n USING (cl)) WHERE rn = 1)"
+            f", u{t} AS (SELECT a.cl, e.i, sum(e.qv) AS qsum,"
+            "   CAST(count(*) AS BIGINT) AS cnt"
+            f"  FROM a{t} a JOIN e ON e.vec_id = a.vec_id"
+            "  GROUP BY a.cl, e.i)"
+            f", c{t + 1} AS (SELECT cp.cl, cp.i,"
+            "   CASE WHEN u.cnt IS NULL THEN cp.w ELSE"
+            "    (2 * u.qsum + u.cnt"
+            "     - ((((2 * u.qsum + u.cnt) % (2 * u.cnt)) + 2 * u.cnt)"
+            "        % (2 * u.cnt))) // (2 * u.cnt) END AS w"
+            f"  FROM c{t} cp LEFT JOIN u{t} u"
+            "   ON u.cl = cp.cl AND u.i = cp.i)"
+        )
+    last = KMEANS3_ITERS
+    parts.append(
+        f" SELECT c.cl AS cluster, CAST(c.i AS BIGINT) AS i,"
+        " CAST(c.w AS BIGINT) AS w,"
+        " CAST(COALESCE(k.cnt, 0) AS BIGINT) AS cnt"
+        f" FROM c{last} c LEFT JOIN (SELECT cl, max(cnt) AS cnt"
+        f"  FROM u{last - 1} GROUP BY cl) k ON k.cl = c.cl"
+    )
+    return "".join(parts)
+
+
+KMEANS3_SQL = _kmeans3_sql()
+
+
 def q_case_profile(sf_dir: str):
     """Character-class profile per source — exact counts of uppercase,
     lowercase, digit and other characters plus upper_ppm (share of
@@ -5191,6 +5317,7 @@ DATA_QUERIES = {
     "nn_purity": (q_nn_purity, NN_PURITY_SQL),
     "bucket_skew": (q_bucket_skew, BUCKET_SKEW_SQL),
     "case_profile": (q_case_profile, CASE_PROFILE_SQL),
+    "kmeans3": (q_kmeans3, KMEANS3_SQL),
     "dedup_keep_best": (q_dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "dup_rate_by_source": (q_dup_rate_by_source, DUP_RATE_BY_SOURCE_SQL),
     "dup_source_matrix": (q_dup_source_matrix, DUP_SOURCE_MATRIX_SQL),
