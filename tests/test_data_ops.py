@@ -4689,8 +4689,11 @@ def test_kmeans3_converges_on_planted_clusters():
     from wavelet_decomposition_ray.pipelines import data_queries as dq
 
     rng = np.random.default_rng(5)
-    a = rng.normal(0.5, 0.01, (20, 64)).astype(np.float32)
-    b = rng.normal(-0.5, 0.01, (20, 64)).astype(np.float32)
+    seed = dq._kmeans_codebook().astype(np.float64) / (1 << 20)
+    # plant each cluster ON a distinct seed codeword so the first
+    # assignment deterministically splits them
+    a = (seed[0] + rng.normal(0, 0.005, (20, 64))).astype(np.float32)
+    b = (seed[1] + rng.normal(0, 0.005, (20, 64))).astype(np.float32)
     vecs = np.vstack([a, b])
     t = pa.table({
         "vec_id": pa.array(np.arange(40, dtype=np.int64)),
