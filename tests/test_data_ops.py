@@ -4725,3 +4725,48 @@ def test_kmeans3_converges_on_planted_clusters():
     for cl in counts[counts == 0].index:
         w = out[out["cluster"] == cl].sort_values("i")["w"].to_numpy()
         assert (w == seed[int(cl)]).all()
+
+
+def test_arrival_dispersion_hand_checked():
+    """Cell (Thursday=dow 3, hod 0) observed on epoch days 0 and 7 with
+    counts 2 and 4 -> k=2, sum 6, sumsq 20."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    day = 86_400_000_000
+    ts = np.array([0, 0, 7 * day, 7 * day, 7 * day, 7 * day],
+                  dtype=np.int64)
+    t = pa.table({"ts": pa.array(ts, type=pa.timestamp("us"))})
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_arrival_dispersion("unused").to_pandas().set_index(
+            ["dow", "hod"])
+    r = out.loc[(3, 0)]
+    assert (int(r["k"]), int(r["sum_c"]), int(r["sum_c2"])) == (2, 6, 20)
+
+
+def test_volume_rhythm_hand_checked():
+    """Daily counts [2, 0, 2, 0] over days 0..3 (day 1 and 3 missing ->
+    zero-filled): lag 1 pairs (2,0),(0,2),(2,0) -> sxy=0, sxx=8, syy=4;
+    lag 7 has no pairs."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    day = 86_400_000_000
+    ts = np.array([0, 0, 2 * day, 2 * day, 3 * day], dtype=np.int64)
+    # counts: day0=2, day2=2, day3=1 -> dense [2, 0, 2, 1]
+    t = pa.table({"ts": pa.array(ts, type=pa.timestamp("us"))})
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_volume_rhythm("unused").to_pandas().set_index("lag")
+    l1 = out.loc[1]
+    # pairs (2,0), (0,2), (2,1): sx=4, sy=3, sxy=2, sxx=8, syy=5
+    assert (int(l1["n"]), int(l1["sx"]), int(l1["sy"]), int(l1["sxy"]),
+            int(l1["sxx"]), int(l1["syy"])) == (3, 4, 3, 2, 8, 5)
+    assert int(out.loc[7, "n"]) == 0

@@ -9420,6 +9420,151 @@ WATERMARK_PICK_SQL = (
 )
 
 
+def q_arrival_dispersion(sf_dir: str) -> "pa.Table":
+    """Arrival-process dispersion per week-hour — for every (day-of-
+    week, hour-of-day) cell, the number of observed calendar days k and
+    the exact Σc / Σc² of that cell's per-day event counts: the Fano
+    ingredients (variance/mean > 1 ⟺ k·Σc² > Σc² + Σc·Σc... computed
+    by the consumer from these integers) that tell a capacity model
+    whether arrivals are Poisson-ish or bursty AT THE SAME clock hour
+    across weeks — ``punchcard`` sums the cell, this measures its
+    week-to-week stability.  One (day × 24)-sized exchange, a 168-row
+    driver fold."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts_us // _DAY_US
+        hod = (ts_us // HOUR_US) % 24
+        key = day * 24 + hod
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"dh": pa.array(uk),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dh").aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # (active day x hour)-sized
+    )
+    dh = cells["dh"].to_numpy().astype(np.int64)
+    c = cells["c"].to_numpy().astype(np.int64)
+    day = dh // 24
+    dow = (day + 3) % 7
+    hod = dh % 24
+    g = pd.DataFrame({"dow": dow, "hod": hod, "c": c}).groupby(
+        ["dow", "hod"], as_index=False).agg(
+        k=("c", "size"), sum_c=("c", "sum"),
+        sum_c2=("c", lambda v: int((v.to_numpy() ** 2).sum())))
+    g["k"] = g["k"].astype(np.int64)
+    return pa.Table.from_pandas(
+        g.astype({"dow": np.int64, "hod": np.int64, "k": np.int64,
+                  "sum_c": np.int64, "sum_c2": np.int64}),
+        preserve_index=False,
+    )
+
+
+ARRIVAL_DISPERSION_SQL = (
+    "WITH d AS (SELECT"
+    f" epoch_us(ts) // {_DAY_US} AS day,"
+    f" (epoch_us(ts) // {HOUR_US}) % 24 AS hod, count(*) AS c"
+    " FROM events GROUP BY day, hod)"
+    " SELECT CAST((day + 3) % 7 AS BIGINT) AS dow,"
+    " CAST(hod AS BIGINT) AS hod, CAST(count(*) AS BIGINT) AS k,"
+    " CAST(sum(c) AS BIGINT) AS sum_c,"
+    " CAST(sum(c * c) AS BIGINT) AS sum_c2"
+    " FROM d GROUP BY dow, hod"
+)
+
+
+VOLUME_RHYTHM_LAGS = (1, 7)
+
+
+def q_volume_rhythm(sf_dir: str) -> "pa.Table":
+    """Volume-rhythm autocorrelation — for lag 1 and lag 7 (weekly),
+    the exact Pearson component sums over the consecutive-CALENDAR-day
+    total-count series (missing days count 0, so the lag alignment is
+    true calendar arithmetic): n, Σx, Σy, Σxy, Σx², Σy².  A strong
+    lag-7 numerator n·Σxy − Σx·Σy is the is-there-a-weekly-cycle test
+    on load itself — ``autocorr_lags`` does this per sequence, this
+    does it for the event stream's own arrival volume.  One active-
+    days-sized exchange; the dense calendar series and both lag folds
+    are a driver array op."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(ts_us // _DAY_US, return_counts=True)
+        return pa.table({"day": pa.array(uk),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    days = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day").aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    d = days["day"].to_numpy().astype(np.int64)
+    c = days["c"].to_numpy().astype(np.int64)
+    lo, hi = int(d.min()), int(d.max())
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[d - lo] = c
+    rows = []
+    for lag in VOLUME_RHYTHM_LAGS:
+        if len(dense) <= lag:
+            rows.append((lag, 0, 0, 0, 0, 0, 0))
+            continue
+        x, y = dense[:-lag], dense[lag:]
+        rows.append((lag, len(x), int(x.sum()), int(y.sum()),
+                     int((x * y).sum()), int((x * x).sum()),
+                     int((y * y).sum())))
+    out = pd.DataFrame(rows, columns=["lag", "n", "sx", "sy", "sxy",
+                                      "sxx", "syy"])
+    return pa.Table.from_pandas(
+        out.astype({col: np.int64 for col in out.columns}),
+        preserve_index=False,
+    )
+
+
+def _volume_rhythm_sql() -> str:
+    legs = []
+    for lag in VOLUME_RHYTHM_LAGS:
+        legs.append(
+            f"SELECT CAST({lag} AS BIGINT) AS lag,"
+            " CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,"
+            " CAST(sum(x * y) AS BIGINT) AS sxy,"
+            " CAST(sum(x * x) AS BIGINT) AS sxx,"
+            " CAST(sum(y * y) AS BIGINT) AS syy"
+            " FROM (SELECT COALESCE(a.c, 0) AS x, COALESCE(b.c, 0) AS y"
+            "  FROM g CROSS JOIN cal"
+            "  LEFT JOIN h a ON a.day = cal.day"
+            f"  LEFT JOIN h b ON b.day = cal.day + {lag}"
+            f"  WHERE cal.day + {lag} <= g.hi)"
+        )
+    u = " UNION ALL ".join(legs)
+    return (
+        "WITH h AS (SELECT"
+        f" epoch_us(ts) // {_DAY_US} AS day, count(*) AS c FROM events"
+        "  GROUP BY day),"
+        " g AS (SELECT min(day) AS lo, max(day) AS hi FROM h),"
+        " cal AS (SELECT g.lo + CAST(t.i AS BIGINT) AS day FROM g,"
+        "  UNNEST(range(0, CAST(g.hi - g.lo + 1 AS INTEGER))) AS t(i))"
+        f" {u}"
+    )
+
+
+VOLUME_RHYTHM_SQL = _volume_rhythm_sql()
+
+
 def q_parts_per_supplier_hist(sf_dir: str) -> "ray.data.Dataset":
     """Supplier catalog-breadth histogram — how many suppliers ship
     exactly k distinct parts: the assortment fan-out that bounds the
@@ -13345,6 +13490,10 @@ CORE_QUERIES = {
     "parts_per_supplier_hist": (
         q_parts_per_supplier_hist, PARTS_PER_SUPPLIER_HIST_SQL
     ),
+    "arrival_dispersion": (
+        q_arrival_dispersion, ARRIVAL_DISPERSION_SQL
+    ),
+    "volume_rhythm": (q_volume_rhythm, VOLUME_RHYTHM_SQL),
     "lang_source_mix": (q_lang_source_mix, LANG_SOURCE_MIX_SQL),
     "order_value_delta": (q_order_value_delta, ORDER_VALUE_DELTA_SQL),
     "fav_type_dist": (q_fav_type_dist, FAV_TYPE_DIST_SQL),
