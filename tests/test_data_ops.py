@@ -4770,3 +4770,43 @@ def test_volume_rhythm_hand_checked():
     assert (int(l1["n"]), int(l1["sx"]), int(l1["sy"]), int(l1["sxy"]),
             int(l1["sxx"]), int(l1["syy"])) == (3, 4, 3, 2, 8, 5)
     assert int(out.loc[7, "n"]) == 0
+
+
+def test_revenue_concentration_hand_checked():
+    """1970: customer 1 books 300 cents (two orders), customer 2 books
+    100 -> n_cust 2, cents 400, sum_sq 300^2 + 100^2."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    t = pa.table({
+        "o_custkey": pa.array([1, 1, 2], type=pa.int64()),
+        "o_orderdate": pa.array(np.zeros(3, dtype=np.int64),
+                                type=pa.timestamp("us")),
+        "o_totalprice": pa.array([1.0, 2.0, 1.0]),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_revenue_concentration("unused").to_pandas().iloc[0]
+    assert (int(out["year"]), int(out["n_cust"]), int(out["cents"]),
+            int(out["sum_sq"])) == (1970, 2, 400, 90_000 + 10_000)
+
+
+def test_round_bias_hand_checked():
+    """Values 1.00, 2.50, 10.00 -> cents 100, 250, 1000: two multiples
+    of 100, one of 1000."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    t = pa.table({"event_type": pa.array(["A"] * 3),
+                  "value": pa.array([1.0, 2.5, 10.0])})
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_round_bias("unused").to_pandas().set_index("event_type")
+    assert (int(out.loc["A", "n"]), int(out.loc["A", "n_round100"]),
+            int(out.loc["A", "n_round1000"])) == (3, 2, 1)

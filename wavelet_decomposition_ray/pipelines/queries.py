@@ -9420,6 +9420,118 @@ WATERMARK_PICK_SQL = (
 )
 
 
+def q_revenue_concentration(sf_dir: str) -> "pa.Table":
+    """Revenue concentration per year — customers with orders, total
+    cents and the Herfindahl numerator Σ(per-customer cents)² for each
+    order year: whale-dependence over time (a rising sum_sq/cents²
+    means fewer customers carry the book — pricing and churn risk in
+    one integer table; ``supplier_hhi``'s lens pointed at the demand
+    side).  One (customer × year)-sized partial groupby, then a
+    years-sized fold."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = pd.DataFrame(
+            {"ck": df["o_custkey"].to_numpy(),
+             "year": df["o_orderdate"].dt.year.to_numpy().astype(np.int64),
+             "cents": np.rint(df["o_totalprice"].to_numpy() * 100)
+             .astype(np.int64)}
+        ).groupby(["ck", "year"], as_index=False)["cents"].sum()
+        return g
+
+    from ray.data.aggregate import Sum
+
+    cells = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["ck", "year"]).aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()  # customers x years
+    )
+    rows = []
+    for yr, grp in cells.groupby("year"):
+        c = grp["cents"].to_numpy().astype(np.int64)
+        ssq = sum(int(v) * int(v) for v in c)  # exact object ints
+        assert ssq < (1 << 63), "revenue_concentration int64 guard"
+        rows.append((int(yr), len(c), int(c.sum()), ssq))
+    out = pd.DataFrame(rows, columns=["year", "n_cust", "cents",
+                                      "sum_sq"])
+    return pa.Table.from_pandas(
+        out.astype({c: np.int64 for c in out.columns}),
+        preserve_index=False,
+    )
+
+
+REVENUE_CONCENTRATION_SQL = (
+    "WITH c AS (SELECT o_custkey,"
+    " CAST(year(o_orderdate) AS BIGINT) AS year,"
+    " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+    "  AS cents"
+    " FROM orders GROUP BY o_custkey, year)"
+    " SELECT year, CAST(count(*) AS BIGINT) AS n_cust,"
+    " CAST(sum(cents) AS BIGINT) AS cents,"
+    " CAST(sum(CAST(cents AS HUGEINT) * cents) AS BIGINT) AS sum_sq"
+    " FROM c GROUP BY year"
+)
+
+
+def q_round_bias(sf_dir: str) -> "ray.data.Dataset":
+    """Round-number bias per event type — of each type's cent values,
+    how many are exact multiples of 100 (whole currency units) and of
+    1000: the data-entry / synthetic-data artifact detector (human-
+    typed and templated numbers cluster on round values; organic
+    measurements don't) — the trailing-digit complement to
+    ``benford_digits``' leading-digit audit.  One pre-aggregated pass,
+    a types-sized exchange."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        tok = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame(
+            {"event_type": df["event_type"].to_numpy(),
+             "r100": (tok % 100 == 0).astype(np.int64),
+             "r1000": (tok % 1000 == 0).astype(np.int64)}
+        ).groupby("event_type", as_index=False).agg(
+            pn=("r100", "size"), p100=("r100", "sum"),
+            p1000=("r1000", "sum"))
+        g["pn"] = g["pn"].astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("pn", alias_name="n"),
+                   Sum("p100", alias_name="n_round100"),
+                   Sum("p1000", alias_name="n_round1000"))
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(
+            ["event_type", "n", "n_round100", "n_round1000"]),
+        batch_format="pyarrow",
+    )
+
+
+ROUND_BIAS_SQL = (
+    "WITH e AS (SELECT event_type,"
+    " CAST(round(value * 100) AS BIGINT) AS tok FROM events)"
+    " SELECT event_type, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(sum(CASE WHEN tok % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS n_round100,"
+    " CAST(sum(CASE WHEN tok % 1000 = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS n_round1000"
+    " FROM e GROUP BY event_type"
+)
+
+
 def q_arrival_dispersion(sf_dir: str) -> "pa.Table":
     """Arrival-process dispersion per week-hour — for every (day-of-
     week, hour-of-day) cell, the number of observed calendar days k and
@@ -13493,6 +13605,10 @@ CORE_QUERIES = {
     "arrival_dispersion": (
         q_arrival_dispersion, ARRIVAL_DISPERSION_SQL
     ),
+    "revenue_concentration": (
+        q_revenue_concentration, REVENUE_CONCENTRATION_SQL
+    ),
+    "round_bias": (q_round_bias, ROUND_BIAS_SQL),
     "volume_rhythm": (q_volume_rhythm, VOLUME_RHYTHM_SQL),
     "lang_source_mix": (q_lang_source_mix, LANG_SOURCE_MIX_SQL),
     "order_value_delta": (q_order_value_delta, ORDER_VALUE_DELTA_SQL),
