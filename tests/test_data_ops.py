@@ -4810,3 +4810,52 @@ def test_round_bias_hand_checked():
         out = cq.q_round_bias("unused").to_pandas().set_index("event_type")
     assert (int(out.loc["A", "n"]), int(out.loc["A", "n_round100"]),
             int(out.loc["A", "n_round1000"])) == (3, 2, 1)
+
+
+def test_fulfillment_bands_hand_checked():
+    """Gaps of 3 and 8 days -> p50 = rank 1 = 3, p90 = rank 2 = 8."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    day = 86_400_000_000
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2], type=pa.int64()),
+        "o_orderdate": pa.array(np.array([0, 0], dtype=np.int64),
+                                type=pa.timestamp("us")),
+    })
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2], type=pa.int64()),
+        "l_shipdate": pa.array(
+            np.array([day, 3 * day, 8 * day], dtype=np.int64),
+            type=pa.timestamp("us")),
+    })
+
+    def fake(path, columns=None, **kw):
+        return ray.data.from_arrow(li if "lineitem" in path else orders)
+
+    with mock.patch.object(cq.ray.data, "read_parquet", fake):
+        out = cq.q_fulfillment_bands("unused").to_pandas().iloc[0]
+    assert (int(out["n_orders"]), int(out["p50_days"]),
+            int(out["p90_days"]), int(out["max_days"])) == (2, 3, 8, 8)
+
+
+def test_delta_code_bits_hand_checked():
+    """Doc [5, 6, 7, 9]: deltas [1, 1, 2] -> rank 1 (delta 1, 2 uses,
+    1 bit each) + rank 2 (delta 2, 3 bits) = 5 bits; doc boundary
+    contributes no delta."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    t = pa.table({"doc_id": ["a", "b"], "tokens": [[5, 6, 7, 9], [100]],
+                  "source": ["s", "s"]})
+    with mock.patch.object(cq, "_seq_ds",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_delta_code_bits("unused").to_pandas().iloc[0]
+    assert (int(out["n_deltas"]), int(out["n_distinct"]),
+            int(out["total_bits"])) == (3, 2, 5)

@@ -9420,6 +9420,138 @@ WATERMARK_PICK_SQL = (
 )
 
 
+def q_fulfillment_bands(sf_dir: str) -> "pa.Table":
+    """Order-fulfillment latency envelope — exact p50/p90/max of
+    (last lineitem ship day − order day) over fully-joined orders: the
+    delivery-SLO table (the per-order intervals ``backlog_peak`` sweeps
+    are here reduced to their duration distribution; rank = ceil(q·n),
+    `_hist_rank_pick`).  Per-order ship-completion from a partial-max
+    groupby, the order-date join via a second orders-sized pass, the
+    envelope from a distinct-days histogram."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max
+
+    ships = (
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_shipdate"])
+        .map_batches(
+            lambda df: df.assign(
+                sd=df["l_shipdate"].to_numpy()
+                .astype("datetime64[us]").astype(np.int64) // _DAY_US)
+            .groupby("l_orderkey", as_index=False)["sd"].max(),
+            batch_format="pandas")
+        .groupby("l_orderkey").aggregate(Max("sd", alias_name="sd"))
+        .to_pandas()  # orders-sized
+    )
+    odays = (
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_orderdate"])
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {"o_orderkey": df["o_orderkey"].to_numpy(),
+                 "od": df["o_orderdate"].to_numpy()
+                 .astype("datetime64[us]").astype(np.int64) // _DAY_US}),
+            batch_format="pandas")
+        .to_pandas()
+    )
+    m = odays.merge(ships, left_on="o_orderkey", right_on="l_orderkey")
+    gap = (m["sd"].to_numpy().astype(np.int64)
+           - m["od"].to_numpy().astype(np.int64))
+    uk, cnt = np.unique(gap, return_counts=True)
+    total, pick = _hist_rank_pick(uk, cnt.astype(np.int64))
+    out = pd.DataFrame(
+        {"n_orders": np.array([total], dtype=np.int64),
+         "p50_days": np.array([pick(1, 2)], dtype=np.int64),
+         "p90_days": np.array([pick(9, 10)], dtype=np.int64),
+         "max_days": np.array([int(uk[-1])], dtype=np.int64)})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+FULFILLMENT_BANDS_SQL = (
+    "WITH s AS (SELECT l_orderkey,"
+    f" max(epoch_us(l_shipdate) // {86_400_000_000}) AS sd"
+    " FROM lineitem GROUP BY l_orderkey),"
+    " g AS (SELECT sd - epoch_us(o_orderdate)"
+    f" // {86_400_000_000} AS gap FROM orders"
+    "  JOIN s ON s.l_orderkey = o_orderkey)"
+    " SELECT CAST(count(*) AS BIGINT) AS n_orders,"
+    " CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_days,"
+    " CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90_days,"
+    " CAST(max(gap) AS BIGINT) AS max_days FROM g"
+)
+
+
+def q_delta_code_bits(sf_dir: str) -> "pa.Table":
+    """Delta-coding budget — the Elias-gamma rank-coding bits of the
+    within-doc FIRST-DIFFERENCE distribution (rank over signed delta
+    values, ties -> smaller delta): with ``rank_code_bits`` (raw) and
+    ``bigram_code_bits`` (context) this completes the codec triangle —
+    raw vs delta vs contextual — so the storage planner can read which
+    transform pays BEFORE implementing it (the measured rationale
+    behind the DOD encoder's design).  One distinct-delta histogram
+    exchange."""
+    import pandas as pd
+
+    ds = _seq_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, off = list_to_numpy(t["tokens"])
+        v = vals.astype(np.int64)
+        e = pa.array([], type=pa.int64())
+        if len(v) < 2:
+            return pa.table({"d": e, "cnt": e})
+        n = np.diff(off)
+        same = np.ones(len(v) - 1, dtype=bool)
+        same[np.cumsum(n)[:-1] - 1] = False
+        uk, cnt = np.unique((v[1:] - v[:-1])[same], return_counts=True)
+        return pa.table({"d": pa.array(uk),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("d").aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    hist = hist.sort_values(["cnt", "d"], ascending=[False, True],
+                            kind="mergesort")
+    c = hist["cnt"].to_numpy().astype(np.int64)
+    rank = np.arange(1, len(c) + 1, dtype=np.int64)
+    lg = np.frompyfunc(lambda r: int(r).bit_length() - 1, 1, 1)(rank) \
+        .astype(np.int64)
+    out = pd.DataFrame(
+        {"n_deltas": np.array([int(c.sum())], dtype=np.int64),
+         "n_distinct": np.array([len(c)], dtype=np.int64),
+         "total_bits": np.array([int((c * (2 * lg + 1)).sum())],
+                                dtype=np.int64)})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _delta_code_sql() -> str:
+    pows = ", ".join(f"({k}, {1 << k})" for k in range(1, 43))
+    return (
+        f"{_FLAT_CTE},"
+        " dl AS (SELECT tok - lag(tok) OVER"
+        "  (PARTITION BY doc_id ORDER BY pos) AS d FROM flat),"
+        " h AS (SELECT d, count(*) AS cnt FROM dl"
+        "  WHERE d IS NOT NULL GROUP BY d),"
+        " r AS (SELECT cnt, row_number() OVER"
+        "  (ORDER BY cnt DESC, d) AS rnk FROM h),"
+        f" p(k, v) AS (VALUES {pows}),"
+        " b AS (SELECT cnt, (SELECT min(k) FROM p WHERE rnk < v) - 1"
+        "  AS lg FROM r)"
+        " SELECT CAST(sum(cnt) AS BIGINT) AS n_deltas,"
+        " CAST(count(*) AS BIGINT) AS n_distinct,"
+        " CAST(sum(cnt * (2 * lg + 1)) AS BIGINT) AS total_bits"
+        " FROM b"
+    )
+
+
+DELTA_CODE_BITS_SQL = _delta_code_sql()
+
+
 def q_revenue_concentration(sf_dir: str) -> "pa.Table":
     """Revenue concentration per year — customers with orders, total
     cents and the Herfindahl numerator Σ(per-customer cents)² for each
@@ -13609,6 +13741,8 @@ CORE_QUERIES = {
         q_revenue_concentration, REVENUE_CONCENTRATION_SQL
     ),
     "round_bias": (q_round_bias, ROUND_BIAS_SQL),
+    "fulfillment_bands": (q_fulfillment_bands, FULFILLMENT_BANDS_SQL),
+    "delta_code_bits": (q_delta_code_bits, DELTA_CODE_BITS_SQL),
     "volume_rhythm": (q_volume_rhythm, VOLUME_RHYTHM_SQL),
     "lang_source_mix": (q_lang_source_mix, LANG_SOURCE_MIX_SQL),
     "order_value_delta": (q_order_value_delta, ORDER_VALUE_DELTA_SQL),
