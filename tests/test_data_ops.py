@@ -4859,3 +4859,76 @@ def test_delta_code_bits_hand_checked():
         out = cq.q_delta_code_bits("unused").to_pandas().iloc[0]
     assert (int(out["n_deltas"]), int(out["n_distinct"]),
             int(out["total_bits"])) == (3, 2, 5)
+
+
+def test_max_quiet_cross_day_boundary():
+    """The longest silence spans a day boundary (end of day 0 to midday
+    day 2): the stitched cross-day gap must beat every within-day gap,
+    and its start is the LAST event before the silence.  A single-event
+    type emits nothing (no gap exists)."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    day, hr = 86_400_000_000, 3_600_000_000
+    rows = [  # (event_id, ts, type)
+        (0, 0, "A"), (1, 2 * hr, "A"),           # day 0: gap 2h
+        (2, 2 * day + 12 * hr, "A"),             # silence ~2.4 days
+        (3, 2 * day + 13 * hr, "A"),
+        (4, 5 * day, "lonely"),                  # single event
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], dtype=np.int64),
+                       type=pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_max_quiet("unused").to_pandas().set_index("event_type")
+    a = out.loc["A"]
+    assert int(a["max_gap_s"]) == (2 * day + 10 * hr) // 1_000_000
+    assert int(a["gap_start_us"]) == 2 * hr
+    assert "lonely" not in out.index
+
+
+def test_pq_distortion_codebook_rows_are_exact():
+    """Vectors that ARE codebook entries reconstruct with zero error;
+    per-subspace totals account for every vector."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.functions import similarity as sim
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(0, 1, (sim.PQ_K, 64)).astype(np.float32)
+    extra = rng.normal(0, 1, (5, 64)).astype(np.float32)
+    vecs = np.vstack([base, extra])
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+        "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+    })
+
+    def fake2(path, columns=None, filter=None, **kw):
+        # the codebook read passes a pyarrow filter; emulate it directly
+        if filter is not None:
+            keep = t.to_pandas()["vec_id"] < sim.PQ_K
+            return ray.data.from_arrow(
+                pa.Table.from_pandas(t.to_pandas()[keep],
+                                     preserve_index=False))
+        return ray.data.from_arrow(t)
+
+    with mock.patch.object(dq.ray.data, "read_parquet", fake2):
+        out = dq.q_pq_distortion("unused").to_pandas()
+    assert len(out) == sim.PQ_M
+    assert (out["n_vectors"] == len(vecs)).all()
+    # with PQ_K codebook rows included verbatim, error comes only from
+    # the 5 extras: err for each subspace is finite and >= 0; codebook
+    # rows contribute 0, so err_sq < what the extras alone could ever
+    # exceed -- just pin non-negativity and that SOME subspace has error
+    assert (out["err_sq"] >= 0).all()
+    assert int(out["err_sq"].sum()) > 0

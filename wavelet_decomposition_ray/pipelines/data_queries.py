@@ -4852,6 +4852,68 @@ def _bucket_skew_sql() -> str:
 BUCKET_SKEW_SQL = _bucket_skew_sql()
 
 
+def q_pq_distortion(sf_dir: str):
+    """PQ reconstruction distortion per subspace — n vectors and the
+    exact Σ‖subvector − assigned codeword‖² for each of the PQ_M
+    subspaces: the codec-quality audit behind ``ann_pq``'s recall (a
+    subspace with runaway distortion is where ADC ranking degrades
+    first, and the first candidate for a deeper codebook).  Same
+    broadcast codebook + fixed-point encode as ann_pq; the exchange is
+    PQ_M rows."""
+    import pandas as pd
+
+    cb_rows = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=(pc.field("vec_id") < sim.PQ_K),
+    ).to_pandas().sort_values("vec_id")
+    codebook = sim.pq_quantize(np.stack(cb_rows["embedding"].to_numpy()))
+    cb_ref = ray.put(codebook)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cb = _cached_side(cb_ref)
+        qm = sim.pq_quantize(sim.embedding_matrix(t))
+        codes = sim.pq_encode(qm, cb)
+        sub = qm.shape[1] // sim.PQ_M
+        ms, errs = [], []
+        for m in range(sim.PQ_M):
+            x = qm[:, m * sub:(m + 1) * sub]
+            c = cb[codes[:, m].astype(np.int64), m * sub:(m + 1) * sub]
+            diff = x - c
+            ms.append(m)
+            errs.append(int((diff * diff).sum()))
+        return pa.table(
+            {"m": pa.array(np.asarray(ms, dtype=np.int64)),
+             "n_vectors": pa.array(
+                 np.full(sim.PQ_M, qm.shape[0], dtype=np.int64)),
+             "err_sq": pa.array(np.asarray(errs, dtype=np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        _emb(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", batch_size=1024)
+        .groupby("m")
+        .aggregate(Sum("n_vectors", alias_name="n_vectors"),
+                   Sum("err_sq", alias_name="err_sq"))
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["m", "n_vectors", "err_sq"]),
+        batch_format="pyarrow",
+    )
+
+
+PQ_DISTORTION_SQL = (
+    _PQ_ADC_CTES
+    + " SELECT CAST(code.m AS BIGINT) AS m,"
+    " CAST(count(*) AS BIGINT) AS n_vectors,"
+    " CAST(sum(dist.d) AS BIGINT) AS err_sq"
+    " FROM code JOIN dist USING (vec_id, m, j)"
+    " GROUP BY code.m"
+)
+
+
 KMEANS3_ITERS = 3
 
 
@@ -5318,6 +5380,7 @@ DATA_QUERIES = {
     "bucket_skew": (q_bucket_skew, BUCKET_SKEW_SQL),
     "case_profile": (q_case_profile, CASE_PROFILE_SQL),
     "kmeans3": (q_kmeans3, KMEANS3_SQL),
+    "pq_distortion": (q_pq_distortion, PQ_DISTORTION_SQL),
     "dedup_keep_best": (q_dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "dup_rate_by_source": (q_dup_rate_by_source, DUP_RATE_BY_SOURCE_SQL),
     "dup_source_matrix": (q_dup_source_matrix, DUP_SOURCE_MATRIX_SQL),

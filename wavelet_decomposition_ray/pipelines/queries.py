@@ -9420,6 +9420,90 @@ WATERMARK_PICK_SQL = (
 )
 
 
+def q_max_quiet(sf_dir: str) -> "pa.Table":
+    """Longest silence per event type — the maximum inter-arrival gap
+    (whole seconds) in each type's stream and the microsecond it began
+    (ties -> earliest): the did-the-feed-die forensic every freshness
+    SLO needs — ``interarrival_stats``' histogram can't say WHEN the
+    worst gap happened.  Distributes without sorting a type's whole
+    stream in one place: (type, day) partition folds emit each day's
+    within-day max gap plus first/last event times, and the driver
+    stitches cross-day boundary gaps over the (types × days)-sized
+    summary table."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type"],
+    )
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "day", pa.array(ts_us // _DAY_US, type=pa.int64()))
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(ts) >= 2:
+            gaps = np.diff(ts)
+            gi = int(np.argmax(gaps))
+            mg, mg_at = int(gaps[gi]), int(ts[gi])
+        else:
+            mg, mg_at = 0, int(ts[0])
+        return pd.DataFrame(
+            {"event_type": df["event_type"].iloc[:1].to_numpy(),
+             "day": df["day"].iloc[:1].to_numpy().astype(np.int64),
+             "n": np.array([len(ts)], dtype=np.int64),
+             "first_us": np.array([int(ts[0])], dtype=np.int64),
+             "last_us": np.array([int(ts[-1])], dtype=np.int64),
+             "max_gap": np.array([mg], dtype=np.int64),
+             "gap_at": np.array([mg_at], dtype=np.int64)})
+
+    days = (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # types x active-days
+    )
+    rows = []
+    for ty, grp in days.groupby("event_type"):
+        grp = grp.sort_values("day")
+        if int(grp["n"].sum()) < 2:
+            continue  # no gap exists: the SQL's non-null filter drops it
+        best_gap, best_at = -1, 0
+        prev_last = None
+        for _, r in grp.iterrows():
+            if prev_last is not None:
+                cross = int(r["first_us"]) - prev_last
+                if cross > best_gap or (cross == best_gap
+                                        and prev_last < best_at):
+                    best_gap, best_at = cross, prev_last
+            if (int(r["max_gap"]) > best_gap
+                    or (int(r["max_gap"]) == best_gap
+                        and int(r["gap_at"]) < best_at)):
+                best_gap, best_at = int(r["max_gap"]), int(r["gap_at"])
+            prev_last = int(r["last_us"])
+        rows.append((ty, best_gap // 1_000_000, best_at))
+    out = pd.DataFrame(rows, columns=["event_type", "max_gap_s",
+                                      "gap_start_us"])
+    return pa.Table.from_pandas(
+        out.astype({"max_gap_s": np.int64, "gap_start_us": np.int64}),
+        preserve_index=False,
+    )
+
+
+MAX_QUIET_SQL = (
+    "WITH g AS (SELECT event_type, epoch_us(ts) AS tu,"
+    " lead(epoch_us(ts)) OVER (PARTITION BY event_type"
+    "  ORDER BY ts, event_id) - epoch_us(ts) AS gap FROM events)"
+    " SELECT event_type, CAST(gap // 1000000 AS BIGINT) AS max_gap_s,"
+    " CAST(tu AS BIGINT) AS gap_start_us FROM g WHERE gap IS NOT NULL"
+    " QUALIFY row_number() OVER (PARTITION BY event_type"
+    "  ORDER BY gap DESC, tu) = 1"
+)
+
+
 def q_fulfillment_bands(sf_dir: str) -> "pa.Table":
     """Order-fulfillment latency envelope — exact p50/p90/max of
     (last lineitem ship day − order day) over fully-joined orders: the
@@ -13742,6 +13826,7 @@ CORE_QUERIES = {
     ),
     "round_bias": (q_round_bias, ROUND_BIAS_SQL),
     "fulfillment_bands": (q_fulfillment_bands, FULFILLMENT_BANDS_SQL),
+    "max_quiet": (q_max_quiet, MAX_QUIET_SQL),
     "delta_code_bits": (q_delta_code_bits, DELTA_CODE_BITS_SQL),
     "volume_rhythm": (q_volume_rhythm, VOLUME_RHYTHM_SQL),
     "lang_source_mix": (q_lang_source_mix, LANG_SOURCE_MIX_SQL),
