@@ -4932,3 +4932,53 @@ def test_pq_distortion_codebook_rows_are_exact():
     # exceed -- just pin non-negativity and that SOME subspace has error
     assert (out["err_sq"] >= 0).all()
     assert int(out["err_sq"].sum()) > 0
+
+
+def test_session_length_hist_hand_checked():
+    """User 1: one 3-event session then (after the gap) a 1-event
+    session; user 2: one 1-event session -> {1: 2, 3: 1}."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    gap = cq.SESSION_GAP_US
+    s = 1_000_000
+    rows = [(0, 0, 1), (1, s, 1), (2, 2 * s, 1),
+            (3, 2 * s + gap + s, 1), (4, 0, 2)]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], dtype=np.int64),
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "value": pa.array([1.0] * len(rows), type=pa.float64()),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_session_length_hist("unused").to_pandas().set_index(
+            "n_events")
+    assert int(out.loc[1, "n_sessions"]) == 2
+    assert int(out.loc[3, "n_sessions"]) == 1
+
+
+def test_dim_range_hand_checked():
+    """Exact fixed-point extremes per coordinate."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    q = 1.0 / (1 << 20)
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+        "embedding": pa.array(
+            [[q, -5 * q], [3 * q, 2 * q], [-2 * q, 0.0]],
+            type=pa.list_(pa.float32())),
+    })
+    with mock.patch.object(dq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = dq.q_dim_range("unused").to_pandas().set_index("i")
+    assert (int(out.loc[1, "qmin"]), int(out.loc[1, "qmax"])) == (-2, 3)
+    assert (int(out.loc[2, "qmin"]), int(out.loc[2, "qmax"])) == (-5, 2)

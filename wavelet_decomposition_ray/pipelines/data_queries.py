@@ -4852,6 +4852,51 @@ def _bucket_skew_sql() -> str:
 BUCKET_SKEW_SQL = _bucket_skew_sql()
 
 
+def q_dim_range(sf_dir: str):
+    """Per-dimension bounding box — the exact fixed-point min and max of
+    every embedding coordinate: the range companion to
+    ``dim_variance``'s moments (a dimension whose range explodes — or
+    collapses to a point — flags an upstream featurizer bug before any
+    distance-based op inherits it, and the box is the natural grid for
+    coarse spatial partitioning).  One columnwise min/max partial per
+    batch, a d-sized exchange."""
+    from ray.data.aggregate import Max, Min
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = sim.embedding_matrix(t).astype(np.float64)
+        qx = np.floor(m * float(_QSCALE) + 0.5).astype(np.int64)
+        d = qx.shape[1]
+        return pa.table(
+            {"i": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+             "qmin": pa.array(qx.min(axis=0)),
+             "qmax": pa.array(qx.max(axis=0))}
+        )
+
+    agg = (
+        _emb(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", batch_size=1024)
+        .groupby("i")
+        .aggregate(Min("qmin", alias_name="qmin"),
+                   Max("qmax", alias_name="qmax"))
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["i", "qmin", "qmax"]),
+        batch_format="pyarrow",
+    )
+
+
+DIM_RANGE_SQL = (
+    "WITH e AS (SELECT"
+    f" CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_QSCALE}.0 + 0.5)"
+    "   AS BIGINT) AS qv,"
+    " CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i"
+    " FROM embeddings)"
+    " SELECT i, CAST(min(qv) AS BIGINT) AS qmin,"
+    " CAST(max(qv) AS BIGINT) AS qmax"
+    " FROM e GROUP BY i"
+)
+
+
 def q_pq_distortion(sf_dir: str):
     """PQ reconstruction distortion per subspace — n vectors and the
     exact Σ‖subvector − assigned codeword‖² for each of the PQ_M
@@ -5381,6 +5426,7 @@ DATA_QUERIES = {
     "case_profile": (q_case_profile, CASE_PROFILE_SQL),
     "kmeans3": (q_kmeans3, KMEANS3_SQL),
     "pq_distortion": (q_pq_distortion, PQ_DISTORTION_SQL),
+    "dim_range": (q_dim_range, DIM_RANGE_SQL),
     "dedup_keep_best": (q_dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "dup_rate_by_source": (q_dup_rate_by_source, DUP_RATE_BY_SOURCE_SQL),
     "dup_source_matrix": (q_dup_source_matrix, DUP_SOURCE_MATRIX_SQL),

@@ -9420,6 +9420,48 @@ WATERMARK_PICK_SQL = (
 )
 
 
+def q_session_length_hist(sf_dir: str) -> "ray.data.Dataset":
+    """Events-per-session histogram — how many sessions contain exactly
+    k events: the bounce-rate distribution (k=1 mass) and the
+    interaction-depth tail in one table, the event-count companion to
+    ``session_duration_bands``' wall-clock view.  Composes the
+    sessionizer with one histogram rollup."""
+    sess = q_sessionize(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ne = t["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, cnt = np.unique(ne, return_counts=True)
+        return pa.table({"n_events": pa.array(uk),
+                         "n_sessions": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        sess.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_events")
+        .aggregate(Sum("n_sessions", alias_name="n_sessions"))
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["n_events", "n_sessions"]),
+        batch_format="pyarrow",
+    )
+
+
+SESSION_LENGTH_HIST_SQL = (
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,"
+    " CASE WHEN lag(epoch_us(ts)) OVER w IS NULL"
+    f"  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}"
+    "  THEN 1 ELSE 0 END AS brk"
+    " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+    " s AS (SELECT user_id, sum(brk) OVER (PARTITION BY user_id"
+    "   ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM e),"
+    " c AS (SELECT CAST(count(*) AS BIGINT) AS n_events FROM s"
+    "  GROUP BY user_id, sid)"
+    " SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions"
+    " FROM c GROUP BY n_events"
+)
+
+
 def q_max_quiet(sf_dir: str) -> "pa.Table":
     """Longest silence per event type — the maximum inter-arrival gap
     (whole seconds) in each type's stream and the microsecond it began
@@ -13827,6 +13869,9 @@ CORE_QUERIES = {
     "round_bias": (q_round_bias, ROUND_BIAS_SQL),
     "fulfillment_bands": (q_fulfillment_bands, FULFILLMENT_BANDS_SQL),
     "max_quiet": (q_max_quiet, MAX_QUIET_SQL),
+    "session_length_hist": (
+        q_session_length_hist, SESSION_LENGTH_HIST_SQL
+    ),
     "delta_code_bits": (q_delta_code_bits, DELTA_CODE_BITS_SQL),
     "volume_rhythm": (q_volume_rhythm, VOLUME_RHYTHM_SQL),
     "lang_source_mix": (q_lang_source_mix, LANG_SOURCE_MIX_SQL),
