@@ -4982,3 +4982,50 @@ def test_dim_range_hand_checked():
         out = dq.q_dim_range("unused").to_pandas().set_index("i")
     assert (int(out.loc[1, "qmin"]), int(out.loc[1, "qmax"])) == (-2, 3)
     assert (int(out.loc[2, "qmin"]), int(out.loc[2, "qmax"])) == (-5, 2)
+
+
+def test_repeat_revenue_share_hand_checked():
+    """Customer 1's first order (day 0, key 1, 100 cents) is new
+    revenue; the same-day key-2 order (200) and the later order (300)
+    are repeat -> share = 500000... wait: repeat = 500 of 600 total."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    day = 86_400_000_000
+    t = pa.table({
+        "o_custkey": pa.array([1, 1, 1], type=pa.int64()),
+        "o_orderdate": pa.array(
+            np.array([0, 0, 5 * day], dtype=np.int64),
+            type=pa.timestamp("us")),
+        "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_totalprice": pa.array([1.0, 2.0, 3.0]),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_repeat_revenue_share("unused").to_pandas().iloc[0]
+    assert (int(out["repeat_cents"]), int(out["cents"])) == (500, 600)
+    assert int(out["share_ppm"]) == 500 * 1_000_000 // 600
+
+
+def test_type_mix_drift_hand_checked():
+    """First half all 'view', second half all 'click' -> disjoint mix,
+    drift = 2*n1*n2."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    day = 86_400_000_000
+    ts = np.array([0, day, 2 * day, 3 * day], dtype=np.int64)
+    t = pa.table({"ts": pa.array(ts, type=pa.timestamp("us")),
+                  "event_type": pa.array(["view", "view", "click",
+                                          "click"])})
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_type_mix_drift("unused").to_pandas().iloc[0]
+    assert (int(out["mid_day"]), int(out["n1"]), int(out["n2"]),
+            int(out["drift"])) == (2, 2, 2, 8)

@@ -9420,6 +9420,171 @@ WATERMARK_PICK_SQL = (
 )
 
 
+def q_repeat_revenue_share(sf_dir: str) -> "pa.Table":
+    """Repeat-customer revenue share per year — cents booked by orders
+    that are NOT the customer's first-ever order (first = smallest
+    (order date, order key)), over the year's total: the
+    new-vs-returning revenue split (``new_vs_returning`` counts users;
+    this weights them by money).  Per-customer first-order identity
+    comes from one customers-sized min-groupby broadcast as sorted
+    arrays; the orders stream is then scanned once with a searchsorted
+    probe — no self-join."""
+    import pandas as pd
+
+    from ray.data.aggregate import Min
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey",
+                 "o_totalprice"],
+    )
+
+    def first_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        day = (df["o_orderdate"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // _DAY_US)
+        ok = df["o_orderkey"].to_numpy().astype(np.int64)
+        assert ok.max(initial=0) < (1 << 40), "orderkey packing"
+        key = day * (1 << 40) + ok  # (date, orderkey) lexicographic
+        g = pd.DataFrame({"ck": df["o_custkey"].to_numpy(), "k": key}) \
+            .groupby("ck", as_index=False)["k"].min()
+        return g
+
+    firsts = (
+        ds.map_batches(first_part, batch_format="pandas")
+        .groupby("ck").aggregate(Min("k", alias_name="k"))
+        .to_pandas()  # customers-sized
+    ).sort_values("ck")
+    ck_ref = ray.put(firsts["ck"].to_numpy().astype(np.int64))
+    fk_ref = ray.put(firsts["k"].to_numpy().astype(np.int64))
+
+    def split(df: "pd.DataFrame") -> "pd.DataFrame":
+        cks = ray.get(ck_ref)
+        fks = ray.get(fk_ref)
+        day = (df["o_orderdate"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // _DAY_US)
+        ok = df["o_orderkey"].to_numpy().astype(np.int64)
+        key = day * (1 << 40) + ok
+        oc = df["o_custkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(cks, oc)
+        assert (pos < len(cks)).all() and (cks[pos] == oc).all(), \
+            "dangling o_custkey"
+        repeat = (key != fks[pos]).astype(np.int64)
+        cents = np.rint(df["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        g = pd.DataFrame(
+            {"year": df["o_orderdate"].dt.year.to_numpy()
+             .astype(np.int64),
+             "repeat_cents": cents * repeat, "cents": cents}
+        ).groupby("year", as_index=False).sum()
+        return g
+
+    from ray.data.aggregate import Sum
+
+    cells = (
+        ds.map_batches(split, batch_format="pandas")
+        .groupby("year")
+        .aggregate(Sum("repeat_cents", alias_name="repeat_cents"),
+                   Sum("cents", alias_name="cents"))
+        .to_pandas()
+    )
+    cells["share_ppm"] = [
+        int(r["repeat_cents"]) * 1_000_000 // int(r["cents"])
+        for _, r in cells.iterrows()]
+    return pa.Table.from_pandas(
+        cells.astype({"year": np.int64, "repeat_cents": np.int64,
+                      "cents": np.int64, "share_ppm": np.int64}),
+        preserve_index=False,
+    )
+
+
+REPEAT_REVENUE_SHARE_SQL = (
+    "WITH o AS (SELECT o_custkey,"
+    f" epoch_us(o_orderdate) // {86_400_000_000} AS day,"
+    " o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS year,"
+    " CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),"
+    " k AS (SELECT *, day * 1099511627776 + o_orderkey AS kk FROM o),"
+    " f AS (SELECT o_custkey, min(kk) AS fk FROM k GROUP BY o_custkey),"
+    " s AS (SELECT k.year,"
+    "  sum(CASE WHEN k.kk <> f.fk THEN k.cents ELSE 0 END)"
+    "   AS repeat_cents,"
+    "  sum(k.cents) AS cents"
+    "  FROM k JOIN f USING (o_custkey) GROUP BY k.year)"
+    " SELECT year, CAST(repeat_cents AS BIGINT) AS repeat_cents,"
+    " CAST(cents AS BIGINT) AS cents,"
+    " CAST(CAST(repeat_cents AS HUGEINT) * 1000000 // cents AS BIGINT)"
+    "  AS share_ppm"
+    " FROM s"
+)
+
+
+def q_type_mix_drift(sf_dir: str) -> "pa.Table":
+    """Event-type mix drift across the midpoint split — the exact
+    cross-normalized L1 between the two halves' TYPE histograms
+    (Σ_t |c1(t)·n2 − c2(t)·n1|, ``value_drift_halves``' statistic
+    pointed at the categorical mix): a product-behavior change (feature
+    launch, bot wave) moves the type mix long before the value
+    distribution shifts.  One (day × type)-sized exchange, driver
+    split."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = pd.DataFrame(
+            {"day": ts_us // _DAY_US,
+             "event_type": df["event_type"].to_numpy()}
+        ).groupby(["day", "event_type"], as_index=False).size()
+        g.rename(columns={"size": "cnt"}, inplace=True)
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    days = hist["day"].to_numpy().astype(np.int64)
+    mid = (int(days.min()) + int(days.max()) + 1) // 2
+    first = days < mid
+    c = hist["cnt"].to_numpy().astype(np.int64)
+    n1, n2 = int(c[first].sum()), int(c[~first].sum())
+    h1 = hist[first].groupby("event_type")["cnt"].sum()
+    h2 = hist[~first].groupby("event_type")["cnt"].sum()
+    allt = sorted(set(h1.index) | set(h2.index))
+    c1 = np.array([int(h1.get(t, 0)) for t in allt], dtype=np.int64)
+    c2 = np.array([int(h2.get(t, 0)) for t in allt], dtype=np.int64)
+    drift = int(np.abs(c1 * n2 - c2 * n1).sum())
+    out = pd.DataFrame(
+        {"mid_day": np.array([mid], dtype=np.int64),
+         "n1": np.array([n1], dtype=np.int64),
+         "n2": np.array([n2], dtype=np.int64),
+         "drift": np.array([drift], dtype=np.int64)})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+TYPE_MIX_DRIFT_SQL = (
+    "WITH e AS (SELECT"
+    f" epoch_us(ts) // {_DAY_US} AS day, event_type FROM events),"
+    " mm AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),"
+    " h AS (SELECT event_type,"
+    "  sum(CASE WHEN day < mid THEN 1 ELSE 0 END) AS c1,"
+    "  sum(CASE WHEN day >= mid THEN 1 ELSE 0 END) AS c2"
+    "  FROM e, mm GROUP BY event_type),"
+    " n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM h)"
+    " SELECT CAST(mid AS BIGINT) AS mid_day, CAST(n1 AS BIGINT) AS n1,"
+    " CAST(n2 AS BIGINT) AS n2,"
+    " CAST((SELECT sum(abs(CAST(c1 AS HUGEINT) * n.n2"
+    "   - CAST(c2 AS HUGEINT) * n.n1)) FROM h) AS BIGINT) AS drift"
+    " FROM mm, n"
+)
+
+
 def q_session_length_hist(sf_dir: str) -> "ray.data.Dataset":
     """Events-per-session histogram — how many sessions contain exactly
     k events: the bounce-rate distribution (k=1 mass) and the
@@ -13872,6 +14037,10 @@ CORE_QUERIES = {
     "session_length_hist": (
         q_session_length_hist, SESSION_LENGTH_HIST_SQL
     ),
+    "repeat_revenue_share": (
+        q_repeat_revenue_share, REPEAT_REVENUE_SHARE_SQL
+    ),
+    "type_mix_drift": (q_type_mix_drift, TYPE_MIX_DRIFT_SQL),
     "delta_code_bits": (q_delta_code_bits, DELTA_CODE_BITS_SQL),
     "volume_rhythm": (q_volume_rhythm, VOLUME_RHYTHM_SQL),
     "lang_source_mix": (q_lang_source_mix, LANG_SOURCE_MIX_SQL),
