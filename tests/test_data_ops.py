@@ -4986,8 +4986,9 @@ def test_dim_range_hand_checked():
 
 def test_repeat_revenue_share_hand_checked():
     """Customer 1's first order (day 0, key 1, 100 cents) is new
-    revenue; the same-day key-2 order (200) and the later order (300)
-    are repeat -> share = 500000... wait: repeat = 500 of 600 total."""
+    revenue; the same-day key-2 order (200 — larger orderkey loses the
+    first-order tie) and the later order (300) are repeat -> repeat
+    500 of 600 total cents."""
     import unittest.mock as mock
 
     import ray.data
