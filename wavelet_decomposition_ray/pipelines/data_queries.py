@@ -4934,18 +4934,24 @@ def q_pq_distortion(sf_dir: str):
              "err_sq": pa.array(np.asarray(errs, dtype=np.int64))}
         )
 
-    from ray.data.aggregate import Sum
-
-    agg = (
+    parts = (
         _emb(sf_dir)
         .map_batches(partial, batch_format="pyarrow", batch_size=1024)
-        .groupby("m")
-        .aggregate(Sum("n_vectors", alias_name="n_vectors"),
-                   Sum("err_sq", alias_name="err_sq"))
+        .to_pandas()  # PQ_M rows per batch
     )
-    return agg.map_batches(
-        lambda t: t.rename_columns(["m", "n_vectors", "err_sq"]),
-        batch_format="pyarrow",
+    # final fold in Python ints: per-batch err partials are int64-safe,
+    # but the corpus-wide total can pass 2^63 near 10^7 vectors (the SQL
+    # twin sums in HUGEINT) — guard instead of silently wrapping
+    rows = []
+    for m, grp in parts.groupby("m"):
+        tot = sum(int(v) for v in grp["err_sq"])
+        assert tot < (1 << 63), \
+            "pq_distortion int64 guard: report per-shard partials"
+        rows.append((int(m), int(grp["n_vectors"].sum()), tot))
+    out = pd.DataFrame(rows, columns=["m", "n_vectors", "err_sq"])
+    return pa.Table.from_pandas(
+        out.astype({c: np.int64 for c in out.columns}),
+        preserve_index=False,
     )
 
 

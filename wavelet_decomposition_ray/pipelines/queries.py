@@ -9557,9 +9557,11 @@ def q_type_mix_drift(sf_dir: str) -> "pa.Table":
     h1 = hist[first].groupby("event_type")["cnt"].sum()
     h2 = hist[~first].groupby("event_type")["cnt"].sum()
     allt = sorted(set(h1.index) | set(h2.index))
-    c1 = np.array([int(h1.get(t, 0)) for t in allt], dtype=np.int64)
-    c2 = np.array([int(h2.get(t, 0)) for t in allt], dtype=np.int64)
-    drift = int(np.abs(c1 * n2 - c2 * n1).sum())
+    # arbitrary-precision Python ints: c*n products exceed int64 past
+    # ~6e9 events, and the SQL twin already sums in HUGEINT
+    drift = sum(abs(int(h1.get(t, 0)) * n2 - int(h2.get(t, 0)) * n1)
+                for t in allt)
+    assert drift < (1 << 63), "type_mix_drift int64 output guard"
     out = pd.DataFrame(
         {"mid_day": np.array([mid], dtype=np.int64),
          "n1": np.array([n1], dtype=np.int64),
@@ -10075,10 +10077,11 @@ def _volume_rhythm_sql() -> str:
         legs.append(
             f"SELECT CAST({lag} AS BIGINT) AS lag,"
             " CAST(count(*) AS BIGINT) AS n,"
-            " CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,"
-            " CAST(sum(x * y) AS BIGINT) AS sxy,"
-            " CAST(sum(x * x) AS BIGINT) AS sxx,"
-            " CAST(sum(y * y) AS BIGINT) AS syy"
+            " CAST(COALESCE(sum(x), 0) AS BIGINT) AS sx,"
+            " CAST(COALESCE(sum(y), 0) AS BIGINT) AS sy,"
+            " CAST(COALESCE(sum(x * y), 0) AS BIGINT) AS sxy,"
+            " CAST(COALESCE(sum(x * x), 0) AS BIGINT) AS sxx,"
+            " CAST(COALESCE(sum(y * y), 0) AS BIGINT) AS syy"
             " FROM (SELECT COALESCE(a.c, 0) AS x, COALESCE(b.c, 0) AS y"
             "  FROM g CROSS JOIN cal"
             "  LEFT JOIN h a ON a.day = cal.day"
@@ -10193,15 +10196,21 @@ def q_gap_cluster(sf_dir: str) -> "pa.Table":
              "sxx": np.array([int((x * x).sum())], dtype=np.int64),
              "syy": np.array([int((y * y).sum())], dtype=np.int64)})
 
-    tot = (
+    parts = (
         ds.map_batches(_add_user_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(fold, batch_format="pandas")
-        .sum(["n_pairs", "sx", "sy", "sxy", "sxx", "syy"])
+        .to_pandas()  # N_EVENT_PARTS rows
     )
-    out = pd.DataFrame(
-        {k: np.array([int(tot[f"sum({k})"])], dtype=np.int64)
-         for k in ("n_pairs", "sx", "sy", "sxy", "sxx", "syy")})
+    # final fold in arbitrary-precision Python ints: each partition's
+    # partial is int64-guarded, but the cross-partition TOTAL could
+    # still wrap a numpy sum (third-review finding) — so don't use one
+    cols = ("n_pairs", "sx", "sy", "sxy", "sxx", "syy")
+    totals = {k: sum(int(v) for v in parts[k]) for k in cols}
+    assert all(v < (1 << 63) for v in totals.values()), \
+        "gap_cluster int64 guard: coarsen gap granularity"
+    out = pd.DataFrame({k: np.array([totals[k]], dtype=np.int64)
+                        for k in cols})
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -12783,9 +12792,11 @@ def q_value_drift_halves(sf_dir: str) -> "pa.Table":
     h1 = hist[first].groupby("bk")["cnt"].sum()
     h2 = hist[~first].groupby("bk")["cnt"].sum()
     allb = sorted(set(h1.index) | set(h2.index))
-    c1 = np.array([int(h1.get(b, 0)) for b in allb], dtype=np.int64)
-    c2 = np.array([int(h2.get(b, 0)) for b in allb], dtype=np.int64)
-    drift = int(np.abs(c1 * n2 - c2 * n1).sum())
+    # Python ints for the cross products (see type_mix_drift): exact
+    # past the int64 range the SQL twin's HUGEINT already handles
+    drift = sum(abs(int(h1.get(b, 0)) * n2 - int(h2.get(b, 0)) * n1)
+                for b in allb)
+    assert drift < (1 << 63), "value_drift_halves int64 output guard"
     out = pd.DataFrame(
         {"mid_day": np.array([mid], dtype=np.int64),
          "n1": np.array([n1], dtype=np.int64),
