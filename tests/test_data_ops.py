@@ -5030,3 +5030,55 @@ def test_type_mix_drift_hand_checked():
         out = cq.q_type_mix_drift("unused").to_pandas().iloc[0]
     assert (int(out["mid_day"]), int(out["n1"]), int(out["n2"]),
             int(out["drift"])) == (2, 2, 2, 8)
+
+
+def test_intersession_bands_hand_checked():
+    """User 1 has sessions ending at 0 and starting at gap+2h later ->
+    one inter-session gap; p50 = that gap in whole hours."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    gap = cq.SESSION_GAP_US
+    hr = 3_600_000_000
+    rows = [(0, 0, 1), (1, gap + 5 * hr, 1), (2, 0, 2)]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], dtype=np.int64),
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "value": pa.array([1.0] * len(rows), type=pa.float64()),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_intersession_bands("unused").to_pandas().iloc[0]
+    want_h = (gap + 5 * hr) // hr
+    assert (int(out["n_gaps"]), int(out["p50_h"]),
+            int(out["max_h"])) == (1, want_h, want_h)
+
+
+def test_numeric_docs_hand_checked():
+    """A digits-only doc outranks mixed text; short docs are exempt."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    digits = "1234567890" * 3
+    mixed = "abc 123 def 456 xx" + "y" * 12
+    short = "99"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([digits, mixed, short]),
+        "n_chars": pa.array([len(digits), len(mixed), len(short)],
+                            type=pa.int64()),
+    })
+    with mock.patch.object(dq, "_docs",
+                           lambda sf, columns=None:
+                           ray.data.from_arrow(docs)):
+        out = dq.q_numeric_docs("unused").to_pandas()
+    assert list(out["doc_id"]) == [1, 2]
+    assert int(out.iloc[0]["digit_ppm"]) == 1_000_000

@@ -4852,6 +4852,60 @@ def _bucket_skew_sql() -> str:
 BUCKET_SKEW_SQL = _bucket_skew_sql()
 
 
+NUMERIC_DOC_K = 20
+NUMERIC_MIN_CHARS = 20
+
+
+def q_numeric_docs(sf_dir: str):
+    """Digit-heaviest documents — the NUMERIC_DOC_K docs (n_chars >=
+    NUMERIC_MIN_CHARS) with the highest digit share, score =
+    10^6·digits // n_chars (ties -> doc_id): the numeric-spam / table-
+    dump screen (serial-number lists and price tables pollute an LM
+    corpus but pass length and language filters) — the per-doc drill-
+    down behind ``case_profile``'s per-source digit column.  One
+    vectorized string pass, per-batch top-k, driver finish."""
+    import pandas as pd
+
+    ds = _docs(sf_dir, columns=("doc_id", "text", "n_chars"))
+
+    def score(df: "pd.DataFrame") -> "pd.DataFrame":
+        nch = df["n_chars"].to_numpy().astype(np.int64)
+        dg = df["text"].str.count(r"[0-9]").to_numpy().astype(np.int64)
+        keep = nch >= NUMERIC_MIN_CHARS
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy().astype(np.int64)[keep],
+             "n_chars": nch[keep], "n_digits": dg[keep],
+             "digit_ppm": dg[keep] * 1_000_000 // nch[keep]})
+        return out.sort_values(["digit_ppm", "doc_id"],
+                               ascending=[False, True],
+                               kind="mergesort").head(NUMERIC_DOC_K)
+
+    cand = (
+        ds.map_batches(score, batch_format="pandas")
+        .to_pandas()  # <= K per batch
+    )
+    cand = cand.sort_values(["digit_ppm", "doc_id"],
+                            ascending=[False, True],
+                            kind="mergesort").head(NUMERIC_DOC_K)
+    return pa.Table.from_pandas(
+        cand.astype({c: np.int64 for c in cand.columns})
+        .reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+NUMERIC_DOCS_SQL = (
+    "WITH d AS (SELECT doc_id, n_chars,"
+    " CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)"
+    "  AS n_digits"
+    f" FROM documents WHERE n_chars >= {NUMERIC_MIN_CHARS})"
+    " SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, n_digits,"
+    " CAST(n_digits * 1000000 // n_chars AS BIGINT) AS digit_ppm"
+    " FROM d"
+    f" ORDER BY digit_ppm DESC, doc_id LIMIT {NUMERIC_DOC_K}"
+)
+
+
 def q_dim_range(sf_dir: str):
     """Per-dimension bounding box — the exact fixed-point min and max of
     every embedding coordinate: the range companion to
@@ -5433,6 +5487,7 @@ DATA_QUERIES = {
     "kmeans3": (q_kmeans3, KMEANS3_SQL),
     "pq_distortion": (q_pq_distortion, PQ_DISTORTION_SQL),
     "dim_range": (q_dim_range, DIM_RANGE_SQL),
+    "numeric_docs": (q_numeric_docs, NUMERIC_DOCS_SQL),
     "dedup_keep_best": (q_dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "dup_rate_by_source": (q_dup_rate_by_source, DUP_RATE_BY_SOURCE_SQL),
     "dup_source_matrix": (q_dup_source_matrix, DUP_SOURCE_MATRIX_SQL),

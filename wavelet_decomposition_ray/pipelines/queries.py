@@ -9420,6 +9420,79 @@ WATERMARK_PICK_SQL = (
 )
 
 
+def q_intersession_bands(sf_dir: str) -> "pa.Table":
+    """Time-between-visits envelope — exact p50/p90/max (whole hours) of
+    the gaps between a user's consecutive SESSIONS (next session's
+    first event minus the previous session's last): the return-cadence
+    metric re-engagement timing is tuned against — ``interarrival``
+    measures events, ``session_duration_bands`` measures within-visit;
+    this is the between-visit rhythm.  Sessions fold per user-hash
+    partition (all of a user's sessions co-locate), gaps histogram at
+    hour granularity, ranks = ceil(q·n) via `_hist_rank_pick`."""
+    import pandas as pd
+
+    sess = q_sessionize(sf_dir)
+
+    def gaps(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["user_id", "first_us"], kind="mergesort")
+        u = df["user_id"].to_numpy().astype(np.int64)
+        first = df["first_us"].to_numpy().astype(np.int64)
+        last = df["last_us"].to_numpy().astype(np.int64)
+        if len(u) < 2:
+            return pd.DataFrame({"gap_h": np.empty(0, dtype=np.int64),
+                                 "cnt": np.empty(0, dtype=np.int64)})
+        same = u[1:] == u[:-1]
+        g = (first[1:] - last[:-1])[same] // HOUR_US
+        uk, cnt = np.unique(g, return_counts=True)
+        return pd.DataFrame({"gap_h": uk, "cnt": cnt.astype(np.int64)})
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "part", pa.array(((u % N_EVENT_PARTS) + N_EVENT_PARTS)
+                             % N_EVENT_PARTS, type=pa.int32()))
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        sess.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(gaps, batch_format="pandas")
+        .groupby("gap_h").aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # distinct-hour-gaps-sized
+    )
+    hist = hist.sort_values("gap_h", kind="mergesort")
+    gh = hist["gap_h"].to_numpy().astype(np.int64)
+    total, pick = _hist_rank_pick(
+        gh, hist["cnt"].to_numpy().astype(np.int64))
+    out = pd.DataFrame(
+        {"n_gaps": np.array([total], dtype=np.int64),
+         "p50_h": np.array([pick(1, 2)], dtype=np.int64),
+         "p90_h": np.array([pick(9, 10)], dtype=np.int64),
+         "max_h": np.array([int(gh[-1])], dtype=np.int64)})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+INTERSESSION_BANDS_SQL = (
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,"
+    " CASE WHEN lag(epoch_us(ts)) OVER w IS NULL"
+    f"  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}"
+    "  THEN 1 ELSE 0 END AS brk"
+    " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+    " s AS (SELECT user_id, ts_us, sum(brk) OVER (PARTITION BY user_id"
+    "   ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM e),"
+    " iv AS (SELECT user_id, sid, min(ts_us) AS a, max(ts_us) AS b"
+    "  FROM s GROUP BY user_id, sid),"
+    " g AS (SELECT (a - lag(b) OVER (PARTITION BY user_id ORDER BY a))"
+    f"  // {HOUR_US} AS gap_h FROM iv)"
+    " SELECT CAST(count(*) AS BIGINT) AS n_gaps,"
+    " CAST(quantile_disc(gap_h, 0.5) AS BIGINT) AS p50_h,"
+    " CAST(quantile_disc(gap_h, 0.9) AS BIGINT) AS p90_h,"
+    " CAST(max(gap_h) AS BIGINT) AS max_h"
+    " FROM g WHERE gap_h IS NOT NULL"
+)
+
+
 def q_repeat_revenue_share(sf_dir: str) -> "pa.Table":
     """Repeat-customer revenue share per year — cents booked by orders
     that are NOT the customer's first-ever order (first = smallest
@@ -14050,6 +14123,9 @@ CORE_QUERIES = {
     ),
     "repeat_revenue_share": (
         q_repeat_revenue_share, REPEAT_REVENUE_SHARE_SQL
+    ),
+    "intersession_bands": (
+        q_intersession_bands, INTERSESSION_BANDS_SQL
     ),
     "type_mix_drift": (q_type_mix_drift, TYPE_MIX_DRIFT_SQL),
     "delta_code_bits": (q_delta_code_bits, DELTA_CODE_BITS_SQL),
