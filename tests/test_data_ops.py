@@ -5082,3 +5082,56 @@ def test_numeric_docs_hand_checked():
         out = dq.q_numeric_docs("unused").to_pandas()
     assert list(out["doc_id"]) == [1, 2]
     assert int(out.iloc[0]["digit_ppm"]) == 1_000_000
+
+
+def test_simhash_bit_balance_totals():
+    """Every bit row accounts for every doc; n_ones matches a direct
+    recount of the engine's own simhash values."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.functions import dedup as dd
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["alpha beta gamma", "delta epsilon zeta",
+                          "alpha delta omega"]),
+    })
+    with mock.patch.object(dq, "_docs",
+                           lambda sf, columns=None:
+                           ray.data.from_arrow(docs)):
+        out = dq.q_simhash_bit_balance("unused").to_pandas()
+    assert len(out) == 64 and (out["n_docs"] == 3).all()
+    hashed = dd.SimHasher()(docs)
+    h = hashed["simhash"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64).view(np.uint64)
+    for _, r in out.iterrows():
+        want = int(((h >> np.uint64(int(r["bit"]))) & np.uint64(1)).sum())
+        assert int(r["n_ones"]) == want
+
+
+def test_first_week_value_hand_checked():
+    """Customer 1: first order day 0 (100), day 6 order (200) inside the
+    week, day 30 order (300) outside -> first week 300 of 600."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import data_queries as dq
+
+    day = 86_400_000_000
+    t = pa.table({
+        "o_custkey": pa.array([1, 1, 1], type=pa.int64()),
+        "o_orderdate": pa.array(
+            np.array([0, 6 * day, 30 * day], dtype=np.int64),
+            type=pa.timestamp("us")),
+        "o_totalprice": pa.array([1.0, 2.0, 3.0]),
+    })
+    with mock.patch.object(dq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = dq.q_first_week_value("unused").to_pandas().iloc[0]
+    assert (int(out["n_cust"]), int(out["first_week_cents"]),
+            int(out["cents"])) == (1, 300, 600)
+    assert int(out["share_ppm"]) == 500_000

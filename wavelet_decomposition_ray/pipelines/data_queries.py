@@ -4852,6 +4852,137 @@ def _bucket_skew_sql() -> str:
 BUCKET_SKEW_SQL = _bucket_skew_sql()
 
 
+def q_simhash_bit_balance(sf_dir: str):
+    """SimHash bit-balance audit — for each of the 64 bits, how many
+    documents have it SET: the fingerprint-health check (a bit stuck
+    near 0% or 100% carries no Hamming information, silently shrinking
+    ``dedup_simhash``'s effective radius; healthy md5-vote bits sit
+    near 50%).  Reuses the SimHasher actor kernel; the exchange is 64
+    rows per batch."""
+    import pandas as pd
+
+    hashed = _docs(sf_dir).map_batches(
+        dd.SimHasher(), batch_format="pyarrow", batch_size=256
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = t["simhash"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(np.uint64)
+        bits = np.arange(64, dtype=np.int64)
+        ones = np.array(
+            [int(((h >> np.uint64(b)) & np.uint64(1)).sum())
+             for b in bits], dtype=np.int64)
+        return pa.table(
+            {"bit": pa.array(bits), "n_ones": pa.array(ones),
+             "n_docs": pa.array(np.full(64, len(h), dtype=np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        hashed.map_batches(partial, batch_format="pyarrow")
+        .groupby("bit")
+        .aggregate(Sum("n_ones", alias_name="n_ones"),
+                   Sum("n_docs", alias_name="n_docs"))
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["bit", "n_ones", "n_docs"]),
+        batch_format="pyarrow",
+    )
+
+
+def _simhash_bit_balance_sql() -> str:
+    # reuse the vote CTE chain of the simhash twin, finish per bit
+    base = _simhash_sql()
+    prefix = base[: base.index(" SELECT doc_id, CAST(sum(")]
+    return (
+        prefix
+        + " SELECT CAST(i AS BIGINT) AS bit,"
+        " CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        "  AS n_ones,"
+        " CAST(count(*) AS BIGINT) AS n_docs"
+        " FROM votes GROUP BY i"
+    )
+
+
+SIMHASH_BIT_BALANCE_SQL = _simhash_bit_balance_sql()
+
+
+def q_first_week_value(sf_dir: str) -> "pa.Table":
+    """First-week revenue share — of all customer lifetime cents, how
+    much lands within 7 days of each customer's FIRST order: the
+    early-LTV signal (a high share means value is decided at
+    acquisition; a low one means nurture matters), computed with one
+    customers-sized min-day broadcast and one probe scan — the
+    ``repeat_revenue_share`` machinery pointed at tenure instead of
+    order rank."""
+    import pandas as pd
+
+    from ray.data.aggregate import Min, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def first_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        day = (df["o_orderdate"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        return pd.DataFrame({"ck": df["o_custkey"].to_numpy(),
+                             "fd": day}).groupby(
+            "ck", as_index=False)["fd"].min()
+
+    firsts = (
+        ds.map_batches(first_part, batch_format="pandas")
+        .groupby("ck").aggregate(Min("fd", alias_name="fd"))
+        .to_pandas().sort_values("ck")
+    )
+    ck_ref = ray.put(firsts["ck"].to_numpy().astype(np.int64))
+    fd_ref = ray.put(firsts["fd"].to_numpy().astype(np.int64))
+
+    def split(df: "pd.DataFrame") -> "pd.DataFrame":
+        cks, fds = ray.get(ck_ref), ray.get(fd_ref)
+        day = (df["o_orderdate"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        oc = df["o_custkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(cks, oc)
+        assert (pos < len(cks)).all() and (cks[pos] == oc).all(), \
+            "dangling o_custkey"
+        early = (day < fds[pos] + 7).astype(np.int64)
+        cents = np.rint(df["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        return pd.DataFrame(
+            {"first_week_cents": np.array([int((cents * early).sum())],
+                                          dtype=np.int64),
+             "cents": np.array([int(cents.sum())], dtype=np.int64)})
+
+    tot = ds.map_batches(split, batch_format="pandas").sum(
+        ["first_week_cents", "cents"])
+    fw = int(tot["sum(first_week_cents)"])
+    al = int(tot["sum(cents)"])
+    out = pd.DataFrame(
+        {"n_cust": np.array([len(firsts)], dtype=np.int64),
+         "first_week_cents": np.array([fw], dtype=np.int64),
+         "cents": np.array([al], dtype=np.int64),
+         "share_ppm": np.array([fw * 1_000_000 // al], dtype=np.int64)})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+FIRST_WEEK_VALUE_SQL = (
+    "WITH o AS (SELECT o_custkey,"
+    f" epoch_us(o_orderdate) // {86_400_000_000} AS day,"
+    " CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),"
+    " f AS (SELECT o_custkey, min(day) AS fd FROM o GROUP BY o_custkey)"
+    " SELECT CAST((SELECT count(*) FROM f) AS BIGINT) AS n_cust,"
+    " CAST(sum(CASE WHEN o.day < f.fd + 7 THEN o.cents ELSE 0 END)"
+    "  AS BIGINT) AS first_week_cents,"
+    " CAST(sum(o.cents) AS BIGINT) AS cents,"
+    " CAST(sum(CASE WHEN o.day < f.fd + 7 THEN o.cents ELSE 0 END)"
+    "  * 1000000 // sum(o.cents) AS BIGINT) AS share_ppm"
+    " FROM o JOIN f USING (o_custkey)"
+)
+
+
 NUMERIC_DOC_K = 20
 NUMERIC_MIN_CHARS = 20
 
@@ -5488,6 +5619,10 @@ DATA_QUERIES = {
     "pq_distortion": (q_pq_distortion, PQ_DISTORTION_SQL),
     "dim_range": (q_dim_range, DIM_RANGE_SQL),
     "numeric_docs": (q_numeric_docs, NUMERIC_DOCS_SQL),
+    "simhash_bit_balance": (
+        q_simhash_bit_balance, SIMHASH_BIT_BALANCE_SQL
+    ),
+    "first_week_value": (q_first_week_value, FIRST_WEEK_VALUE_SQL),
     "dedup_keep_best": (q_dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "dup_rate_by_source": (q_dup_rate_by_source, DUP_RATE_BY_SOURCE_SQL),
     "dup_source_matrix": (q_dup_source_matrix, DUP_SOURCE_MATRIX_SQL),
