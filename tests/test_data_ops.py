@@ -5135,3 +5135,58 @@ def test_first_week_value_hand_checked():
     assert (int(out["n_cust"]), int(out["first_week_cents"]),
             int(out["cents"])) == (1, 300, 600)
     assert int(out["share_ppm"]) == 500_000
+
+
+def test_onboarding_effect_hand_checked():
+    """User 1: 5-event first session then returns (bucket 2, retained);
+    user 2: single 1-event session, never returns (bucket 0)."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    gap = cq.SESSION_GAP_US
+    s = 1_000_000
+    rows = ([(i, i * s, 1) for i in range(5)]
+            + [(5, 5 * s + gap + s, 1), (6, 0, 2)])
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], dtype=np.int64),
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "value": pa.array([1.0] * len(rows), type=pa.float64()),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_onboarding_effect("unused").to_pandas().set_index(
+            "bucket")
+    assert (int(out.loc[2, "n_users"]),
+            int(out.loc[2, "n_returned"])) == (1, 1)
+    assert (int(out.loc[0, "n_users"]),
+            int(out.loc[0, "n_returned"])) == (1, 0)
+    assert 1 not in out.index  # empty bucket omitted, like the SQL
+
+
+def test_part_size_vs_qty_hand_checked():
+    """Two lineitems of a size-5 part with qty 2 and 4, one size-10 part
+    with qty 1 -> exact component sums."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    part = pa.table({"p_partkey": pa.array([1, 2], type=pa.int64()),
+                     "p_size": pa.array([5, 10], type=pa.int32())})
+    li = pa.table({"l_partkey": pa.array([1, 1, 2], type=pa.int64()),
+                   "l_quantity": pa.array([2.0, 4.0, 1.0])})
+
+    def fake(path, columns=None, **kw):
+        return ray.data.from_arrow(part if "part" in path else li)
+
+    with mock.patch.object(cq.ray.data, "read_parquet", fake):
+        out = cq.q_part_size_vs_qty("unused").to_pandas().iloc[0]
+    assert (int(out["n"]), int(out["sx"]), int(out["sy"]),
+            int(out["sxy"]), int(out["sxx"]), int(out["syy"])) \
+        == (3, 20, 7, 40, 150, 21)

@@ -9420,6 +9420,152 @@ WATERMARK_PICK_SQL = (
 )
 
 
+def q_part_size_vs_qty(sf_dir: str) -> "pa.Table":
+    """Part-size vs shipped-quantity correlation components — the exact
+    integer Pearson ingredients (n, Σx, Σy, Σxy, Σx², Σy²) for x =
+    p_size (broadcast from the part dimension) and y = l_quantity per
+    lineitem: do bigger parts ship in smaller lots?  The cross-table
+    sufficient-statistics pattern (one broadcast probe, one streaming
+    pass, a six-integer exchange) that any dimension-vs-fact
+    correlation reuses."""
+    import pandas as pd
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"]
+    ).to_pandas().sort_values("p_partkey")
+    pk_ref = ray.put(part["p_partkey"].to_numpy().astype(np.int64))
+    sz_ref = ray.put(part["p_size"].to_numpy().astype(np.int64))
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        keys, sizes = ray.get(pk_ref), ray.get(sz_ref)
+        lpk = df["l_partkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(keys, lpk)
+        assert (pos < len(keys)).all() and (keys[pos] == lpk).all(), \
+            "dangling l_partkey"
+        x = sizes[pos]
+        y = df["l_quantity"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {"n": np.array([len(x)], dtype=np.int64),
+             "sx": np.array([int(x.sum())], dtype=np.int64),
+             "sy": np.array([int(y.sum())], dtype=np.int64),
+             "sxy": np.array([int((x * y).sum())], dtype=np.int64),
+             "sxx": np.array([int((x * x).sum())], dtype=np.int64),
+             "syy": np.array([int((y * y).sum())], dtype=np.int64)})
+
+    parts = (
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_partkey", "l_quantity"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    cols = ("n", "sx", "sy", "sxy", "sxx", "syy")
+    totals = {k: sum(int(v) for v in parts[k]) for k in cols}
+    assert all(v < (1 << 63) for v in totals.values()), \
+        "part_size_vs_qty int64 guard"
+    out = pd.DataFrame({k: np.array([totals[k]], dtype=np.int64)
+                        for k in cols})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+PART_SIZE_VS_QTY_SQL = (
+    "WITH j AS (SELECT CAST(p.p_size AS BIGINT) AS x,"
+    " CAST(l_quantity AS BIGINT) AS y"
+    " FROM lineitem JOIN part p ON p.p_partkey = l_partkey)"
+    " SELECT CAST(count(*) AS BIGINT) AS n,"
+    " CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,"
+    " CAST(sum(x * y) AS BIGINT) AS sxy,"
+    " CAST(sum(x * x) AS BIGINT) AS sxx,"
+    " CAST(sum(y * y) AS BIGINT) AS syy"
+    " FROM j"
+)
+
+
+ONBOARD_BUCKETS = (1, 4)  # first-session depth: 1, 2-4, 5+
+
+
+def q_onboarding_effect(sf_dir: str) -> "pa.Table":
+    """Onboarding-depth vs retention — bucket every user by the event
+    count of their FIRST session (1, 2-4, 5+) and report how many in
+    each bucket ever came back (had a second session): the
+    activation-curve table growth teams A/B against ("users who do 5+
+    things in visit one retain 3x").  Sessions fold per user-hash
+    partition; the per-user reduction (first session by (first_us,
+    session_idx), plus a did-they-return flag) is one vectorized pass;
+    the exchange is three rows."""
+    import pandas as pd
+
+    sess = q_sessionize(sf_dir)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "part", pa.array(((u % N_EVENT_PARTS) + N_EVENT_PARTS)
+                             % N_EVENT_PARTS, type=pa.int32()))
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["user_id", "first_us", "session_idx"],
+                            kind="mergesort")
+        u = df["user_id"].to_numpy().astype(np.int64)
+        ne = df["n_events"].to_numpy().astype(np.int64)
+        start = np.ones(len(u), dtype=bool)
+        start[1:] = u[1:] != u[:-1]
+        si = np.flatnonzero(start)
+        counts = np.diff(np.append(si, len(u)))
+        first_ne = ne[si]
+        returned = (counts >= 2).astype(np.int64)
+        lo, hi = ONBOARD_BUCKETS
+        b = np.where(first_ne <= lo, 0, np.where(first_ne <= hi, 1, 2))
+        out = []
+        for bk in (0, 1, 2):
+            m = b == bk
+            out.append((bk, int(m.sum()), int(returned[m].sum())))
+        return pd.DataFrame(out, columns=["bucket", "n_users",
+                                          "n_returned"])
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        sess.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("n_users", alias_name="n_users"),
+                   Sum("n_returned", alias_name="n_returned"))
+        .to_pandas()
+    )
+    agg = agg.sort_values("bucket")
+    agg = agg[agg["n_users"] > 0]  # SQL emits only observed buckets
+    return pa.Table.from_pandas(
+        agg.astype({"bucket": np.int64, "n_users": np.int64,
+                    "n_returned": np.int64}).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+ONBOARDING_EFFECT_SQL = (
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,"
+    " CASE WHEN lag(epoch_us(ts)) OVER w IS NULL"
+    f"  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}"
+    "  THEN 1 ELSE 0 END AS brk"
+    " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+    " s AS (SELECT user_id, sum(brk) OVER (PARTITION BY user_id"
+    "   ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM e),"
+    " c AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS ne"
+    "  FROM s GROUP BY user_id, sid),"
+    " u AS (SELECT user_id,"
+    "  max(CASE WHEN sid = 1 THEN ne END) AS first_ne,"
+    "  CASE WHEN count(*) >= 2 THEN 1 ELSE 0 END AS returned"
+    "  FROM c GROUP BY user_id),"
+    " b AS (SELECT CASE WHEN first_ne <= "
+    f"{ONBOARD_BUCKETS[0]} THEN 0 WHEN first_ne <= {ONBOARD_BUCKETS[1]}"
+    "  THEN 1 ELSE 2 END AS bucket, returned FROM u)"
+    " SELECT CAST(bucket AS BIGINT) AS bucket,"
+    " CAST(count(*) AS BIGINT) AS n_users,"
+    " CAST(sum(returned) AS BIGINT) AS n_returned"
+    " FROM b GROUP BY bucket"
+)
+
+
 def q_intersession_bands(sf_dir: str) -> "pa.Table":
     """Time-between-visits envelope — exact p50/p90/max (whole hours) of
     the gaps between a user's consecutive SESSIONS (next session's
@@ -14127,6 +14273,8 @@ CORE_QUERIES = {
     "intersession_bands": (
         q_intersession_bands, INTERSESSION_BANDS_SQL
     ),
+    "onboarding_effect": (q_onboarding_effect, ONBOARDING_EFFECT_SQL),
+    "part_size_vs_qty": (q_part_size_vs_qty, PART_SIZE_VS_QTY_SQL),
     "type_mix_drift": (q_type_mix_drift, TYPE_MIX_DRIFT_SQL),
     "delta_code_bits": (q_delta_code_bits, DELTA_CODE_BITS_SQL),
     "volume_rhythm": (q_volume_rhythm, VOLUME_RHYTHM_SQL),
