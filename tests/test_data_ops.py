@@ -5190,3 +5190,56 @@ def test_part_size_vs_qty_hand_checked():
     assert (int(out["n"]), int(out["sx"]), int(out["sy"]),
             int(out["sxy"]), int(out["sxx"]), int(out["syy"])) \
         == (3, 20, 7, 40, 150, 21)
+
+
+def test_overnight_sessions_hand_checked():
+    """User 1's session straddles midnight (23:50 -> 00:10 next day,
+    20-min gap = one session); user 2's stays inside one day -> 1 of 2
+    overnight."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    m10 = 600_000_000  # ten minutes, inside the 30-min session gap
+    day = 86_400_000_000
+    rows = [(0, day - m10, 1), (1, day + m10, 1),
+            (2, 2 * day, 2), (3, 2 * day + m10, 2)]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], dtype=np.int64),
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "value": pa.array([1.0] * len(rows), type=pa.float64()),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_overnight_sessions("unused").to_pandas().iloc[0]
+    assert (int(out["n_sessions"]), int(out["n_overnight"])) == (2, 1)
+
+
+def test_dup_events_hand_checked():
+    """A payload repeated 3x (even with distinct event_ids) is one dup
+    group with 2 extra rows; distinct payloads don't count."""
+    import unittest.mock as mock
+
+    import ray.data
+
+    from wavelet_decomposition_ray.pipelines import queries as cq
+
+    rows = [(0, 7, 1, "click", 1.0), (1, 7, 1, "click", 1.0),
+            (2, 7, 1, "click", 1.0), (3, 7, 1, "click", 2.0),
+            (4, 8, 2, "view", 1.0)]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array(np.array([r[1] * 1_000_000 for r in rows],
+                                dtype=np.int64), type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([r[4] for r in rows], type=pa.float64()),
+    })
+    with mock.patch.object(cq.ray.data, "read_parquet",
+                           return_value=ray.data.from_arrow(t)):
+        out = cq.q_dup_events("unused").to_pandas().iloc[0]
+    assert (int(out["dup_groups"]), int(out["extra_rows"])) == (1, 2)

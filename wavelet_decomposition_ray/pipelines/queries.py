@@ -9420,6 +9420,118 @@ WATERMARK_PICK_SQL = (
 )
 
 
+def q_overnight_sessions(sf_dir: str) -> "pa.Table":
+    """Midnight-crossing sessions — how many gap-windows start and end
+    on different UTC days, over the total: the calendar-bucketing
+    hazard rate (every daily rollup silently splits these sessions;
+    if the share is material, daily engagement counts need session
+    attribution rules, not just event counts).  One scan over the
+    sessionizer's output."""
+    import pandas as pd
+
+    sess = q_sessionize(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t["first_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["last_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        over = ((a // _DAY_US) != (b // _DAY_US)).astype(np.int64)
+        return pa.table(
+            {"n_sessions": pa.array([len(a)]),
+             "n_overnight": pa.array([int(over.sum())])}
+        )
+
+    tot = sess.map_batches(partial, batch_format="pyarrow").sum(
+        ["n_sessions", "n_overnight"])
+    out = pd.DataFrame(
+        {"n_sessions": np.array([int(tot["sum(n_sessions)"])],
+                                dtype=np.int64),
+         "n_overnight": np.array([int(tot["sum(n_overnight)"])],
+                                 dtype=np.int64)})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+OVERNIGHT_SESSIONS_SQL = (
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,"
+    " CASE WHEN lag(epoch_us(ts)) OVER w IS NULL"
+    f"  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}"
+    "  THEN 1 ELSE 0 END AS brk"
+    " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+    " s AS (SELECT user_id, ts_us, sum(brk) OVER (PARTITION BY user_id"
+    "   ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM e),"
+    " iv AS (SELECT min(ts_us) AS a, max(ts_us) AS b"
+    "  FROM s GROUP BY user_id, sid)"
+    " SELECT CAST(count(*) AS BIGINT) AS n_sessions,"
+    f" CAST(sum(CASE WHEN a // {_DAY_US} <> b // {_DAY_US}"
+    "  THEN 1 ELSE 0 END) AS BIGINT) AS n_overnight"
+    " FROM iv"
+)
+
+
+def q_dup_events(sf_dir: str) -> "pa.Table":
+    """Exact duplicate-event audit — rows identical on (user, ts, type,
+    cent value) regardless of event_id: dup_groups (distinct payloads
+    occurring 2+ times) and extra_rows (the surplus copies an
+    idempotent ingest would drop).  The at-any-distance complement to
+    ``debounce_events``' consecutive-within-5s screen — replayed
+    batches land here even when hours apart.  One distinct-payload-
+    sized groupby (the events analog of dedup_exact)."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_type", "value"],
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = pd.DataFrame(
+            {"u": df["user_id"].to_numpy().astype(np.int64),
+             "t": df["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64),
+             "e": df["event_type"].to_numpy(),
+             "v": np.rint(df["value"].to_numpy() * 100).astype(np.int64)}
+        ).groupby(["u", "t", "e", "v"], as_index=False).size()
+        g.rename(columns={"size": "c"}, inplace=True)
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Sum
+
+    groups = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["u", "t", "e", "v"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dup = c > 1
+        return pa.table(
+            {"dup_groups": pa.array([int(dup.sum())]),
+             "extra_rows": pa.array([int((c[dup] - 1).sum())])}
+        )
+
+    tot = groups.map_batches(fold, batch_format="pyarrow").sum(
+        ["dup_groups", "extra_rows"])
+    out = pd.DataFrame(
+        {"dup_groups": np.array([int(tot["sum(dup_groups)"])],
+                                dtype=np.int64),
+         "extra_rows": np.array([int(tot["sum(extra_rows)"])],
+                                dtype=np.int64)})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+DUP_EVENTS_SQL = (
+    "WITH g AS (SELECT user_id, ts, event_type,"
+    " CAST(round(value * 100) AS BIGINT) AS tok, count(*) AS c"
+    " FROM events GROUP BY user_id, ts, event_type, tok)"
+    " SELECT CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS dup_groups,"
+    " CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)"
+    "  AS extra_rows"
+    " FROM g"
+)
+
+
 def q_part_size_vs_qty(sf_dir: str) -> "pa.Table":
     """Part-size vs shipped-quantity correlation components — the exact
     integer Pearson ingredients (n, Σx, Σy, Σxy, Σx², Σy²) for x =
@@ -14275,6 +14387,10 @@ CORE_QUERIES = {
     ),
     "onboarding_effect": (q_onboarding_effect, ONBOARDING_EFFECT_SQL),
     "part_size_vs_qty": (q_part_size_vs_qty, PART_SIZE_VS_QTY_SQL),
+    "overnight_sessions": (
+        q_overnight_sessions, OVERNIGHT_SESSIONS_SQL
+    ),
+    "dup_events": (q_dup_events, DUP_EVENTS_SQL),
     "type_mix_drift": (q_type_mix_drift, TYPE_MIX_DRIFT_SQL),
     "delta_code_bits": (q_delta_code_bits, DELTA_CODE_BITS_SQL),
     "volume_rhythm": (q_volume_rhythm, VOLUME_RHYTHM_SQL),
